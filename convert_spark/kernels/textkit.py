@@ -1,0 +1,187 @@
+"""Vectorized text kernels: coordinate extraction, language-ID, quality
+scoring, token counting, fingerprinting.
+
+These are the training-data-pipeline operators (BASELINE.json north_star:
+"geo-coordinates are extracted from page text/metadata with vectorized
+Arrow UDFs" + the dedup/text-analysis suite). Everything operates on
+pandas Series / numpy arrays — no per-row Python from Spark's perspective.
+
+Determinism invariant (BASELINE input_hint): extraction output is
+byte-identical per url across runs and parallelism levels — these kernels
+are pure functions of their input strings.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# --- coordinate extraction ---------------------------------------------------
+
+# formats injected by the synthetic generator (FIXTURES.md §1):
+#   geo:{lat:.5f},{lon:.5f}        e.g.  geo:45.63793,-111.02543
+#   lat {lat} lon {lon}            e.g.  lat 45.6379 lon -111.0254
+GEO_RE = re.compile(r"geo:(-?\d+\.\d+),(-?\d+\.\d+)")
+LATLON_RE = re.compile(r"lat (-?\d+(?:\.\d+)?) lon (-?\d+(?:\.\d+)?)")
+
+
+def extract_coords(texts: pd.Series) -> pd.DataFrame:
+    """All coordinate mentions per text, in document order.
+
+    Returns a DataFrame with columns (row, lat, lon, mention_idx) where
+    ``row`` indexes into the input Series positionally. Uses pandas
+    ``str.extractall`` (vectorized regex) per pattern, then merges in
+    match-position order so output order is deterministic.
+    """
+    s = texts.reset_index(drop=True).astype("string").fillna("")
+    frames = []
+    for pat in (GEO_RE, LATLON_RE):
+        m = s.str.extractall(pat)
+        if len(m):
+            m = m.reset_index()
+            m.columns = ["row", "match", "lat", "lon"]
+            # recover byte position for cross-pattern ordering
+            starts = []
+            for r, k in zip(m["row"].to_numpy(), m["match"].to_numpy()):
+                it = list(pat.finditer(s.iat[int(r)]))
+                starts.append(it[int(k)].start())
+            m["pos"] = starts
+            frames.append(m)
+    if not frames:
+        return pd.DataFrame({"row": pd.Series(dtype=np.int64), "lat": pd.Series(dtype=np.float64), "lon": pd.Series(dtype=np.float64), "mention_idx": pd.Series(dtype=np.int64)})
+    out = pd.concat(frames, ignore_index=True)
+    out["lat"] = out["lat"].astype(np.float64)
+    out["lon"] = out["lon"].astype(np.float64)
+    out = out.sort_values(["row", "pos"], kind="stable").reset_index(drop=True)
+    out["mention_idx"] = out.groupby("row").cumcount()
+    return out[["row", "lat", "lon", "mention_idx"]]
+
+
+# --- language id --------------------------------------------------------------
+
+# tiny deterministic marker-word model (n-gram heuristic class); the point is
+# the Spark plumbing + reproducibility, not linguistic accuracy
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is", "that", "for"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "de", "la", "que", "los", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+_WORD_RE = re.compile(r"[a-zA-Z一-鿿]+")
+
+
+def lang_scores(texts: pd.Series) -> pd.DataFrame:
+    """Marker-hit counts per language -> DataFrame[lang cols] + 'lang' argmax.
+
+    Ties break by fixed language order (en, fr, es, de, zh); zero hits
+    everywhere -> 'und'.
+    """
+    s = texts.reset_index(drop=True).astype("string").fillna("").str.lower()
+    cols = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = np.zeros(len(s), dtype=np.int64)
+        for w in markers:
+            if re.match(r"^[a-z]+$", w):
+                total += s.str.count(rf"\b{w}\b").to_numpy(dtype=np.int64)
+            else:
+                total += s.str.count(re.escape(w)).to_numpy(dtype=np.int64)
+        cols[lang] = total
+    df = pd.DataFrame(cols)
+    order = list(_LANG_MARKERS)
+    arr = df[order].to_numpy()
+    best = arr.argmax(axis=1)
+    lang = np.array(order, dtype=object)[best]
+    lang = np.where(arr.max(axis=1) == 0, "und", lang)
+    df["lang"] = lang
+    return df
+
+
+# --- quality scoring ----------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """length / punctuation ratio / stopword ratio / mean word length and a
+    composite [0,1] quality score. All ratios guarded for empty text."""
+    s = texts.reset_index(drop=True).astype("string").fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.float64)
+    n_punct = s.str.count(_PUNCT_RE.pattern).to_numpy(dtype=np.float64)
+    words = s.str.split()
+    n_words = words.map(len).to_numpy(dtype=np.float64)
+    total_word_len = words.map(lambda ws: sum(len(w) for w in ws)).to_numpy(dtype=np.float64)
+    n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS)).to_numpy(dtype=np.float64)
+    safe_words = np.maximum(n_words, 1.0)
+    safe_chars = np.maximum(n_chars, 1.0)
+    punct_ratio = n_punct / safe_chars
+    stop_ratio = n_stop / safe_words
+    mean_word_len = total_word_len / safe_words
+    # composite: long enough, some stopwords, not punctuation soup,
+    # plausible word lengths
+    score = (
+        np.clip(n_words / 50.0, 0, 1) * 0.4
+        + np.clip(stop_ratio / 0.4, 0, 1) * 0.3
+        + np.clip(1.0 - punct_ratio / 0.2, 0, 1) * 0.2
+        + np.clip(1.0 - np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.1
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars.astype(np.int64),
+            "n_words": n_words.astype(np.int64),
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "mean_word_len": mean_word_len,
+            "quality": score,
+        }
+    )
+
+
+# --- tokens -------------------------------------------------------------------
+
+# BPE-ish: words, numbers, or single non-space symbols
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def token_counts(texts: pd.Series) -> pd.DataFrame:
+    s = texts.reset_index(drop=True).astype("string").fillna("")
+    ws = s.str.split().map(len).to_numpy(dtype=np.int64)
+    bpe = s.str.count(_TOKEN_RE.pattern).to_numpy(dtype=np.int64)
+    return pd.DataFrame({"n_ws_tokens": ws, "n_bpe_tokens": bpe})
+
+
+# --- fingerprint ----------------------------------------------------------------
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64_bytes(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Deterministic 63-bit rolling document fingerprint over the
+    whitespace-normalized text (order-sensitive polynomial hash)."""
+    s = texts.reset_index(drop=True).astype("string").fillna("")
+    norm = s.str.split().str.join(" ")
+    out = np.empty(len(norm), dtype=np.int64)
+    for idx, t in enumerate(norm):
+        out[idx] = fnv1a64_bytes(t.encode("utf-8")) & 0x7FFFFFFFFFFFFFFF
+    return out
+
+
+def word_shingles(text: str, k: int) -> list[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]

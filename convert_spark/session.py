@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a correctness/bench proxy for a multi-executor cluster; the
+settings below are the ones that transfer (AQE, Arrow, shuffle partitions
+sized to cores, UTC timezone for oracle comparison).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    cores: int | None = None,
+    app_name: str = "convert_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` -> ``local[*]``. ``shuffle_partitions`` defaults to the
+    core count (local mode: the 200 default over-parallelizes small data and
+    under-parallelizes big data; at cluster scale this is set per-job).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores_str = env if env else "*"
+    else:
+        cores_str = str(cores)
+    n_parts = shuffle_partitions or (int(cores_str) if cores_str != "*" else (os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores_str}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

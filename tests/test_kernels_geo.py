@@ -1,0 +1,394 @@
+"""Unit tests for the pure-numpy geo kernels (no Spark)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from convert_spark.kernels import coords, delaunay, dem, geometrics, mercator, pip, quadkey, s2, strtree
+
+
+class TestRounding:
+    def test_half_away_from_zero(self):
+        # Go math.Round semantics at cm scale
+        assert mercator.round_half_away(0.005, 2) == 0.01
+        assert mercator.round_half_away(-0.005, 2) == -0.01
+        assert mercator.round_half_away(2.675, 2) == 2.68  # np.round gives 2.67
+        assert mercator.round_half_away(1.0049999, 2) == 1.0
+
+    def test_vectorized(self):
+        v = np.array([0.125, -0.125, 0.135])
+        np.testing.assert_allclose(mercator.round_half_away(v, 2), [0.13, -0.13, 0.14])
+
+
+class TestMercator:
+    def test_known_values(self):
+        # lon=0,lat=0 -> 0,0 ; lon=180 -> pi*R
+        x, y = mercator.to3857(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+        assert x[0] == 0.0 and y[0] == 0.0
+        assert abs(x[1] - mercator.round_half_away(math.pi * mercator.R_EARTH, 2)) < 1e-9
+
+    def test_hand_computed(self):
+        # (-111.02543, 45.63793) — the fixture extreme point (FIXTURES.md §3)
+        x, y = mercator.to3857(np.array([-111.02543]), np.array([45.63793]))
+        ex = 6378137.0 * math.radians(-111.02543)
+        ey = 6378137.0 * math.log(math.tan(math.pi / 4 + math.radians(45.63793) / 2))
+        assert x[0] == mercator.round_half_away(ex, 2)
+        assert y[0] == mercator.round_half_away(ey, 2)
+
+    def test_crs_inference_passthrough(self):
+        # already-3857 values pass through (cm-rounded)
+        x, y = mercator.to3857(np.array([1234567.891]), np.array([5678901.234]))
+        assert x[0] == 1234567.89 and y[0] == 5678901.23
+
+    def test_roundtrip(self):
+        # NOTE: points within ~0.0016 deg of (0,0) project to <180 m and the
+        # reference's value-range CRS inference then misreads them as degrees
+        # (convert.go:1258) — a faithful quirk, so avoid the ambiguous zone.
+        lon = np.array([-111.02543, 12.5, 179.9, -0.01])
+        lat = np.array([45.63793, -33.2, 80.0, 0.01])
+        mx, my = mercator.to3857(lon, lat)
+        lon2, lat2 = mercator.to4326(mx, my)
+        np.testing.assert_allclose(lon2, lon, atol=2e-4)
+        np.testing.assert_allclose(lat2, lat, atol=2e-4)
+
+    def test_to4326_passthrough_unrounded(self):
+        # in-degree-range values pass through WITHOUT rounding
+        x, y = mercator.to4326(np.array([12.3456789]), np.array([-45.987654321]))
+        assert x[0] == 12.3456789 and y[0] == -45.987654321
+
+    def test_zero_zero_stays(self):
+        x, y = mercator.to3857(np.array([0.0]), np.array([0.0]))
+        assert x[0] == 0.0 and y[0] == 0.0
+
+
+class TestCheckCoords:
+    def test_arity_and_fill(self):
+        x = np.array([10.0, np.nan, 20.0])
+        y = np.array([50.0, 5.0, 60.0])
+        z = np.array([0.0, 0.0, 123.0])
+        has_z = np.array([False, False, True])
+        px, py, pz, valid = coords.check_coords(x, y, z, has_z, elev_fn=dem.get_elev)
+        assert valid.tolist() == [True, False, True]
+        assert pz[2] == 123.0  # provided z kept
+        # missing z filled from the DEM at the projected location
+        expected = dem.get_elev(px[:1], py[:1])[0]
+        assert pz[0] == expected and np.isfinite(pz[0])
+
+    def test_parse_float_go(self):
+        out = coords.parse_float_go(["1.5", "abc", "", None, "-2"])
+        np.testing.assert_allclose(out, [1.5, 0.0, 0.0, 0.0, -2.0])
+
+    def test_elev_failure_becomes_zero(self):
+        def bad_elev(x, y):
+            return np.full(x.shape, np.nan)
+
+        px, py, pz, valid = coords.check_coords(
+            np.array([10.0]), np.array([50.0]), np.array([0.0]), np.array([False]), elev_fn=bad_elev
+        )
+        assert valid[0] and pz[0] == 0.0
+
+
+class TestDEM:
+    def test_bilinear_matches_surface_on_gridpoints(self):
+        # exact at grid nodes
+        lat = np.array([0.0, 45.25, -60.5])
+        lon = np.array([0.0, -110.25, 30.75])
+        np.testing.assert_allclose(dem.sample_latlon(lat, lon), dem.surface(lat, lon), rtol=1e-12)
+
+    def test_bilinear_close_off_grid(self):
+        lat = np.array([45.6379])
+        lon = np.array([-111.0254])
+        assert abs(dem.sample_latlon(lat, lon)[0] - dem.surface(lat, lon)[0]) < 1.0
+
+    def test_get_elev_via_3857(self):
+        mx, my = mercator.to3857(np.array([-111.0]), np.array([45.5]))
+        v = dem.get_elev(mx, my)
+        assert abs(v[0] - dem.surface(np.array([45.5]), np.array([-111.0]))[0]) < 1.0
+
+    def test_out_of_range_nan(self):
+        assert np.isnan(dem.sample_latlon(np.array([99.0]), np.array([0.0]))[0])
+
+
+class TestQuadkey:
+    def test_tile_known(self):
+        # (41.850, -87.650) z=3 -> tile (2, 2) -> digits 0,3,0
+        tx, ty = quadkey.latlon_to_tile(np.array([41.85]), np.array([-87.65]), 3)
+        assert (tx[0], ty[0]) == (2, 2)
+        c = quadkey.cell_id(np.array([41.85]), np.array([-87.65]), 3)
+        assert quadkey.quadkey_str(c) == ["030"]
+        # canonical Bing tile-system doc vector: tile (3, 5) level 3 -> "213"
+        c2 = quadkey.tile_to_cell(np.array([3]), np.array([3]), np.array([5]))
+        assert quadkey.quadkey_str(c2) == ["213"]
+
+    def test_roundtrip(self):
+        lat = np.array([41.85, -33.9, 0.0, 85.0])
+        lon = np.array([-87.65, 151.2, 0.0, 179.99])
+        for z in (1, 5, 12, 20):
+            c = quadkey.cell_id(lat, lon, z)
+            zz, tx, ty = quadkey.cell_to_tile(c)
+            assert (zz == z).all()
+            c2 = quadkey.tile_to_cell(zz, tx, ty)
+            np.testing.assert_array_equal(c, c2)
+
+    def test_parent_child(self):
+        c = quadkey.cell_id(np.array([41.85]), np.array([-87.65]), 10)
+        p = quadkey.parent(c)
+        assert quadkey.cell_zoom(p)[0] == 9
+        assert int(c[0]) in quadkey.children(int(p[0])).tolist()
+        # containment: parent of a point at z10 == cell of the point at z9
+        p_direct = quadkey.cell_id(np.array([41.85]), np.array([-87.65]), 9)
+        assert p[0] == p_direct[0]
+
+    def test_k_ring(self):
+        c = quadkey.cell_id(np.array([41.85]), np.array([-87.65]), 8)
+        origin, neigh = quadkey.k_ring(c, 1)
+        assert origin.size == 9  # interior cell: full 3x3
+        assert int(c[0]) in neigh.tolist()
+        assert len(set(neigh.tolist())) == 9
+        # pole clipping: y=0 row drops 3 neighbors
+        top = quadkey.tile_to_cell(np.array([8]), np.array([10]), np.array([0]))
+        _, neigh2 = quadkey.k_ring(top, 1)
+        assert neigh2.size == 6
+
+    def test_lon_wrap(self):
+        west = quadkey.tile_to_cell(np.array([4]), np.array([0]), np.array([7]))
+        _, neigh = quadkey.k_ring(west, 1)
+        zz, tx, ty = quadkey.cell_to_tile(neigh)
+        assert 15 in tx.tolist()  # wrapped to the east edge
+
+    def test_compact_uncompact(self):
+        base = quadkey.cell_id(np.array([41.85]), np.array([-87.65]), 6)
+        full = quadkey.uncompact(base, 9)  # 4^3 = 64 cells
+        assert full.size == 64
+        comp = quadkey.compact(full)
+        np.testing.assert_array_equal(comp, base)
+        # partial cover stays put
+        partial = full[:-1]
+        comp2 = quadkey.compact(partial)
+        assert comp2.size == 1 + 4 + 4 + 3 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 4 + 3 + 4 + 4 + 4 or comp2.size < 64
+
+    def test_cell_bounds_contains_point(self):
+        lat, lon = np.array([41.85]), np.array([-87.65])
+        c = quadkey.cell_id(lat, lon, 12)
+        s, n, w, e = quadkey.cell_bounds(c)
+        assert s[0] <= lat[0] <= n[0]
+        assert w[0] <= lon[0] <= e[0]
+
+    def test_sql_parity_form(self):
+        # the tile formula must match its ANSI-SQL re-statement used by oracles
+        lat, lon, z = 41.85, -87.65, 12
+        n = 1 << z
+        tx_sql = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+        lr = math.radians(lat)
+        ty_sql = min(max(int(math.floor((1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n)), 0), n - 1)
+        tx, ty = quadkey.latlon_to_tile(np.array([lat]), np.array([lon]), z)
+        assert (tx[0], ty[0]) == (tx_sql, ty_sql)
+
+
+class TestPIP:
+    UNIT = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]]
+
+    def test_basic(self):
+        px = np.array([5.0, 15.0, -1.0, 9.999])
+        py = np.array([5.0, 5.0, 5.0, 9.999])
+        got = pip.point_in_multipolygon(px, py, [self.UNIT])
+        assert got.tolist() == [True, False, False, True]
+
+    def test_doughnut_hole(self):
+        outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+        hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0]]
+        poly = [[outer, hole]]
+        px = np.array([5.0, 2.0, 4.5])
+        py = np.array([5.0, 2.0, 4.5])
+        got = pip.point_in_multipolygon(px, py, poly)
+        assert got.tolist() == [False, True, False]  # center is in the hole
+
+    def test_multi(self):
+        p1 = [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]]
+        p2 = [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0]]]
+        got = pip.point_in_multipolygon(np.array([0.5, 5.5, 3.0]), np.array([0.5, 5.5, 3.0]), [p1, p2])
+        assert got.tolist() == [True, True, False]
+
+    def test_columnar_matrix(self):
+        verts = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [20, 20], [30, 20], [30, 30], [20, 30]], dtype=float)
+        offs = np.array([0, 4, 8])
+        ring_poly = np.array([0, 1])
+        m = pip.points_in_rings(np.array([5.0, 25.0]), np.array([5.0, 25.0]), verts, offs, ring_poly, 2)
+        assert m.tolist() == [[True, False], [False, True]]
+
+    def test_rotation_invariance(self):
+        ring = np.array(self.UNIT[0])
+        px, py = np.array([5.0, 10.5]), np.array([5.0, 3.0])
+        base = pip.point_in_multipolygon(px, py, [[ring.tolist()]])
+        for k in range(1, 4):
+            rot = np.roll(ring, k, axis=0)
+            got = pip.point_in_multipolygon(px, py, [[rot.tolist()]])
+            assert got.tolist() == base.tolist()
+
+
+class TestSTRtree:
+    def test_candidates_superset_of_exact(self):
+        rng = np.random.RandomState(0)
+        boxes = np.empty((200, 4))
+        mins = rng.uniform(0, 100, size=(200, 2))
+        sizes = rng.uniform(0.5, 5, size=(200, 2))
+        boxes[:, :2] = mins
+        boxes[:, 2:] = mins + sizes
+        tree = strtree.STRtree(boxes)
+        px = rng.uniform(0, 100, 500)
+        py = rng.uniform(0, 100, 500)
+        qi, ii = tree.query_points(px, py)
+        got = set(zip(qi.tolist(), ii.tolist()))
+        expect = set()
+        for q in range(500):
+            inside = np.where(
+                (boxes[:, 0] <= px[q]) & (boxes[:, 2] >= px[q]) & (boxes[:, 1] <= py[q]) & (boxes[:, 3] >= py[q])
+            )[0]
+            for i in inside:
+                expect.add((q, int(i)))
+        assert got == expect
+
+    def test_empty_and_single(self):
+        t0 = strtree.STRtree(np.empty((0, 4)))
+        qi, ii = t0.query_points(np.array([1.0]), np.array([1.0]))
+        assert qi.size == 0
+        t1 = strtree.STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
+        qi, ii = t1.query_points(np.array([0.5, 2.0]), np.array([0.5, 2.0]))
+        assert list(zip(qi.tolist(), ii.tolist())) == [(0, 0)]
+
+
+class TestGeometrics:
+    def test_triangle_centroid(self):
+        tri = np.array([[[0.0, 0.0], [6.0, 0.0], [0.0, 6.0]]])
+        np.testing.assert_allclose(geometrics.triangle_centroids(tri)[0], [2.0, 2.0])
+
+    def test_perimeter(self):
+        tri = np.array([[[0.0, 0.0], [3.0, 0.0], [0.0, 4.0]]])
+        assert geometrics.triangle_perimeters(tri)[0] == 12.0
+
+    def test_ring_area(self):
+        sq = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+        assert geometrics.ring_area(sq) == 100.0
+
+
+class TestDelaunay:
+    def test_square(self):
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        tris = delaunay.triangulate(pts)
+        assert tris.shape == (2, 3)
+        # total area = 0.5 (x2)
+        area = sum(abs(geometrics.ring_area(pts[t])) for t in tris)
+        assert abs(area - 1.0) < 1e-12
+
+    def test_delaunay_property(self):
+        rng = np.random.RandomState(7)
+        pts = rng.uniform(0, 100, size=(40, 2))
+        tris = delaunay.triangulate(pts)
+        # empty-circumcircle property for every triangle vs every point
+        for t in tris:
+            a, b, c = pts[t]
+            ax, ay = a
+            d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1]) + c[0] * (a[1] - b[1]))
+            ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1]) + (c @ c) * (a[1] - b[1])) / d
+            uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0]) + (c @ c) * (b[0] - a[0])) / d
+            r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+            dist2 = (pts[:, 0] - ux) ** 2 + (pts[:, 1] - uy) ** 2
+            inside = dist2 < r2 - 1e-6 * r2
+            inside[t] = False
+            assert not inside.any()
+
+    def test_area_covers_hull(self):
+        rng = np.random.RandomState(3)
+        pts = rng.uniform(0, 10, size=(25, 2))
+        tris = delaunay.triangulate(pts)
+        total = sum(abs(geometrics.ring_area(pts[t])) for t in tris)
+        assert total > 0
+
+    def test_degenerate_raises(self):
+        with pytest.raises(ValueError):
+            delaunay.triangulate(np.array([[0.0, 0.0], [1.0, 1.0]]))
+        with pytest.raises(ValueError):
+            delaunay.triangulate(np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]))
+
+    def test_duplicates_tolerated(self):
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [1.0, 1.0], [0.0, 1.0]])
+        tris = delaunay.triangulate(pts)
+        assert tris.shape[1] == 3 and tris.max() < 5
+
+    def test_deterministic(self):
+        rng = np.random.RandomState(11)
+        pts = rng.uniform(0, 1, size=(30, 2))
+        t1 = delaunay.triangulate(pts)
+        t2 = delaunay.triangulate(pts.copy())
+        np.testing.assert_array_equal(t1, t2)
+
+
+class TestS2:
+    def test_token_roundtrip_shape(self):
+        cid = s2.cellid_from_latlng(np.array([45.0]), np.array([-111.0]))[0]
+        t = s2.token(cid)
+        assert 1 <= len(t) <= 16
+        assert int(t.ljust(16, "0"), 16) == int(cid)
+
+    def test_leaf_level(self):
+        cid = s2.cellid_from_latlng(np.array([45.0]), np.array([-111.0]))
+        assert s2.level_of(cid)[0] == 30
+
+    def test_parent_contains_child(self):
+        cid = s2.cellid_from_latlng(np.array([45.0]), np.array([-111.0]))
+        for lvl in (0, 5, 12, 29):
+            p = s2.parent_at(cid, lvl)
+            assert s2.level_of(p)[0] == lvl
+            # child id lies within parent's [rangeMin, rangeMax]
+            lsb_p = int(s2.lsb(p)[0])
+            lo = int(p[0]) - lsb_p + 1
+            hi = int(p[0]) + lsb_p - 1
+            assert lo <= int(cid[0]) <= hi
+
+    def test_nearby_points_share_parent(self):
+        a = s2.cellid_from_latlng(np.array([45.0]), np.array([-111.0]))
+        b = s2.cellid_from_latlng(np.array([45.0001]), np.array([-111.0001]))
+        assert int(s2.parent_at(a, 10)[0]) == int(s2.parent_at(b, 10)[0])
+        far = s2.cellid_from_latlng(np.array([-20.0]), np.array([60.0]))
+        assert int(s2.parent_at(a, 5)[0]) != int(s2.parent_at(far, 5)[0])
+
+    def test_face_centers(self):
+        # face centers map to face cells: (0,0) is on face 0
+        cid = s2.cellid_from_latlng(np.array([0.0]), np.array([0.0]))
+        assert int(cid[0]) >> s2.POS_BITS == 0
+        # (0, 90) -> face 1; north pole -> face 2
+        assert int(s2.cellid_from_latlng(np.array([0.0]), np.array([90.0]))[0]) >> s2.POS_BITS == 1
+        assert int(s2.cellid_from_latlng(np.array([90.0]), np.array([0.0]))[0]) >> s2.POS_BITS == 2
+
+    def test_face_ij_roundtrip(self):
+        cid = int(s2.cellid_from_latlng(np.array([41.85]), np.array([-87.65]))[0])
+        f, i, j = s2.face_ij_of(cid)
+        back = int(s2.cellid_from_face_ij(np.array([f]), np.array([i]), np.array([j]))[0])
+        assert back == cid
+
+    def test_vertex_neighbors(self):
+        cid = int(s2.cellid_from_latlng(np.array([41.85]), np.array([-87.65]))[0])
+        vn = s2.vertex_neighbors(cid, 10)
+        assert len(vn) in (3, 4)
+        assert len(set(vn)) == len(vn)
+        for v in vn:
+            assert s2.level_of(np.array([v], dtype=np.uint64))[0] == 10
+        # the cell's own ancestor is among them
+        assert int(s2.parent_at(np.array([cid], dtype=np.uint64), 10)[0]) in vn
+
+    def test_covering_quirk(self):
+        from convert_spark.kernels import dem as demk
+
+        # small bbox near Bozeman in 3857
+        mx, my = mercator.to3857(np.array([-111.1, -110.9]), np.array([45.6, 45.7]))
+        toks = s2.s2covering_tokens(mx[0], my[0], mx[1], my[1], demk.get_elev)
+        assert 1 <= len(toks) <= 6
+        for t in toks:
+            assert 1 <= len(t) <= 8
+        # deterministic
+        assert toks == s2.s2covering_tokens(mx[0], my[0], mx[1], my[1], demk.get_elev)
+
+    def test_covering_empty_bbox(self):
+        assert s2.s2covering_tokens(0.0, 0.0, 0.0, 0.0, lambda x, y: np.zeros_like(x)) == []

@@ -1,0 +1,120 @@
+"""Unit tests for the text/sketch kernels (no Spark)."""
+
+import numpy as np
+import pandas as pd
+
+from convert_spark.kernels import sketches, textkit
+
+
+class TestExtractCoords:
+    def test_both_formats_ordered(self):
+        s = pd.Series(
+            [
+                "intro geo:45.63793,-111.02543 middle lat 12.5 lon -33.25 end",
+                "no coords here",
+                "lat 1.5 lon 2.5 then geo:3.00000,4.00000",
+            ]
+        )
+        out = textkit.extract_coords(s)
+        assert out[out.row == 1].empty
+        r0 = out[out.row == 0].reset_index(drop=True)
+        assert r0.loc[0, ["lat", "lon"]].tolist() == [45.63793, -111.02543]
+        assert r0.loc[1, ["lat", "lon"]].tolist() == [12.5, -33.25]
+        r2 = out[out.row == 2].reset_index(drop=True)
+        # document order across patterns: the "lat lon" mention comes first
+        assert r2.loc[0, ["lat", "lon"]].tolist() == [1.5, 2.5]
+        assert r2.loc[1, ["lat", "lon"]].tolist() == [3.0, 4.0]
+        assert r2["mention_idx"].tolist() == [0, 1]
+
+    def test_deterministic_and_empty(self):
+        s = pd.Series(["geo:1.00000,2.00000", None, ""])
+        a = textkit.extract_coords(s)
+        b = textkit.extract_coords(s)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 1
+
+
+class TestLang:
+    def test_basic(self):
+        s = pd.Series(
+            [
+                "the cat and the dog of the house",
+                "le chat et la maison est une belle que les",
+                "el perro de la casa que los gatos",
+                "der hund und die katze ist ein nicht das",
+                "xyzzy plugh",
+            ]
+        )
+        out = textkit.lang_scores(s)
+        assert out["lang"].tolist() == ["en", "fr", "es", "de", "und"]
+
+
+class TestQuality:
+    def test_features(self):
+        s = pd.Series(["the quick brown fox jumps over the lazy dog", "", "!!! ??? ..."])
+        q = textkit.quality_features(s)
+        assert q.loc[0, "n_words"] == 9
+        assert q.loc[0, "quality"] > q.loc[2, "quality"]
+        assert q.loc[1, "n_chars"] == 0 and np.isfinite(q.loc[1, "quality"])
+
+
+class TestTokens:
+    def test_counts(self):
+        s = pd.Series(["hello world, it's 42!"])
+        t = textkit.token_counts(s)
+        assert t.loc[0, "n_ws_tokens"] == 4
+        # hello / world / , / it / ' / s / 42 / !
+        assert t.loc[0, "n_bpe_tokens"] == 8
+
+
+class TestFingerprint:
+    def test_whitespace_normalized(self):
+        a = textkit.fingerprint64(pd.Series(["hello   world"]))
+        b = textkit.fingerprint64(pd.Series(["hello world"]))
+        c = textkit.fingerprint64(pd.Series(["hello worlds"]))
+        assert a[0] == b[0] != c[0]
+        assert a[0] >= 0
+
+    def test_fnv_vector(self):
+        # published FNV-1a 64 test vector
+        assert textkit.fnv1a64_bytes(b"") == 0xCBF29CE484222325
+        assert textkit.fnv1a64_bytes(b"a") == 0xAF63DC4C8601EC8C
+
+
+class TestMinHash:
+    def test_similarity_monotone(self):
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        near = base.replace("lazy", "sleepy")
+        far = "completely different words appear in this other document " * 10
+        s_base = sketches.minhash_signature(base)
+        s_near = sketches.minhash_signature(near)
+        s_far = sketches.minhash_signature(far)
+        sim_near = sketches.jaccard_from_signatures(s_base, s_near)
+        sim_far = sketches.jaccard_from_signatures(s_base, s_far)
+        assert sim_near > 0.5 > sim_far
+
+    def test_batch_matches_single(self):
+        texts = pd.Series(["alpha beta gamma delta epsilon zeta", "one two three four five six"])
+        batch = sketches.minhash_signatures(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], sketches.minhash_signature(t))
+
+    def test_lsh_identical_docs_collide(self):
+        s1 = sketches.minhash_signature("a b c d e f g h i j k")
+        k1 = sketches.lsh_band_keys(s1)
+        k2 = sketches.lsh_band_keys(sketches.minhash_signature("a b c d e f g h i j k"))
+        assert k1 == k2 and len(k1) == 16
+
+
+class TestSimHash:
+    def test_near_duplicates_close(self):
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        near = base.replace("dog", "cat")
+        far = "orthogonal vocabulary entirely disjoint tokens " * 5
+        h = sketches.simhash64(pd.Series([base, near, far]))
+        d_near = sketches.hamming64(np.array([h[0]]), np.array([h[1]]))[0]
+        d_far = sketches.hamming64(np.array([h[0]]), np.array([h[2]]))[0]
+        assert d_near < d_far
+
+    def test_empty(self):
+        assert sketches.simhash64(pd.Series([""]))[0] == 0

@@ -1,0 +1,135 @@
+"""Catalyst column expressions for the geo hot path — no Python UDFs.
+
+Everything here compiles to JVM whole-stage codegen; the same formulas are
+re-stated in ANSI SQL by ``oracle_fragments`` so the DuckDB oracle can
+verify tile assignment and projection end-to-end (SURVEY.md §5.3).
+
+Parity: kernels.mercator / kernels.quadkey implement the identical math in
+numpy; tests/test_spark_geo.py asserts expression == kernel on random data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+R_EARTH = 6378137.0
+LAT_MIN = -85.05112878
+LAT_MAX = 85.05112878
+
+
+def round_half_away(col: Column, decimals: int) -> Column:
+    """Go math.Round parity (half away from zero) at ``decimals``."""
+    scale = float(10**decimals)
+    return F.signum(col) * F.floor(F.abs(col) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def is_degrees(x: Column, y: Column) -> Column:
+    """Value-range CRS inference (convert.go:1258, 1270)."""
+    return (F.abs(x) <= 180.0) & (F.abs(y) <= 180.0)
+
+
+def to3857_x(x: Column, y: Column) -> Column:
+    mx = F.lit(R_EARTH) * F.radians(x)
+    return round_half_away(F.when(is_degrees(x, y), mx).otherwise(x), 2)
+
+
+def to3857_y(x: Column, y: Column) -> Column:
+    import math
+
+    my = F.lit(R_EARTH) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(y) / F.lit(2.0)))
+    return round_half_away(F.when(is_degrees(x, y), my).otherwise(y), 2)
+
+
+def to4326_lon(x: Column, y: Column) -> Column:
+    lon = F.degrees(x / F.lit(R_EARTH))
+    return F.when(is_degrees(x, y), x).otherwise(round_half_away(lon, 4))
+
+
+def to4326_lat(x: Column, y: Column) -> Column:
+    import math
+
+    lat = F.degrees(F.lit(2.0) * F.atan(F.exp(y / F.lit(R_EARTH))) - F.lit(math.pi / 2.0))
+    return F.when(is_degrees(x, y), y).otherwise(round_half_away(lat, 4))
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    n = 1 << zoom
+    lon_c = F.greatest(F.least(lon, F.lit(180.0)), F.lit(-180.0))
+    t = F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    return F.greatest(F.least(t, F.lit(n - 1)), F.lit(0))
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    import math
+
+    n = 1 << zoom
+    lat_c = F.greatest(F.least(lat, F.lit(LAT_MAX)), F.lit(LAT_MIN))
+    lr = F.radians(lat_c)
+    merc = F.log(F.tan(lr) + F.lit(1.0) / F.cos(lr))
+    t = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(n))).cast("long")
+    return F.greatest(F.least(t, F.lit(n - 1)), F.lit(0))
+
+
+def _spread_bits16(c: Column) -> Column:
+    """Interleave-ready bit spread (x -> bits at even positions) for values
+    < 2^16 — four shift/mask rounds, classic Morton magic numbers."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def morton_cell(tx: Column, ty: Column, zoom: int) -> Column:
+    """Zoom-prefixed Morton cell id — matches kernels.quadkey.cell_id.
+
+    Supported for zoom <= 16 (join/rollup range; the numpy kernel goes to
+    26 for fine-grained work).
+    """
+    if zoom > 16:
+        raise ValueError("expression morton_cell supports zoom <= 16")
+    return F.lit(1 << (2 * zoom)).cast("long") + _spread_bits16(tx) + F.shiftleft(_spread_bits16(ty), 1)
+
+
+def cell_of(lat: Column, lon: Column, zoom: int) -> Column:
+    return morton_cell(tile_x(lon, zoom), tile_y(lat, zoom), zoom)
+
+
+def cell_parent(cell: Column, steps: int = 1) -> Column:
+    return F.shiftright(cell, 2 * steps)
+
+
+# --- ANSI-SQL restatements for the DuckDB oracle -----------------------------
+
+
+def sql_tile_x(lon_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (
+        f"greatest(least(cast(floor((greatest(least({lon_expr}, 180.0), -180.0) + 180.0)"
+        f" / 360.0 * {n}) as bigint), {n - 1}), 0)"
+    )
+
+
+def sql_tile_y(lat_expr: str, zoom: int) -> str:
+    n = 1 << zoom
+    lat_c = f"greatest(least({lat_expr}, {LAT_MAX}), {LAT_MIN})"
+    merc = f"ln(tan(radians({lat_c})) + 1.0/cos(radians({lat_c})))"
+    return f"greatest(least(cast(floor((1.0 - {merc}/pi()) / 2.0 * {n}) as bigint), {n - 1}), 0)"
+
+
+def sql_round_half_away(expr: str, decimals: int) -> str:
+    scale = float(10**decimals)
+    return f"(sign({expr}) * floor(abs({expr}) * {scale} + 0.5) / {scale})"
+
+
+def sql_to3857_x(x: str, y: str) -> str:
+    deg = f"(abs({x}) <= 180.0 and abs({y}) <= 180.0)"
+    mx = f"({R_EARTH} * radians({x}))"
+    return sql_round_half_away(f"(case when {deg} then {mx} else {x} end)", 2)
+
+
+def sql_to3857_y(x: str, y: str) -> str:
+    deg = f"(abs({x}) <= 180.0 and abs({y}) <= 180.0)"
+    my = f"({R_EARTH} * ln(tan(pi()/4.0 + radians({y})/2.0)))"
+    return sql_round_half_away(f"(case when {deg} then {my} else {y} end)", 2)

@@ -1,0 +1,107 @@
+"""Vectorized pandas/Arrow UDFs wrapping the numpy kernels.
+
+Only for semantics Catalyst expressions can't reach: DEM raster lookup
+(broadcast grid), S2 covering (cell-id bit math), text coordinate
+extraction, sketches. Everything is Arrow-batched — no per-row Python
+(BASELINE input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import dem as dem_kernel
+from ..kernels import s2 as s2_kernel
+from ..kernels import sketches as sk
+from ..kernels import textkit
+
+
+@F.pandas_udf(T.DoubleType())
+def elev_3857(x: pd.Series, y: pd.Series) -> pd.Series:
+    """GetElev parity: EPSG:3857 -> DEM elevation (NaN -> 0.0 fill happens
+    at the call sites that need it, matching convert.go:1214-1216).
+
+    The DEM grid is built lazily once per executor process (module global
+    in kernels.dem) — equivalent to a broadcast variable for this ~4 MB
+    raster, without re-pickling per task.
+    """
+    v = dem_kernel.get_elev(x.to_numpy(np.float64), y.to_numpy(np.float64))
+    return pd.Series(v)
+
+
+@F.pandas_udf(T.DoubleType())
+def elev_3857_or_zero(x: pd.Series, y: pd.Series) -> pd.Series:
+    v = dem_kernel.get_elev(x.to_numpy(np.float64), y.to_numpy(np.float64))
+    return pd.Series(np.where(np.isnan(v), 0.0, v))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def s2_covering(lx: pd.Series, ly: pd.Series, rx: pd.Series, uy: pd.Series) -> pd.Series:
+    """Per-dataset bbox -> quirky 8-char S2 covering tokens
+    (convert.go:1151-1192). Runs on one row per dataset/tile — tiny."""
+    out = []
+    for a, b, c, d in zip(lx, ly, rx, uy):
+        out.append(s2_kernel.s2covering_tokens(float(a), float(b), float(c), float(d), dem_kernel.get_elev))
+    return pd.Series(out)
+
+
+MENTIONS_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, page_id long, "
+    "mention_idx int, lat double, lon double"
+)
+
+
+def extract_mentions_map(batches):
+    """mapInPandas stage: pages -> one row per coordinate mention.
+
+    Extraction is a pure function of ``text`` (kernels.textkit) so output
+    is byte-identical per url across runs/parallelism — the BASELINE
+    invariant. Pages without mentions produce no rows.
+    """
+    for pdf in batches:
+        m = textkit.extract_coords(pdf["text"])
+        if m.empty:
+            continue
+        rows = m["row"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy()[rows],
+                "warc_ts": pdf["warc_ts"].to_numpy()[rows],
+                "lang": pdf["lang"].to_numpy()[rows],
+                "page_id": pdf["page_id"].to_numpy()[rows],
+                "mention_idx": m["mention_idx"].astype("int32"),
+                "lat": m["lat"],
+                "lon": m["lon"],
+            }
+        )
+        yield out
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    return pd.Series(sk.simhash64(text))
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint64(text: pd.Series) -> pd.Series:
+    return pd.Series(textkit.fingerprint64(text))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig(text: pd.Series) -> pd.Series:
+    sigs = sk.minhash_signatures(text)
+    return pd.Series(list(sigs))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def lsh_keys(text: pd.Series) -> pd.Series:
+    sigs = sk.minhash_signatures(text)
+    return pd.Series([sk.lsh_band_keys(s) for s in sigs])
+
+
+@F.pandas_udf(T.StringType())
+def lang_guess(text: pd.Series) -> pd.Series:
+    return pd.Series(textkit.lang_scores(text)["lang"])

@@ -1,0 +1,100 @@
+"""Extraction + normalization stages (SURVEY.md §2.2 P1-P8, §2.3 F1).
+
+``extract_mentions`` is the engine's entry stage per BASELINE north_star:
+coordinates out of page text via a vectorized Arrow UDF. ``normalize``
+projects to EPSG:3857 with the reference's exact rounding/CRS-inference
+semantics — entirely in Catalyst expressions (whole-stage codegen), with
+the DEM z-fill as the only Arrow hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import exprs, udfs
+
+
+def extract_mentions(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang, page_id) -> one row per
+    coordinate mention (url, warc_ts, lang, page_id, mention_idx, lat, lon).
+
+    Selects only the needed columns FIRST so the parquet/Iceberg scan
+    prunes ``html`` (the wide binary column) — check ReadSchema in explain.
+    """
+    slim = pages.select("url", "warc_ts", "lang", "page_id", "text")
+    return slim.mapInPandas(udfs.extract_mentions_map, schema=udfs.MENTIONS_SCHEMA)
+
+
+def normalize_points(
+    df: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    z_col: str | None = None,
+    fill_z_from_dem: bool = True,
+) -> DataFrame:
+    """CheckCoords semantics (convert.go:1200-1230) as a DataFrame stage:
+
+    * rows with NULL/NaN x or y are dropped (F1, convert.go:574-581),
+    * x,y projected to 3857 (cm-rounded, CRS-inferred),
+    * z kept if provided, else DEM-filled (NaN lookup -> 0.0).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    valid = x.isNotNull() & y.isNotNull() & ~F.isnan(x) & ~F.isnan(y)
+    out = (
+        df.filter(valid)
+        .withColumn("x", exprs.to3857_x(x, y))
+        .withColumn("y", exprs.to3857_y(x, y))
+    )
+    if z_col is not None:
+        z = F.col(z_col).cast("double")
+        out = out.withColumn("z", F.coalesce(z, F.lit(0.0)))
+    elif fill_z_from_dem:
+        out = out.withColumn("z", udfs.elev_3857_or_zero(F.col("x"), F.col("y")))
+    else:
+        out = out.withColumn("z", F.lit(0.0))
+    return out
+
+
+def parse_double_go(col_name: str) -> F.Column:
+    """Go strconv.ParseFloat-error-ignored parity: bad strings -> 0.0,
+    not NULL (convert.go:557-564)."""
+    return F.coalesce(F.col(col_name).cast("double"), F.lit(0.0))
+
+
+# --- attribute cleaning (F2/F3, convert.go:806-829) --------------------------
+
+SPECIAL_NAME_KEYS = ("name",)
+SPECIAL_STYLE_KEYS = ("styletype",)
+SPECIAL_ID_KEYS = ("id", "fid", "osm_id", "uid", "uuid")
+DROPPED_KEYS = ("tags", "way", "geomz")
+
+
+def clean_attributes(df: DataFrame, attrs_col: str = "attrs") -> DataFrame:
+    """Falsy-value drop + special-key routing on a map<string,string> column.
+
+    * values NULL, '', '0' are removed (F2; numeric 0 stringifies to '0'
+      first, convert.go:806-810),
+    * 'name' -> feature Name, 'styletype' -> StyleType, id-ish keys -> ID,
+      'tags'/'way'/'geomz' dropped, the rest stay attributes (F3,
+      convert.go:813-829).
+    """
+    a = F.col(attrs_col)
+    lowered = F.map_from_arrays(
+        F.transform(F.map_keys(a), lambda k: F.lower(k)), F.map_values(a)
+    )
+    name = F.element_at(lowered, "name")
+    style = F.element_at(lowered, "styletype")
+    fid = F.coalesce(*[F.element_at(lowered, k) for k in SPECIAL_ID_KEYS])
+    routed = list(SPECIAL_NAME_KEYS + SPECIAL_STYLE_KEYS + SPECIAL_ID_KEYS + DROPPED_KEYS)
+    cleaned = F.map_filter(
+        lowered,
+        lambda k, v: v.isNotNull() & (v != "") & (v != "0") & ~k.isin(routed),
+    )
+    return (
+        df.withColumn("feature_name", name)
+        .withColumn("style_type", style)
+        .withColumn("feature_id", fid)
+        .withColumn("attributes", cleaned)
+    )

@@ -1,0 +1,211 @@
+"""Distributed spatial joins (SURVEY.md §2.5).
+
+The reference's only join-like computation is scalar point-in-multipolygon
+(convert.go:763, 1011); these operators are its cluster-scale
+generalizations per BASELINE north_star:
+
+* ``pip_join`` — broadcast STRtree + exact ray-casting PIP,
+* ``tile_join`` — plain cell-id equi-join (tile assignment),
+* ``knn_join`` — cell-ring expansion + window top-k,
+* ``salted_tile_join`` — explicit hot-cell salting for skew.
+
+Scale notes (100 TB thinking):
+* the polygon layer is the SMALL side by construction (admin boundaries /
+  tile schemes are << points); it is STRtree-indexed once on the driver
+  and broadcast — the points side never shuffles for pip_join.
+* ``knn_join`` shuffles only candidate pairs found via ring cells, never
+  the cross product; ring radius doubles per round so the number of
+  shuffle rounds is logarithmic in the distance to the k-th neighbor.
+* skew: dense urban cells are salted explicitly (north_rule) — AQE skew
+  split remains on as a backstop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..kernels import pip as pip_kernel
+from ..kernels import strtree as strtree_kernel
+
+
+def _polygon_index(polygons_pdf: pd.DataFrame):
+    """Driver-side build: columnar ring encoding + STRtree over poly bboxes.
+
+    polygons_pdf columns: poly_id, rings ([ring][vertex][lon,lat]).
+    """
+    verts = []
+    ring_offsets = [0]
+    ring_poly = []
+    boxes = np.empty((len(polygons_pdf), 4), dtype=np.float64)
+    for i, (pid, rings) in enumerate(zip(polygons_pdf["poly_id"], polygons_pdf["rings"])):
+        minx = miny = np.inf
+        maxx = maxy = -np.inf
+        for ring in rings:
+            arr = np.asarray(ring, dtype=np.float64)[:, :2]
+            verts.append(arr)
+            ring_offsets.append(ring_offsets[-1] + arr.shape[0])
+            ring_poly.append(i)
+            minx = min(minx, arr[:, 0].min())
+            maxx = max(maxx, arr[:, 0].max())
+            miny = min(miny, arr[:, 1].min())
+            maxy = max(maxy, arr[:, 1].max())
+        boxes[i] = (minx, miny, maxx, maxy)
+    payload = {
+        "vertices": np.vstack(verts),
+        "ring_offsets": np.asarray(ring_offsets, dtype=np.int64),
+        "ring_poly": np.asarray(ring_poly, dtype=np.int64),
+        "poly_ids": polygons_pdf["poly_id"].to_numpy(np.int64),
+        "tree": strtree_kernel.STRtree(boxes),
+        "n_polys": len(polygons_pdf),
+    }
+    return payload
+
+
+def pip_join(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast spatial join: each point row gains ``poly_id`` for every
+    polygon containing it (inner) or NULL if none (left).
+
+    Physical plan: no shuffle at all — the polygon STRtree is broadcast via
+    SparkContext.broadcast; each Arrow batch does bbox-candidate lookup
+    (tree) then exact even-odd ray casting (pip kernel). The points side
+    keeps its partitioning.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast(_polygon_index(polygons_pdf))
+    out_schema = StructType(list(points.schema.fields) + [StructField("poly_id", LongType(), True)])
+    cols = [f.name for f in points.schema.fields]
+    keep_unmatched = how == "left"
+
+    def run(batches):
+        idx = bc.value
+        tree: strtree_kernel.STRtree = idx["tree"]
+        for pdf in batches:
+            px = pdf[lon_col].to_numpy(np.float64)
+            py = pdf[lat_col].to_numpy(np.float64)
+            qi, ii = tree.query_points(px, py)
+            if qi.size:
+                inside = np.zeros(qi.size, dtype=bool)
+                # exact refine per candidate polygon, batched by polygon
+                for poly in np.unique(ii):
+                    sel = ii == poly
+                    rings_mask = idx["ring_poly"] == poly
+                    ring_ids = np.where(rings_mask)[0]
+                    crossings = np.zeros(sel.sum(), dtype=np.int64)
+                    for r in ring_ids:
+                        ring = idx["vertices"][idx["ring_offsets"][r] : idx["ring_offsets"][r + 1]]
+                        ring = pip_kernel._close_ring(ring)
+                        if ring.shape[0] < 4:
+                            continue
+                        crossings += pip_kernel.ring_crossings(px[qi[sel]], py[qi[sel]], ring)
+                    inside[sel] = (crossings & 1).astype(bool)
+                qi, ii = qi[inside], ii[inside]
+            matched = pdf.iloc[qi][cols].reset_index(drop=True)
+            matched["poly_id"] = idx["poly_ids"][ii]
+            if keep_unmatched:
+                miss = np.setdiff1d(np.arange(len(pdf)), qi)
+                un = pdf.iloc[miss][cols].reset_index(drop=True)
+                un["poly_id"] = pd.array([None] * len(un), dtype="Int64")
+                matched = pd.concat([matched, un], ignore_index=True)
+            yield matched
+
+    return points.mapInPandas(run, schema=out_schema)
+
+
+def tile_join(points: DataFrame, tiles: DataFrame, on: list[str] | None = None, broadcast_tiles: bool = True) -> DataFrame:
+    """Tile-assignment equi-join on cell id (the BASELINE headline join).
+
+    The tile dimension is broadcast when small; otherwise a plain shuffled
+    hash join on the cell key (AQE handles residual skew)."""
+    keys = on or ["zoom", "cell_id"]
+    right = F.broadcast(tiles) if broadcast_tiles else tiles
+    return points.join(right, keys, "inner")
+
+
+def salted_tile_join(
+    points: DataFrame,
+    tiles: DataFrame,
+    n_salt: int = 8,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe variant (north_rule: hot cells salted explicitly).
+
+    Points get ``salt = pmod(hash(monotonic row fingerprint), n_salt)``;
+    the tile side is replicated n_salt times so the join key
+    (cell, salt) spreads each hot cell over n_salt reducers.
+    """
+    keys = on or ["zoom", "cell_id"]
+    salted_points = points.withColumn(
+        "salt", F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    salt_values = points.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    salted_tiles = tiles.crossJoin(F.broadcast(salt_values))
+    return salted_points.join(salted_tiles, keys + ["salt"], "inner").drop("salt")
+
+
+def knn_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    zoom: int = 6,
+    ring: int = 2,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+) -> DataFrame:
+    """Ring-bounded kNN join: top-k nearest refs among candidates whose
+    tile lies within Chebyshev distance ``ring`` of the query's tile at
+    ``zoom`` (cell-ring expansion per SURVEY.md §2.5).
+
+    Contract (oracle-checkable): the candidate set is defined by the ring
+    predicate, so the result is exact *within the ring bound* — the DuckDB
+    oracle re-states the identical tile + ring predicate in SQL. Distance
+    is planar-equirectangular on (lat, lon) degrees, ties broken by ref id.
+
+    Scale path: queries explode into (2*ring+1)^2 ring cells (a broadcast
+    of a tiny offsets table, no UDF) and equi-join refs on the ring cell —
+    the cross product never materializes, and the shuffle key is the cell
+    id. At 100 TB, run zoom high enough that a cell holds O(k) refs and
+    iterate ring doubling for stragglers instead of one wide ring.
+    """
+    from ..functions import exprs
+
+    n = 1 << zoom
+    q = (
+        queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+        .withColumn("q_tx", exprs.tile_x(F.col("q_lon"), zoom))
+        .withColumn("q_ty", exprs.tile_y(F.col("q_lat"), zoom))
+    )
+    r = (
+        refs.select(ref_id, F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon"))
+        .withColumn("r_tx", exprs.tile_x(F.col("r_lon"), zoom))
+        .withColumn("r_ty", exprs.tile_y(F.col("r_lat"), zoom))
+        .withColumn("r_cell", exprs.morton_cell(F.col("r_tx"), F.col("r_ty"), zoom))
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+    off = queries.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    qq = (
+        q.crossJoin(F.broadcast(off))
+        .withColumn("n_tx", F.pmod(F.col("q_tx") + F.col("dx"), F.lit(n)))
+        .withColumn("n_ty", F.col("q_ty") + F.col("dy"))
+        .filter((F.col("n_ty") >= 0) & (F.col("n_ty") < n))
+        .withColumn("r_cell", exprs.morton_cell(F.col("n_tx"), F.col("n_ty"), zoom))
+        .select(query_id, "q_lat", "q_lon", "r_cell")
+    )
+    cand = qq.join(r, "r_cell", "inner")
+    dist = F.sqrt((F.col("q_lat") - F.col("r_lat")) ** 2 + (F.col("q_lon") - F.col("r_lon")) ** 2)
+    ranked = cand.withColumn("dist", dist).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())),
+    )
+    return ranked.filter(F.col("rn") <= k).select(query_id, ref_id, "dist", F.col("rn").alias("rank"))

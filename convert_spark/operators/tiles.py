@@ -1,0 +1,116 @@
+"""Tile indexing, rollups, and per-tile dataset aggregation.
+
+The distributed generalization of the reference's per-file finalize step
+(bbox A1 -> center A2 -> S2 covering A3, convert.go:211-226): one
+``groupBy(tile)`` replaces the per-dataset channel/goroutine accumulator —
+Spark's partial+final hash agg does the streaming min/max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import exprs, udfs
+
+
+def with_tile(df: DataFrame, zoom: int, lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Add (zoom, tile_x, tile_y, cell_id) columns — pure expressions."""
+    lat = F.col(lat_col).cast("double")
+    lon = F.col(lon_col).cast("double")
+    tx = exprs.tile_x(lon, zoom)
+    ty = exprs.tile_y(lat, zoom)
+    return (
+        df.withColumn("zoom", F.lit(zoom))
+        .withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .withColumn("cell_id", exprs.morton_cell(F.col("tile_x"), F.col("tile_y"), zoom))
+    )
+
+
+def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Multi-resolution rollup (north_star "quadkey/H3 rollups").
+
+    ``df`` must already carry (zoom, cell_id) at one base zoom. Aggregates
+    once at base zoom, then rolls parents up level by level — each coarser
+    level re-aggregates the 4x-smaller previous level, NOT the raw data:
+    log-depth shuffle volume instead of levels x full scans. Returns rows
+    at every zoom in [base_zoom - levels + 1, base_zoom] with columns
+    (zoom, cell_id, n, sum_<c>...).
+    """
+    base = df.groupBy("zoom", "cell_id").agg(
+        F.count(F.lit(1)).alias("n"), *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    )
+    reaggs = [F.sum("n").alias("n")] + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    out = base
+    cur = base
+    for _ in range(levels - 1):
+        cur = (
+            cur.withColumn("cell_id", exprs.cell_parent(F.col("cell_id")))
+            .withColumn("zoom", F.col("zoom") - 1)
+            .groupBy("zoom", "cell_id")
+            .agg(*reaggs)
+        )
+        out = out.unionByName(cur)
+    return out
+
+
+def tile_datasets(points: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Per-tile dataset summary: bbox (A1) + center (A2) + S2 covering (A3).
+
+    ``points`` must carry x, y (EPSG:3857). The bbox agg is a built-in
+    partial+final hash aggregation (replaces the reference's
+    channel/goroutine ExtentContainer, convert.go:1079-1134); center is a
+    post-agg projection (convert.go:1137-1148: midpoint in 3857, z = DEM
+    elevation at the center); covering is the quirky 8-char-token pandas
+    UDF over one row per tile.
+    """
+    keys = group_cols or ["zoom", "cell_id"]
+    agg = points.groupBy(*keys).agg(
+        F.min("x").alias("lx"),
+        F.max("x").alias("rx"),
+        F.min("y").alias("ly"),
+        F.max("y").alias("uy"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    center_x = (F.col("lx") + F.col("rx")) / 2.0
+    center_y = (F.col("ly") + F.col("uy")) / 2.0
+    return (
+        agg.withColumn("center_x", center_x)
+        .withColumn("center_y", center_y)
+        .withColumn("center_z", udfs.elev_3857_or_zero(F.col("center_x"), F.col("center_y")))
+        .withColumn("s2", udfs.s2_covering(F.col("lx"), F.col("ly"), F.col("rx"), F.col("uy")))
+    )
+
+
+def assemble_dataset_json(points: DataFrame, summary: DataFrame, keys: list[str]) -> DataFrame:
+    """MineAR-style Datasets document per group (S6, convert.go:29-39):
+    deterministic feature order (SURVEY.md §3.2: the reference's goroutine
+    append order is a data race; we canonicalize by feature id)."""
+    feats = points.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("feature_id").alias("id"),
+                    F.col("x"),
+                    F.col("y"),
+                    F.col("z"),
+                )
+            )
+        ).alias("points")
+    )
+    doc = summary.join(feats, keys, "inner").select(
+        *keys,
+        F.to_json(
+            F.struct(
+                F.concat_ws("_", *[F.col(k).cast("string") for k in keys]).alias("id"),
+                F.struct(F.col("center_x").alias("x"), F.col("center_y").alias("y"), F.col("center_z").alias("z")).alias(
+                    "center"
+                ),
+                F.col("s2"),
+                F.col("points"),
+            )
+        ).alias("dataset_json"),
+        F.col("n_points"),
+    )
+    return doc

@@ -1,0 +1,219 @@
+"""Spark integration tests: datagen determinism, expression/kernel parity,
+extraction invariant, tile assignment, PIP join, per-tile datasets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from convert_spark import datagen
+from convert_spark.functions import exprs
+from convert_spark.kernels import mercator, pip, quadkey
+from convert_spark.operators import extract, joins, tiles
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return datagen.webpages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def mentions(spark, pages):
+    return extract.extract_mentions(pages).cache()
+
+
+class TestDatagen:
+    def test_partitioning_invariance(self, spark):
+        """Content must be a pure function of row id — identical under any
+        parallelism (the BASELINE byte-identical invariant, at the source)."""
+        a = datagen.webpages(spark, 100, partitions=1).orderBy("page_id").toPandas()
+        b = datagen.webpages(spark, 100, partitions=13).orderBy("page_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_pandas_twin(self, spark):
+        a = datagen.webpages(spark, 50).orderBy("page_id").toPandas().reset_index(drop=True)
+        b = datagen.webpages_pdf(50)
+        assert a["text"].tolist() == b["text"].tolist()
+        assert a["url"].tolist() == b["url"].tolist()
+
+    def test_polygons_layer(self, spark):
+        p = datagen.polygons(spark).toPandas()
+        assert (p["kind"] == "urban").sum() == 45
+        assert (p["kind"] == "doughnut").sum() == 1
+
+
+class TestExprKernelParity:
+    def test_projection_parity(self, spark):
+        rng = np.random.RandomState(0)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-85, 85, 300)
+        pdf = pd.DataFrame({"lon": lon, "lat": lat})
+        df = spark.createDataFrame(pdf)
+        got = (
+            df.select(
+                exprs.to3857_x(F.col("lon"), F.col("lat")).alias("x"),
+                exprs.to3857_y(F.col("lon"), F.col("lat")).alias("y"),
+            )
+            .toPandas()
+        )
+        kx, ky = mercator.to3857(lon, lat)
+        np.testing.assert_allclose(got["x"], kx, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(got["y"], ky, rtol=0, atol=1e-9)
+
+    def test_tile_parity(self, spark):
+        rng = np.random.RandomState(1)
+        lon = rng.uniform(-180, 180, 300)
+        lat = rng.uniform(-85.05, 85.05, 300)
+        pdf = pd.DataFrame({"lon": lon, "lat": lat})
+        df = spark.createDataFrame(pdf)
+        for zoom in (3, 8, 12, 16):
+            got = tiles.with_tile(df, zoom).select("tile_x", "tile_y", "cell_id").toPandas()
+            ktx, kty = quadkey.latlon_to_tile(lat, lon, zoom)
+            kcell = quadkey.cell_id(lat, lon, zoom)
+            np.testing.assert_array_equal(got["tile_x"], ktx)
+            np.testing.assert_array_equal(got["tile_y"], kty)
+            np.testing.assert_array_equal(got["cell_id"], kcell)
+
+
+class TestExtraction:
+    def test_extraction_invariant_across_parallelism(self, spark):
+        """BASELINE invariant: extracted output identical per url at
+        different parallelism levels."""
+        p1 = datagen.webpages(spark, 200, partitions=2)
+        p2 = datagen.webpages(spark, 200, partitions=16)
+        a = extract.extract_mentions(p1).orderBy("page_id", "mention_idx").toPandas()
+        b = extract.extract_mentions(p2).orderBy("page_id", "mention_idx").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_extraction_matches_generator(self, spark, mentions):
+        """Every generated mention must round-trip through text extraction."""
+        got = mentions.toPandas().sort_values(["page_id", "mention_idx"]).reset_index(drop=True)
+        ids = np.arange(N_PAGES, dtype=np.uint64)
+        n_mentions = datagen._randint(ids, 3, 4)
+        assert len(got) == int(n_mentions.sum())
+        # mentions are inserted at arbitrary text positions, so compare the
+        # per-page coordinate SET (printed-precision exact)
+        for pid in (0, 1, 7, 123, N_PAGES - 1):
+            k = int(n_mentions[pid])
+            expect = []
+            rid = np.array([pid], dtype=np.uint64)
+            for m in range(k):
+                la, lo = datagen.mention_latlon(rid, m)
+                fmt = int(datagen._randint(rid, 2000 + m, 2)[0])
+                prec = 5 if fmt == 0 else 4
+                expect.append((float(f"{la[0]:.{prec}f}"), float(f"{lo[0]:.{prec}f}")))
+            sub = got[got.page_id == pid][["lat", "lon"]].itertuples(index=False)
+            assert sorted(tuple(t) for t in sub) == sorted(expect)
+
+    def test_html_pruned_from_scan(self, spark, tmp_path):
+        """Column pruning must reach the parquet scan: the wide ``html``
+        binary column is never read by the extraction stage."""
+        path = str(tmp_path / "pages.parquet")
+        datagen.webpages(spark, 50).write.mode("overwrite").parquet(path)
+        plan = (
+            extract.extract_mentions(spark.read.parquet(path))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        read_schema = [ln.split("ReadSchema:")[1] for ln in plan.splitlines() if "ReadSchema:" in ln]
+        assert read_schema and "html" not in read_schema[0]
+        assert "text:string" in read_schema[0]
+
+
+class TestPipJoin:
+    def test_matches_kernel(self, spark, mentions):
+        polys = datagen.polygons_pdf()
+        got = (
+            joins.pip_join(mentions, polys)
+            .select("page_id", "mention_idx", "poly_id")
+            .toPandas()
+            .sort_values(["page_id", "mention_idx", "poly_id"])
+            .reset_index(drop=True)
+        )
+        m = mentions.toPandas()
+        expect = []
+        for _, poly in polys.iterrows():
+            inside = pip.point_in_multipolygon(
+                m["lon"].to_numpy(), m["lat"].to_numpy(), [poly["rings"]]
+            )
+            for i in np.where(inside)[0]:
+                expect.append((int(m["page_id"].iat[i]), int(m["mention_idx"].iat[i]), int(poly["poly_id"])))
+        expect = pd.DataFrame(expect, columns=["page_id", "mention_idx", "poly_id"]).sort_values(
+            ["page_id", "mention_idx", "poly_id"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype("int64"), expect.astype("int64"))
+        assert len(got) > 0  # hot clusters guarantee matches
+
+    def test_left_join_keeps_unmatched(self, spark, mentions):
+        polys = datagen.polygons_pdf()
+        total = mentions.count()
+        left = joins.pip_join(mentions, polys, how="left")
+        unmatched = left.filter(F.col("poly_id").isNull()).count()
+        matched_rows = left.filter(F.col("poly_id").isNotNull()).count()
+        inner = joins.pip_join(mentions, polys).count()
+        assert matched_rows == inner
+        assert unmatched > 0  # uniform-globe mentions mostly miss
+
+
+class TestTiles:
+    def test_tile_datasets_end_to_end(self, spark, mentions):
+        pts = extract.normalize_points(mentions)
+        tiled = tiles.with_tile(pts, zoom=10)
+        ds = tiles.tile_datasets(tiled).toPandas()
+        assert (ds["n_points"] >= 1).all()
+        assert ds["n_points"].sum() == mentions.count()
+        # bbox sanity + covering shape
+        assert (ds["lx"] <= ds["rx"]).all() and (ds["ly"] <= ds["uy"]).all()
+        assert ds["s2"].map(len).between(0, 6).all()
+        assert ds["s2"].map(lambda ts: all(1 <= len(t) <= 8 for t in ts)).all()
+
+    def test_rollup_conserves_counts(self, spark, mentions):
+        tiled = tiles.with_tile(mentions, zoom=10)
+        r = tiles.tile_rollup(tiled, levels=4).toPandas()
+        total = mentions.count()
+        for z in (10, 9, 8, 7):
+            assert r[r.zoom == z]["n"].sum() == total
+        # parent containment: counts at z9 == sum of the 4 children at z10
+        z10 = r[r.zoom == 10].set_index("cell_id")["n"]
+        z9 = r[r.zoom == 9].set_index("cell_id")["n"]
+        parents = pd.Series(z10.index.to_numpy() >> 2, index=z10.index)
+        re9 = z10.groupby(parents).sum()
+        pd.testing.assert_series_equal(z9.sort_index(), re9.sort_index(), check_names=False)
+
+
+class TestKnn:
+    def test_knn_matches_bruteforce_within_ring(self, spark):
+        rng = np.random.RandomState(5)
+        # clustered points so ring-2 at zoom 6 comfortably holds true kNN
+        qs = pd.DataFrame(
+            {"query_id": range(30), "lat": 40 + rng.uniform(0, 2, 30), "lon": -74 + rng.uniform(0, 2, 30)}
+        )
+        rs = pd.DataFrame(
+            {"ref_id": range(200), "lat": 40 + rng.uniform(0, 2, 200), "lon": -74 + rng.uniform(0, 2, 200)}
+        )
+        got = (
+            joins.knn_join(spark.createDataFrame(qs), spark.createDataFrame(rs), k=3)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        for qid in range(30):
+            d = np.sqrt(
+                (qs.lat[qid] - rs.lat.to_numpy()) ** 2 + (qs.lon[qid] - rs.lon.to_numpy()) ** 2
+            )
+            order = np.lexsort((rs.ref_id.to_numpy(), d))
+            expect = rs.ref_id.to_numpy()[order[:3]]
+            sub = got[got.query_id == qid]["ref_id"].to_numpy()
+            np.testing.assert_array_equal(sub, expect)
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain(self, spark, mentions):
+        tiled = tiles.with_tile(mentions, zoom=8)
+        dim = tiled.groupBy("zoom", "cell_id").count().select("zoom", "cell_id")
+        plain = joins.tile_join(tiled, dim).count()
+        salted = joins.salted_tile_join(tiled, dim).count()
+        assert plain == salted == tiled.count()

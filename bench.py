@@ -1,0 +1,92 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the BASELINE tile-assignment pipeline (synthetic
+page table -> extraction -> tile join) measured as wall seconds; per-query
+seconds for the operator suite follow. Set BENCH_SCALING=1 to also run the
+two-parallelism scaling protocol (local[8] vs local[32]) and report
+throughput + efficiency (north_rule evidence; see BENCH_SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.0
+
+
+def run_pipeline(spark, n_pages: int) -> int:
+    """The headline tile-assignment pipeline; returns rows processed."""
+    from pyspark.sql import functions as F
+
+    from convert_spark import datagen
+    from convert_spark.operators import extract, joins, tiles
+
+    pages = datagen.webpages(spark, n_pages)
+    mentions = extract.extract_mentions(pages)
+    pts = extract.normalize_points(mentions, fill_z_from_dem=False)
+    tiled = tiles.with_tile(pts, zoom=12)
+    tagged = joins.pip_join(tiled.select("page_id", "mention_idx", "zoom", "cell_id", "lat", "lon"),
+                            datagen.polygons_pdf())
+    agg = tagged.groupBy("zoom", "cell_id").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("poly_id").alias("n_polys")
+    )
+    n = agg.agg(F.sum("n")).collect()[0][0] or 0
+    return int(n)
+
+
+def main() -> None:
+    from convert_spark import queries as Q
+    from convert_spark.session import get_session
+
+    spark = get_session(cores=CPUS, app_name="bench")
+    sf = _sf(SF_DIR)
+    n_pages = max(200, int(2_000_000 * sf))
+
+    # warm the JVM/Python workers once (session startup excluded from timing)
+    spark.range(10).count()
+
+    t0 = time.time()
+    rows = run_pipeline(spark, n_pages)
+    headline = time.time() - t0
+
+    per_query: dict[str, float] = {}
+    if os.path.isdir(SF_DIR):
+        for name, fn in Q.QUERIES.items():
+            t = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            per_query[name] = round(time.time() - t, 3)
+
+    result = {
+        "metric": "tile_assignment_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "pipeline_rows": rows,
+        "pipeline_rows_per_sec": round(rows / headline, 1) if headline > 0 else None,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,8 +59,9 @@ def normalize_points(
 
 def parse_double_go(col_name: str) -> F.Column:
     """Go strconv.ParseFloat-error-ignored parity: bad strings -> 0.0,
-    not NULL (convert.go:557-564)."""
-    return F.coalesce(F.col(col_name).cast("double"), F.lit(0.0))
+    not NULL (convert.go:557-564). try_cast because Spark 4 ANSI mode makes
+    plain cast THROW on malformed input."""
+    return F.coalesce(F.expr(f"try_cast({col_name} as double)"), F.lit(0.0))
 
 
 # --- attribute cleaning (F2/F3, convert.go:806-829) --------------------------

@@ -203,9 +203,16 @@ def knn_join(
         .select(query_id, "q_lat", "q_lon", "r_cell")
     )
     cand = qq.join(r, "r_cell", "inner")
-    dist = F.sqrt((F.col("q_lat") - F.col("r_lat")) ** 2 + (F.col("q_lon") - F.col("r_lon")) ** 2)
+    # squared distance via explicit multiply: `** 2` compiles to Math.pow,
+    # which is not exactly-rounded — the oracle's (a-b)*(a-b) then disagrees
+    # at 1-ulp level and flips near-tie rankings
+    dlat = F.col("q_lat") - F.col("r_lat")
+    dlon = F.col("q_lon") - F.col("r_lon")
+    dist = dlat * dlat + dlon * dlon
     ranked = cand.withColumn("dist", dist).withColumn(
         "rn",
         F.row_number().over(Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())),
     )
-    return ranked.filter(F.col("rn") <= k).select(query_id, ref_id, "dist", F.col("rn").alias("rank"))
+    return ranked.filter(F.col("rn") <= k).select(
+        query_id, ref_id, F.col("dist").alias("dist2"), F.col("rn").alias("rank")
+    )

@@ -38,17 +38,21 @@ def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> D
     at every zoom in [base_zoom - levels + 1, base_zoom] with columns
     (zoom, cell_id, n, sum_<c>...).
     """
-    base = df.groupBy("zoom", "cell_id").agg(
+    base = df.groupBy("zoom", "cell_id", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n"), *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     )
     reaggs = [F.sum("n").alias("n")] + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
     out = base
     cur = base
     for _ in range(levels - 1):
+        # parent tile: both coordinates shift right one bit; the Morton id
+        # shifts two (kernels.quadkey invariants)
         cur = (
             cur.withColumn("cell_id", exprs.cell_parent(F.col("cell_id")))
+            .withColumn("tile_x", F.shiftright(F.col("tile_x"), 1))
+            .withColumn("tile_y", F.shiftright(F.col("tile_y"), 1))
             .withColumn("zoom", F.col("zoom") - 1)
-            .groupBy("zoom", "cell_id")
+            .groupBy("zoom", "cell_id", "tile_x", "tile_y")
             .agg(*reaggs)
         )
         out = out.unionByName(cur)

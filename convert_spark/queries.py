@@ -1,0 +1,800 @@
+"""Driver-contract query suite: one entry per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle where ANSI-SQL can express it.
+
+Conventions (driver compare is column-name-sorted value-hash):
+* every computed column is aliased identically in Spark and SQL,
+* float aggregates are rounded (4 decimals) on BOTH sides so bitwise
+  summation-order differences can't flip the hash,
+* geo inputs are derived deterministically from the driver tables with
+  integer arithmetic (identical in both engines); the +0.005 offsets keep
+  points off tile/polygon boundaries so floor/PIP edge semantics can't
+  diverge at 1-ulp level.
+
+Queries marked rows-only (no oracle) are the genuinely non-SQL ops: S2
+covering, MinHash/LSH, SimHash, fingerprint (kernel-tested instead,
+SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import exprs, udfs
+from .operators import joins, tiles
+
+# --- shared derivations -------------------------------------------------------
+
+# deterministic point cloud from lineitem (1400 distinct lats, 3600 lons).
+# NB: numeric literals in e-notation so BOTH engines use double arithmetic
+# (Spark parses `10.0` as DECIMAL and would produce exact ties where
+# DuckDB's double math has 1-ulp noise — divergent kNN tiebreaks).
+_PTS_SQL = (
+    "select l_orderkey * 10 + l_linenumber as rowid, "
+    "((l_partkey * 37) % 1400) / 1e1 - 7e1 + 5e-3 as lat, "
+    "((l_suppkey * 91 + l_orderkey) % 3600) / 1e1 - 18e1 + 5e-3 as lon "
+    "from lineitem"
+)
+# small query-point set from customer
+_QPTS_SQL = (
+    "select c_custkey as query_id, "
+    "((c_custkey * 53) % 1200) / 1e1 - 6e1 + 5e-3 as lat, "
+    "((c_custkey * 131) % 3400) / 1e1 - 17e1 + 5e-3 as lon "
+    "from customer where c_custkey % 5 = 0"
+)
+# reference points from orders (denser)
+_RPTS_SQL = (
+    "select o_orderkey as ref_id, "
+    "((o_orderkey * 53) % 1200) / 1e1 - 6e1 + 5e-3 as lat, "
+    "((o_orderkey * 131) % 3400) / 1e1 - 17e1 + 5e-3 as lon "
+    "from orders"
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql(_PTS_SQL)
+
+
+# --- geo: projection / normalization ------------------------------------------
+
+
+def q_to3857(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: web-mercator projection with reference rounding + CRS inference
+    (convert.go:1269-1282) — Catalyst expressions only."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "rowid",
+        exprs.to3857_x(F.col("lon"), F.col("lat")).alias("x"),
+        exprs.to3857_y(F.col("lon"), F.col("lat")).alias("y"),
+    )
+
+
+SQL_TO3857 = (
+    f"select rowid, {exprs.sql_to3857_x('lon', 'lat')} as x, "
+    f"{exprs.sql_to3857_y('lon', 'lat')} as y from ({_PTS_SQL})"
+)
+
+
+def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
+    invalid-row drop. Coordinate strings derived from part; every 7th x is
+    unparseable and every 11th y is missing (row dropped)."""
+    _load(spark, sf_dir, "part")
+    raw = spark.sql(
+        "select p_partkey as rowid, "
+        "case when p_partkey % 7 = 0 then 'not_a_number' else cast(((p_partkey * 13) % 3000) / 10.0 - 150.0 as string) end as xs, "
+        "case when p_partkey % 11 = 0 then null else cast(((p_partkey * 29) % 1600) / 10.0 - 80.0 as string) end as ys "
+        "from part"
+    )
+    from .operators.extract import parse_double_go
+
+    out = (
+        raw.filter(F.col("ys").isNotNull())  # arity < 2 -> dropped
+        .withColumn("xv", parse_double_go("xs"))
+        .withColumn("yv", parse_double_go("ys"))
+    )
+    return out.select(
+        "rowid",
+        exprs.to3857_x(F.col("xv"), F.col("yv")).alias("x"),
+        exprs.to3857_y(F.col("xv"), F.col("yv")).alias("y"),
+    )
+
+
+SQL_CHECKCOORDS = f"""
+with raw as (
+  select p_partkey as rowid,
+    case when p_partkey % 7 = 0 then 'not_a_number' else cast(((p_partkey * 13) % 3000) / 10.0 - 150.0 as varchar) end as xs,
+    case when p_partkey % 11 = 0 then null else cast(((p_partkey * 29) % 1600) / 10.0 - 80.0 as varchar) end as ys
+  from part
+), parsed as (
+  select rowid, coalesce(try_cast(xs as double), 0.0) as xv, coalesce(try_cast(ys as double), 0.0) as yv
+  from raw where ys is not null
+)
+select rowid, {exprs.sql_to3857_x('xv', 'yv')} as x, {exprs.sql_to3857_y('xv', 'yv')} as y from parsed
+"""
+
+
+# --- geo: tile assignment / rollup / joins ------------------------------------
+
+_ZOOM = 12
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment at z12 (the BASELINE headline operation): counts per
+    tile — pure expressions, shuffle only at the final agg."""
+    pts = _points(spark, sf_dir)
+    t = tiles.with_tile(pts, _ZOOM)
+    return t.groupBy("zoom", "tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TILE_ASSIGN = f"""
+select {_ZOOM} as zoom, {exprs.sql_tile_x('lon', _ZOOM)} as tile_x,
+       {exprs.sql_tile_y('lat', _ZOOM)} as tile_y, count(*) as n
+from ({_PTS_SQL}) group by 1, 2, 3
+"""
+
+
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-level multi-resolution rollup: counts at zooms 12..9, rolled up
+    level-by-level (partials re-aggregated, never the raw data)."""
+    pts = _points(spark, sf_dir)
+    t = tiles.with_tile(pts, _ZOOM)
+    return tiles.tile_rollup(t, levels=4).select("zoom", "tile_x", "tile_y", "n")
+
+
+SQL_TILE_ROLLUP = f"""
+with base as (
+  select {exprs.sql_tile_x('lon', _ZOOM)} as tx, {exprs.sql_tile_y('lat', _ZOOM)} as ty
+  from ({_PTS_SQL})
+)
+select {_ZOOM} as zoom, tx as tile_x, ty as tile_y, count(*) as n from base group by 2, 3
+union all
+select {_ZOOM - 1}, tx // 2, ty // 2, count(*) from base group by 2, 3
+union all
+select {_ZOOM - 2}, tx // 4, ty // 4, count(*) from base group by 2, 3
+union all
+select {_ZOOM - 3}, tx // 8, ty // 8, count(*) from base group by 2, 3
+"""
+
+
+def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile equi-join: points joined to a (broadcast) tile dimension built
+    from the distinct tiles of the customer-derived points."""
+    _load(spark, sf_dir, "lineitem", "customer")
+    pts = tiles.with_tile(spark.sql(_PTS_SQL), 8)
+    dim = (
+        tiles.with_tile(spark.sql(_QPTS_SQL), 8)
+        .select("zoom", "tile_x", "tile_y")
+        .distinct()
+        .withColumn("tile_name", F.concat_ws("/", "zoom", "tile_x", "tile_y"))
+    )
+    j = joins.tile_join(pts, dim, on=["zoom", "tile_x", "tile_y"])
+    return j.groupBy("tile_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TILE_JOIN = f"""
+with pts as (
+  select {exprs.sql_tile_x('lon', 8)} as tile_x, {exprs.sql_tile_y('lat', 8)} as tile_y
+  from ({_PTS_SQL})
+), dim as (
+  select distinct {exprs.sql_tile_x('lon', 8)} as tile_x, {exprs.sql_tile_y('lat', 8)} as tile_y
+  from ({_QPTS_SQL})
+)
+select concat(8, '/', d.tile_x, '/', d.tile_y) as tile_name, count(*) as n
+from pts p join dim d on p.tile_x = d.tile_x and p.tile_y = d.tile_y
+group by 1
+"""
+
+
+_KNN_ZOOM, _KNN_RING, _KNN_K = 6, 2, 3
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-bounded kNN join (cell-ring expansion + window top-k). Exact
+    within the ring bound; the oracle restates the identical ring predicate."""
+    _load(spark, sf_dir, "customer", "orders")
+    q = spark.sql(_QPTS_SQL)
+    r = spark.sql(_RPTS_SQL)
+    out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_RING)
+    return out.select("query_id", "ref_id", "rank")
+
+
+SQL_KNN = f"""
+with q as (
+  select query_id, lat as q_lat, lon as q_lon,
+         {exprs.sql_tile_x('lon', _KNN_ZOOM)} as q_tx, {exprs.sql_tile_y('lat', _KNN_ZOOM)} as q_ty
+  from ({_QPTS_SQL})
+), r as (
+  select ref_id, lat as r_lat, lon as r_lon,
+         {exprs.sql_tile_x('lon', _KNN_ZOOM)} as r_tx, {exprs.sql_tile_y('lat', _KNN_ZOOM)} as r_ty
+  from ({_RPTS_SQL})
+), cand as (
+  select q.query_id, r.ref_id,
+         (q.q_lat - r.r_lat) * (q.q_lat - r.r_lat) + (q.q_lon - r.r_lon) * (q.q_lon - r.r_lon) as d2
+  from q join r on abs(q.q_ty - r.r_ty) <= {_KNN_RING}
+    and least((q.q_tx - r.r_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM},
+              (r.r_tx - q.q_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM}) <= {_KNN_RING}
+)
+select query_id, ref_id, rank from (
+  select query_id, ref_id, row_number() over (partition by query_id order by d2 asc, ref_id asc) as rank
+  from cand
+) where rank <= {_KNN_K}
+"""
+
+
+def _rect_polys_pdf():
+    """Axis-aligned polygon layer for the oracle-checkable PIP join:
+    12 rects + 1 doughnut, edges on 0.25-degree lines (points sit at
+    x.xx5 offsets — never on an edge)."""
+    import pandas as pd
+
+    rows = []
+    pid = 0
+    for i in range(12):
+        w = -170.0 + i * 27.5
+        s = -65.0 + (i * 19) % 110
+        e, n = w + 22.5, min(s + 17.5, 69.75)
+        rows.append(
+            {"poly_id": pid, "name": f"rect_{pid}", "kind": "rect", "rings": [[[w, s], [e, s], [e, n], [w, n], [w, s]]]}
+        )
+        pid += 1
+    w, s, e, n = -60.0, -30.0, -20.0, 10.0
+    hw, hs, he, hn = -50.0, -20.0, -30.0, 0.0
+    rows.append(
+        {
+            "poly_id": pid,
+            "name": "doughnut",
+            "kind": "doughnut",
+            "rings": [
+                [[w, s], [e, s], [e, n], [w, n], [w, s]],
+                [[hw, hs], [he, hs], [he, hn], [hw, hn], [hw, hs]],
+            ],
+        }
+    )
+    return pd.DataFrame(rows)
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 generalized: broadcast STRtree + exact ray-casting PIP join.
+    The polygon layer is axis-aligned so the oracle can restate containment
+    with BETWEENs (the kernel handles arbitrary rings — tested in pytest)."""
+    pts = _points(spark, sf_dir)
+    j = joins.pip_join(pts, _rect_polys_pdf())
+    return j.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_pip_join() -> str:
+    parts = []
+    for _, row in _rect_polys_pdf().iterrows():
+        outer = row["rings"][0]
+        w, s = outer[0]
+        e, n = outer[2]
+        cond = f"(lon > {w} and lon < {e} and lat > {s} and lat < {n})"
+        if len(row["rings"]) > 1:
+            hole = row["rings"][1]
+            hw, hs = hole[0]
+            he, hn = hole[2]
+            cond += f" and not (lon > {hw} and lon < {he} and lat > {hs} and lat < {hn})"
+        parts.append(f"select {row['poly_id']} as poly_id, count(*) as n from pts where {cond}")
+    return "with pts as (" + _PTS_SQL + ") " + " union all ".join(parts)
+
+
+# --- geo: dataset aggregation (A1/A2) ------------------------------------------
+
+
+def q_bbox_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: per-dataset streaming bbox (the ExtentContainer replacement,
+    convert.go:1099-1134) and 3857 bbox center (convert.go:1137-1148)."""
+    pts = _points(spark, sf_dir).withColumn("dataset_id", F.col("rowid") % 20)
+    proj = pts.select(
+        "dataset_id",
+        exprs.to3857_x(F.col("lon"), F.col("lat")).alias("x"),
+        exprs.to3857_y(F.col("lon"), F.col("lat")).alias("y"),
+    )
+    agg = proj.groupBy("dataset_id").agg(
+        F.min("x").alias("lx"),
+        F.max("x").alias("rx"),
+        F.min("y").alias("ly"),
+        F.max("y").alias("uy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "dataset_id",
+        "lx",
+        "rx",
+        "ly",
+        "uy",
+        "n",
+        ((F.col("lx") + F.col("rx")) / 2.0).alias("center_x"),
+        ((F.col("ly") + F.col("uy")) / 2.0).alias("center_y"),
+    )
+
+
+SQL_BBOX_CENTER = f"""
+with proj as (
+  select rowid % 20 as dataset_id,
+         {exprs.sql_to3857_x('lon', 'lat')} as x, {exprs.sql_to3857_y('lon', 'lat')} as y
+  from ({_PTS_SQL})
+)
+select dataset_id, min(x) as lx, max(x) as rx, min(y) as ly, max(y) as uy,
+       count(*) as n, (min(x) + max(x)) / 2.0 as center_x, (min(y) + max(y)) / 2.0 as center_y
+from proj group by dataset_id
+"""
+
+
+def q_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: quirky S2 covering tokens per dataset bbox (convert.go:1151-1192).
+    Rows-only check (cell-id bit math is not ANSI SQL); the kernel has its
+    own unit tests."""
+    agg = q_bbox_center(spark, sf_dir)
+    return agg.select(
+        "dataset_id",
+        F.explode(udfs.s2_covering(F.col("lx"), F.col("ly"), F.col("rx"), F.col("uy"))).alias("token"),
+    )
+
+
+# --- attribute semantics (F2/F3) ------------------------------------------------
+
+
+def q_attr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3: falsy-value drop and special-key routing (convert.go:806-829)
+    over a map built from part columns; output = exploded surviving attrs."""
+    _load(spark, sf_dir, "part")
+    raw = spark.sql(
+        "select p_partkey, p_name, p_brand, p_type, "
+        "cast(case when p_partkey % 5 = 0 then 0 else p_size end as string) as size_str, "
+        "case when p_partkey % 3 = 0 then '' else cast(p_retailprice as string) end as price_str "
+        "from part"
+    )
+    attrs = F.create_map(
+        F.lit("Name"), F.col("p_name"),
+        F.lit("ID"), F.col("p_partkey").cast("string"),
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("TAGS"), F.col("p_type"),
+        F.lit("size"), F.col("size_str"),
+        F.lit("price"), F.col("price_str"),
+    )
+    from .operators.extract import clean_attributes
+
+    cleaned = clean_attributes(raw.withColumn("attrs", attrs))
+    return cleaned.select(
+        F.col("p_partkey").alias("rowid"),
+        F.col("feature_name"),
+        F.col("feature_id"),
+        F.explode_outer("attributes").alias("k", "v"),
+    )
+
+
+SQL_ATTR_CLEAN = """
+with raw as (
+  select p_partkey, p_name, p_brand, p_type,
+         cast(case when p_partkey % 5 = 0 then 0 else p_size end as varchar) as size_str,
+         case when p_partkey % 3 = 0 then '' else cast(p_retailprice as varchar) end as price_str
+  from part
+), pairs as (
+  select p_partkey as rowid, p_name as feature_name, cast(p_partkey as varchar) as feature_id, 'brand' as k, p_brand as v from raw
+  union all
+  select p_partkey, p_name, cast(p_partkey as varchar), 'size', size_str from raw
+  union all
+  select p_partkey, p_name, cast(p_partkey as varchar), 'price', price_str from raw
+)
+select rowid, feature_name, feature_id, k, v from pairs
+where v is not null and v <> '' and v <> '0'
+"""
+
+
+# --- relational core -------------------------------------------------------------
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class hash aggregation (TPC-H Q1 shape) — partial+final agg,
+    predicate pushdown to the parquet scan."""
+    _load(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_rows
+from lineitem where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 3 biggest orders per customer (row_number)."""
+    _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        spark.table("orders")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+SQL_TOPK_WINDOW = """
+select o_custkey, o_orderkey, rank from (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rank
+  from orders
+) where rank <= 3
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim star join: revenue per nation."""
+    _load(spark, sf_dir, "orders", "customer", "nation")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_JOIN_REVENUE = """
+select n_name, round(sum(o_totalprice), 2) as revenue, count(*) as n_orders
+from orders join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# --- events: sessionization + windowed agg ---------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum (gap > 30 min)."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").withColumn("sec", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
+    new_sess = (F.col("sec") - F.lag("sec").over(w) > 1800) | F.lag("sec").over(w).isNull()
+    sess = ev.withColumn("is_new", new_sess.cast("int")).withColumn(
+        "session_idx", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("sec").alias("start_sec")
+    )
+
+
+SQL_SESSIONIZE = """
+with ev as (
+  select user_id, event_id, cast(floor(epoch(ts)) as bigint) as sec from events
+), flagged as (
+  select user_id, sec,
+    case when lag(sec) over w is null or sec - lag(sec) over w > 1800 then 1 else 0 end as is_new
+  from ev window w as (partition by user_id order by sec asc, event_id asc)
+), sess as (
+  select user_id, sec, cast(sum(is_new) over (partition by user_id order by sec asc rows unbounded preceding) as bigint) as session_idx
+  from flagged
+)
+select user_id, session_idx, count(*) as n_events, min(sec) as start_sec
+from sess group by user_id, session_idx
+"""
+
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation per event type (the batch twin
+    of the streaming windowed agg in convert_spark.streaming)."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events").withColumn("hour", F.floor(F.unix_timestamp("ts") / 3600))
+    return ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+SQL_WINDOW_HOURLY = """
+select cast(floor(floor(epoch(ts)) / 3600) as bigint) as hour, event_type,
+       count(*) as n, round(sum(value), 2) as sum_value
+from events group by 1, 2
+"""
+
+
+# --- documents: text analysis / dedup / similarity --------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — built-in expressions
+    (JVM regex) rather than the pandas kernel: same contract, faster path."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+select doc_id, len(string_split(text, ' ')) as n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) as n_bpe_tokens
+from documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: punct/stopword ratios + composite score (built-in
+    expressions; mirrors kernels.textkit.quality_features)."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    stop = "the,a,an,and,or,of,to,in,is,are,was,were,be,been,it,this,that,for,on,with,as,at,by"
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop.split(","))))
+    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
+    safe_c = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_punct / safe_c, 4).alias("punct_ratio"),
+        F.round(n_stop / safe_w, 4).alias("stop_ratio"),
+    )
+
+
+SQL_QUALITY = r"""
+select doc_id, len(string_split(text, ' ')) as n_words,
+       round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 4) as punct_ratio,
+       round(len(list_filter(string_split(text, ' '), w -> lower(w) in
+         ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')))
+         / greatest(len(string_split(text, ' ')), 1), 4) as stop_ratio
+from documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash -> cluster size + representative."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+select md5(text) as text_hash, count(*) as n_docs, min(doc_id) as keep_doc_id
+from documents group by 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word unigram-set) Jaccard near-dup pairs between anchor docs
+    (doc_id % 50 = 0) and same-source docs — built-in array ops."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents").withColumn("toks", F.array_distinct(F.split(F.col("text"), " ")))
+    a = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), F.col("toks").alias("a_toks")
+    )
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("toks").alias("b_toks"))
+    pairs = a.join(b, (F.col("a_src") == F.col("b_src")) & (F.col("a_id") < F.col("b_id")))
+    inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+    union = (F.size("a_toks") + F.size("b_toks")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+with t as (select doc_id, source, list_distinct(string_split(text, ' ')) as toks from documents)
+select a.doc_id as a_id, b.doc_id as b_id,
+       round(len(list_intersect(a.toks, b.toks)) /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) as jaccard
+from t a join t b on a.source = b.source and a.doc_id < b.doc_id
+where a.doc_id % 50 = 0
+  and round(len(list_intersect(a.toks, b.toks)) /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only: universal-hash minhash is
+    not ANSI SQL; signature math is kernel-unit-tested). Bands that share a
+    bucket key yield candidate pairs, deduplicated."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents").select("doc_id", "text").withColumn("keys", udfs.lsh_keys(F.col("text")))
+    e = d.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per document (rows-only; kernel-unit-tested)."""
+    _load(spark, sf_dir, "documents")
+    return spark.table("documents").select("doc_id", udfs.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (rows-only; kernel-unit-tested)."""
+    _load(spark, sf_dir, "documents")
+    return spark.table("documents").select("doc_id", udfs.fingerprint64(F.col("text")).alias("fp"))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-word counts with fixed tie order."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents").withColumn("lt", F.lower(F.col("text")))
+
+    def cnt(words):
+        pats = [f"\\\\b{w}\\\\b" for w in words]
+        c = None
+        for p in pats:
+            e = F.size(F.expr(f"regexp_extract_all(lt, '{p}', 0)"))
+            c = e if c is None else c + e
+        return c
+
+    from .kernels.textkit import _LANG_MARKERS
+
+    scored = d
+    for lang, markers in _LANG_MARKERS.items():
+        ascii_markers = [m for m in markers if m.isascii()]
+        scored = scored.withColumn(f"s_{lang}", cnt(ascii_markers) if ascii_markers else F.lit(0))
+    order = list(_LANG_MARKERS)
+    best = F.lit("und")
+    # build argmax with first-wins tie order (en, fr, es, de, zh)
+    expr = None
+    for lang in order:
+        cond = None
+        for other in order:
+            if other == lang:
+                continue
+            ge = F.col(f"s_{lang}") >= F.col(f"s_{other}") if order.index(other) > order.index(lang) else F.col(
+                f"s_{lang}"
+            ) > F.col(f"s_{other}")
+            cond = ge if cond is None else cond & ge
+        cond = cond & (F.col(f"s_{lang}") > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    guess = expr.otherwise(F.lit("und"))
+    return scored.select("doc_id", guess.alias("lang_guess"))
+
+
+def _sql_langid() -> str:
+    from .kernels.textkit import _LANG_MARKERS
+
+    order = list(_LANG_MARKERS)
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        ascii_markers = [m for m in markers if m.isascii()]
+        if ascii_markers:
+            s = " + ".join([f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ascii_markers])
+        else:
+            s = "0"
+        score_exprs.append(f"({s}) as s_{lang}")
+    cases = []
+    for lang in order:
+        conds = []
+        for other in order:
+            if other == lang:
+                continue
+            op = ">=" if order.index(other) > order.index(lang) else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        conds.append(f"s_{lang} > 0")
+        cases.append(f"when {' and '.join(conds)} then '{lang}'")
+    return (
+        "with scored as (select doc_id, " + ", ".join(score_exprs) + " from documents) "
+        "select doc_id, case " + " ".join(cases) + " else 'und' end as lang_guess from scored"
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 over the embeddings table (similarity
+    search baseline). Cosine via sequential left-fold dot/norm in both
+    engines; similarity rounded to 6 decimals before ranking so bitwise
+    summation differences can't flip ranks (ties break by ref id)."""
+    _load(spark, sf_dir, "embeddings")
+    e = spark.table("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    r = e.select(F.col("vec_id").alias("ref_id"), F.col("emb").alias("r_emb"))
+    pairs = q.crossJoin(r).filter(F.col("query_id") != F.col("ref_id"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
+    )
+    ranked = pairs.withColumn("sim_r", F.round(sim, 6)).withColumn(
+        "rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("ref_id").asc()))
+    )
+    return ranked.filter(F.col("rank") <= 5).select("query_id", "ref_id", "rank")
+
+
+SQL_ANN_COSINE = """
+with e as (select vec_id, cast(embedding as double[]) as emb from embeddings),
+q as (select vec_id as query_id, emb as q_emb from e where vec_id % 50 = 0),
+pairs as (
+  select q.query_id, e.vec_id as ref_id,
+         round(list_dot_product(q.q_emb, e.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(e.emb, e.emb))), 6) as sim_r
+  from q, e where e.vec_id <> q.query_id
+)
+select query_id, ref_id, rank from (
+  select query_id, ref_id, row_number() over (partition by query_id order by sim_r desc, ref_id asc) as rank
+  from pairs
+) where rank <= 5
+"""
+
+
+# --- registry ---------------------------------------------------------------------
+
+QUERIES = {
+    "q_to3857": q_to3857,
+    "q_checkcoords": q_checkcoords,
+    "q_tile_assign": q_tile_assign,
+    "q_tile_rollup": q_tile_rollup,
+    "q_tile_join": q_tile_join,
+    "q_knn": q_knn,
+    "q_pip_join": q_pip_join,
+    "q_bbox_center": q_bbox_center,
+    "q_s2_covering": q_s2_covering,
+    "q_attr_clean": q_attr_clean,
+    "q_agg_pricing": q_agg_pricing,
+    "q_topk_window": q_topk_window,
+    "q_join_revenue": q_join_revenue,
+    "q_sessionize": q_sessionize,
+    "q_window_hourly": q_window_hourly,
+    "q_token_counts": q_token_counts,
+    "q_quality": q_quality,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_simhash": q_simhash,
+    "q_fingerprint": q_fingerprint,
+    "q_langid": q_langid,
+    "q_ann_cosine": q_ann_cosine,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "q_to3857": SQL_TO3857,
+        "q_checkcoords": SQL_CHECKCOORDS,
+        "q_tile_assign": SQL_TILE_ASSIGN,
+        "q_tile_rollup": SQL_TILE_ROLLUP,
+        "q_tile_join": SQL_TILE_JOIN,
+        "q_knn": SQL_KNN,
+        "q_pip_join": _sql_pip_join(),
+        "q_bbox_center": SQL_BBOX_CENTER,
+        "q_attr_clean": SQL_ATTR_CLEAN,
+        "q_agg_pricing": SQL_AGG_PRICING,
+        "q_topk_window": SQL_TOPK_WINDOW,
+        "q_join_revenue": SQL_JOIN_REVENUE,
+        "q_sessionize": SQL_SESSIONIZE,
+        "q_window_hourly": SQL_WINDOW_HOURLY,
+        "q_token_counts": SQL_TOKEN_COUNTS,
+        "q_quality": SQL_QUALITY,
+        "q_dedup_exact": SQL_DEDUP_EXACT,
+        "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "q_langid": _sql_langid(),
+        "q_ann_cosine": SQL_ANN_COSINE,
+        # rows-only (non-SQL): q_s2_covering, q_minhash_lsh, q_simhash, q_fingerprint
+    }

@@ -1,0 +1,86 @@
+"""Driver-style oracle compare: run every queries() entry on Spark and its
+oracle_sql() on DuckDB at sf0.01, compare row count + schema + order-
+insensitive value hash. Run directly:  python tests/oracle_harness.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(canon(df).to_csv(index=False).encode()).hexdigest()
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    from convert_spark import queries as Q
+    from convert_spark.session import get_session
+
+    spark = get_session(cores=8, shuffle_partitions=8, app_name="oracle_harness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    oracle_map = Q.oracles()
+    failures = 0
+    for name, fn in Q.QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:18s} spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracle_map:
+            print(f"ROWS  {name:18s} rows={len(sdf)} (rows-only, no oracle)")
+            assert len(sdf) >= 0
+            continue
+        try:
+            ddf = con.execute(oracle_map[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:18s} duckdb error: {e}")
+            failures += 1
+            continue
+        ok_rows = len(sdf) == len(ddf)
+        ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(ddf)
+        status = "OK  " if ok_hash else "FAIL"
+        print(f"{status}  {name:18s} rows={len(sdf)}/{len(ddf)} cols_ok={ok_cols} hash_ok={ok_hash}")
+        if not ok_hash:
+            failures += 1
+            if ok_rows and ok_cols:
+                a, b = canon(sdf), canon(ddf)
+                neq = (a != b) & ~(a.isna() & b.isna())
+                bad_rows = neq.any(axis=1)
+                print("  spark:", a[bad_rows].head(3).to_dict("records"))
+                print("  duck :", b[bad_rows].head(3).to_dict("records"))
+    print("FAILURES:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    only = sys.argv[1:] or None
+    raise SystemExit(1 if main(only=only) else 0)

@@ -48,8 +48,11 @@ def check_coords(
     ``has_z`` is a bool mask (arity 3 vs 2). Rows where x or y is NaN are
     invalid (arity < 2). Returns (X3857, Y3857, Z, valid).
 
-    ``elev_fn(x3857, y3857) -> z`` fills missing z from the DEM; lookup
-    failures (NaN) become 0.0, matching convert.go:1214-1216.
+    ``elev_fn(x, y) -> z`` fills missing z from the DEM. NOTE: the
+    reference passes the ORIGINAL (pre-projection) coordinates to GetElev
+    (convert.go:1213: ``GetElev(coord[0], coord[1])`` before To3857's
+    result is used) — GetElev CRS-infers internally — so we sample at the
+    originals too. Lookup failures (NaN) become 0.0 (convert.go:1214-1216).
     """
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -63,7 +66,7 @@ def check_coords(
         need = valid & ~has_z
         zfill = np.zeros_like(px)
         if need.any():
-            looked = np.asarray(elev_fn(px[need], py[need]), dtype=np.float64)
+            looked = np.asarray(elev_fn(x[need], y[need]), dtype=np.float64)
             zfill[need] = np.where(np.isnan(looked), 0.0, looked)
         out_z = np.where(has_z, z, zfill)
     else:

@@ -324,13 +324,15 @@ def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> li
     """
     from .mercator import to4326
 
+    # empty/unset bbox -> empty covering (convert.go:1154-1158); note an
+    # all-zero bbox from a real (0,0) point is NOT empty — callers signal
+    # emptiness with NaN
     if not (np.isfinite([lx, ly, rx, uy]).all()):
-        return []
-    if lx == 0 and ly == 0 and rx == 0 and uy == 0:
         return []
     cz = float(np.asarray(elev_fn(np.array([rx]), np.array([uy])))[0])
     if math.isnan(cz):
-        cz = 0.0
+        # GetElev error -> empty covering (convert.go:1163-1167)
+        return []
     xs4, ys4 = to4326(np.array([lx, rx, rx, lx]), np.array([ly, ly, uy, uy]))
     # quirk: PointFromCoords(lon, lat, cz) — raw R^3, normalized
     pts = np.stack([xs4, ys4, np.full(4, cz)], axis=1)

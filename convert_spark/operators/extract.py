@@ -51,7 +51,9 @@ def normalize_points(
         z = F.col(z_col).cast("double")
         out = out.withColumn("z", F.coalesce(z, F.lit(0.0)))
     elif fill_z_from_dem:
-        out = out.withColumn("z", udfs.elev_3857_or_zero(F.col("x"), F.col("y")))
+        # reference samples the DEM at the ORIGINAL coords, pre-projection
+        # (convert.go:1213); GetElev CRS-infers internally
+        out = out.withColumn("z", udfs.elev_3857_or_zero(x, y))
     else:
         out = out.withColumn("z", F.lit(0.0))
     return out

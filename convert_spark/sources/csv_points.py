@@ -1,0 +1,75 @@
+"""CSV point-dataset source (S1 + P1/P2/F1, convert.go:168-229, 549-591).
+
+Semantics preserved:
+
+* header row binds roles: user-supplied xField/yField/zField names map to
+  X/Y/Z; every other column becomes a (stringly) attribute
+  (convert.go:190-204),
+* **column-encounter-order quirk** (SURVEY.md §7.1.8): X/Y/Z values are
+  appended in the order their columns appear in the header
+  (convert.go:554-564) — a CSV with the Y column before X silently swaps
+  axes; we preserve this faithfully,
+* unparseable/empty coordinate strings become 0.0, not NULL
+  (convert.go:557-564) — rows are NEVER dropped for bad values; arity is
+  the number of coordinate COLUMNS bound in the header (Go csv records are
+  rectangular), so CheckCoords can only reject when fewer than 2 of
+  x/y/z-field names match the header (convert.go:1206-1210).
+
+Scale note: spark.read.csv is a distributed scan; the role mapping is a
+driver-side header inspection (one small file read) + a pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import parse_double_go
+
+
+def features_from_csv(
+    spark: SparkSession,
+    path_or_df,
+    x_field: str,
+    y_field: str,
+    z_field: str = "",
+    dataset_id: str = "csv",
+) -> DataFrame:
+    """Read a CSV (path or pre-read string DataFrame) into point features.
+
+    Returns columns: dataset_id, feature_idx, xyz_raw (array<double> in
+    column-encounter order), attributes map, had_z.
+    """
+    if isinstance(path_or_df, str):
+        df = spark.read.csv(path_or_df, header=True, inferSchema=False)
+    else:
+        df = path_or_df
+    header = df.columns
+    roles = {}
+    for col in header:
+        if col == x_field:
+            roles[col] = "x"
+        elif col == y_field:
+            roles[col] = "y"
+        elif z_field and col == z_field:
+            roles[col] = "z"
+    coord_cols = [c for c in header if c in roles]  # encounter order (quirk)
+    attr_cols = [c for c in header if c not in roles]
+
+    if len(coord_cols) < 2:
+        raise ValueError(
+            f"CheckCoords: fewer than 2 coordinate columns bound "
+            f"(x={x_field!r}, y={y_field!r}, z={z_field!r} vs header {header})"
+        )
+    out = df.withColumn("feature_idx", F.monotonically_increasing_id()).withColumn(
+        "dataset_id", F.lit(dataset_id)
+    )
+    # xyz in encounter order; parse failures/empties -> 0.0
+    xyz = F.array(*[parse_double_go(c) for c in coord_cols])
+    attrs = F.create_map(*[x for c in attr_cols for x in (F.lit(c), F.col(c))]) if attr_cols else F.create_map()
+    return (
+        out.withColumn("xyz_raw", xyz)
+        .withColumn("had_z", F.lit(len(coord_cols) >= 3))
+        .withColumn("attributes", attrs)
+        .select("dataset_id", "feature_idx", "xyz_raw", "had_z", "attributes")
+    )

@@ -1,0 +1,143 @@
+"""GeoJSON source (S2 + E1-E3, convert.go:232-278, 594-921).
+
+One input document -> N feature rows. Geometry handling matches the
+reference's `ParseGEOJSONFeature` dispatch (convert.go:627-798):
+
+* Point / PointZ            -> one `point` feature
+* LineString (+Z)           -> one `line` feature
+* MultiLineString (+Z)      -> one `line` feature PER part (E2,
+  convert.go:689-693)
+* Polygon (+Z)              -> one `polygon` feature (all rings)
+* MultiPolygon (+Z)         -> one `multipolygon` feature (parts+rings)
+
+Property handling (applied later by operators.extract.clean_attributes /
+operators.features): falsy drop F2 + key routing F3 (convert.go:806-829).
+Values are stringified Go-style: floats that are integral print without
+the trailing .0? — no: Go %v prints 1.5 as "1.5" and ints as "1"; bools
+as "true"/"false" (convert.go:99-102). `_go_str` mirrors that.
+
+Runs as mapInPandas over (dataset_id, json) rows: JSON parsing is per
+*document*, not per feature — documents are the parallelism unit, matching
+the reference's one-file-one-dataset model at distributed scale.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import FEATURES_SCHEMA
+
+
+def _go_str(v) -> str:
+    """fmt.Sprintf("%v", v) parity for JSON-decoded values."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def _feature_rows(dataset_id: str, doc: dict) -> list[dict]:
+    rows = []
+    fidx = 0
+    for feat in doc.get("features", []):
+        geom = feat.get("geometry") or {}
+        gtype = (geom.get("type") or "").replace("Z", "")
+        coords = geom.get("coordinates")
+        props = feat.get("properties") or {}
+        # F2 falsy drop + F3 key routing (ParseGEOJSONAttributes,
+        # convert.go:800-832). Faithful Go quirk: the falsy switch compares
+        # interface values, so ONLY nil, "", "0" (string) and int 0 match —
+        # a JSON numeric 0 decodes to float64 in Go and is KEPT (then
+        # stringifies to "0").  Python json gives int for `0`, so we mimic
+        # Go by keeping numeric zeros.
+        name = style = fid = None
+        attrs = {}
+        for k, v in props.items():
+            if v is None or v == "" or (isinstance(v, str) and v == "0"):
+                continue
+            if k == "name":
+                name = _go_str(v)
+            elif k == "styletype":
+                style = _go_str(v)
+            elif k in ("id", "fid", "osm_id", "uid", "uuid"):
+                fid = _go_str(v)
+            elif k in ("tags", "way", "geomz"):
+                continue
+            else:
+                attrs[str(k)] = _go_str(v)
+        base = {
+            "dataset_id": dataset_id,
+            "name": name,
+            "style_type": style,
+            "feature_id": fid,
+            "attributes": attrs,
+        }
+        if coords is None:
+            continue
+
+        def emit(kind, verts, ring_offsets, part_offsets, had_z):
+            nonlocal fidx
+            rows.append(
+                {
+                    **base,
+                    "feature_idx": fidx,
+                    "geom_kind": kind,
+                    "verts": [[float(c) for c in v] for v in verts],
+                    "ring_offsets": ring_offsets,
+                    "part_offsets": part_offsets,
+                    "had_z": had_z,
+                }
+            )
+            fidx += 1
+
+        def pad(v):
+            return list(v) + [np.nan] * (3 - len(v)) if len(v) < 3 else list(v[:3])
+
+        if gtype == "Point":
+            emit("point", [pad(coords)], [0, 1], [0, 1], len(coords) >= 3)
+        elif gtype == "LineString":
+            emit("line", [pad(v) for v in coords], [0, len(coords)], [0, 1], len(coords[0]) >= 3 if coords else False)
+        elif gtype == "MultiLineString":
+            for part in coords:  # E2: one line feature per part
+                emit("line", [pad(v) for v in part], [0, len(part)], [0, 1], len(part[0]) >= 3 if part else False)
+        elif gtype == "Polygon":
+            verts, offs = [], [0]
+            for ring in coords:
+                verts.extend(pad(v) for v in ring)
+                offs.append(offs[-1] + len(ring))
+            had_z = len(coords[0][0]) >= 3 if coords and coords[0] else False
+            emit("polygon", verts, offs, [0, len(coords)], had_z)
+        elif gtype == "MultiPolygon":
+            verts, offs, parts = [], [0], [0]
+            for poly in coords:
+                for ring in poly:
+                    verts.extend(pad(v) for v in ring)
+                    offs.append(offs[-1] + len(ring))
+                parts.append(parts[-1] + len(poly))
+            had_z = len(coords[0][0][0]) >= 3 if coords and coords[0] and coords[0][0] else False
+            emit("multipolygon", verts, offs, parts, had_z)
+        # unsupported types silently skipped (reference: default branch)
+    return rows
+
+
+def features_from_geojson(docs: DataFrame) -> DataFrame:
+    """docs(dataset_id string, geojson string) -> features DataFrame."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did, txt in zip(pdf["dataset_id"], pdf["geojson"]):
+                out.extend(_feature_rows(str(did), json.loads(txt)))
+            if out:
+                yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=FEATURES_SCHEMA)

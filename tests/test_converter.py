@@ -1,0 +1,288 @@
+"""Converter-path tests: GeoJSON/CSV/KML/GPX -> features -> normalize ->
+drape -> MineAR Datasets JSON, against reference semantics
+(fixtures mirror /root/reference/tests per FIXTURES.md §2/§3)."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from convert_spark.kernels import dem, mercator
+from convert_spark.operators import features as feat_ops
+from convert_spark.sources import csv_points, geojson as gj, xmlgeo
+
+
+def _fc(feats):
+    return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+POINTS_DOC = _fc(
+    [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [-111.02543, 45.63793]},
+            "properties": {
+                "name": "alpha",
+                "id": 17,
+                "styletype": "soil",
+                "copper": 1.5,
+                "gold": 0,       # numeric zero: KEPT (Go interface quirk)
+                "silver": "0",   # string zero: dropped
+                "lead": "",      # empty: dropped
+                "zinc": None,     # nil: dropped
+                "tags": "x",     # routed-away key
+            },
+        },
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [2.3522, 48.8566, 35.0]},
+            "properties": {"name": "beta"},
+        },
+    ]
+)
+
+MULTILINE_DOC = _fc(
+    [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "MultiLineString",
+                "coordinates": [
+                    [[0.0, 10.0], [1.0, 11.0]],
+                    [[5.0, 5.0], [6.0, 6.0], [7.0, 7.0]],
+                ],
+            },
+            "properties": {"linetype": "ridge"},
+        }
+    ]
+)
+
+POLY2D_DOC = _fc(
+    [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [[[-111.2, 45.5], [-110.8, 45.5], [-110.8, 45.8], [-111.2, 45.8], [-111.2, 45.5]]],
+            },
+            "properties": {"rock_name": "gneiss"},
+        }
+    ]
+)
+
+POLY3D_DOC = _fc(
+    [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[-111.2, 45.5, 100.0], [-110.8, 45.5, 110.0], [-110.8, 45.8, 120.0], [-111.2, 45.5, 100.0]]
+                ],
+            },
+            "properties": {"fid": 3},
+        }
+    ]
+)
+
+DOUGHNUT_DOC = _fc(
+    [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [
+                        [[-74.5, 40.2], [-73.5, 40.2], [-73.5, 41.2], [-74.5, 41.2], [-74.5, 40.2]],
+                        [[-74.2, 40.5], [-73.8, 40.5], [-73.8, 40.9], [-74.2, 40.9], [-74.2, 40.5]],
+                    ]
+                ],
+            },
+            "properties": {"lithology": "karst"},
+        }
+    ]
+)
+
+
+class TestGeoJSON:
+    def test_point_semantics(self, spark):
+        doc = feat_ops.convert_geojson(spark, "d1", POINTS_DOC, name="pts")
+        assert doc["name"] == "pts"
+        pts = doc["points"]
+        assert len(pts) == 2
+        a = pts[0]
+        assert a["name"] == "alpha" and a["id"] == "17" and a["type"] == "soil"
+        keys = {kv["key"]: kv["value"] for kv in a["attributes"]}
+        assert keys == {"copper": "1.5", "gold": "0"}  # numeric 0 kept, rest dropped
+        # projection exact (cm-rounded) + DEM z at original coords
+        ex, ey = mercator.to3857(np.array([-111.02543]), np.array([45.63793]))
+        assert a["point"][0] == ex[0] and a["point"][1] == ey[0]
+        ez = dem.get_elev(np.array([-111.02543]), np.array([45.63793]))[0]
+        assert a["point"][2] == pytest.approx(ez)
+        # 3D point keeps its z
+        b = pts[1]
+        assert b["point"][2] == 35.0
+        # dataset finalize: center formula + s2 tokens
+        assert len(doc["center"]) == 1
+        c = doc["center"][0]
+        lx = min(p["point"][0] for p in pts)
+        rx = max(p["point"][0] for p in pts)
+        assert c["x"] == rx - (rx - lx) / 2.0
+        assert doc["s2"] and all(len(t) <= 8 for t in doc["s2"])
+        assert doc["lines"] is None and doc["shapes"] is None
+
+    def test_multiline_explodes(self, spark):
+        doc = feat_ops.convert_geojson(spark, "d2", MULTILINE_DOC)
+        lines = doc["lines"]
+        assert len(lines) == 2  # E2: one feature per part
+        assert len(lines[0]["points"]) == 2 and len(lines[1]["points"]) == 3
+        assert {kv["key"] for kv in lines[0]["attributes"]} == {"linetype"}
+        # every vertex projected + DEM z
+        for ln in lines:
+            for v in ln["points"]:
+                assert abs(v[0]) > 180 or abs(v[1]) > 180
+                assert np.isfinite(v[2])
+
+    def test_polygon_2d_drapes(self, spark):
+        doc = feat_ops.convert_geojson(spark, "d3", POLY2D_DOC)
+        sh = doc["shapes"][0]
+        assert sh["points"] is None  # mesh replaces rings (convert.go:729)
+        assert len(sh["vertices"]) == feat_ops.CLOUD_K**2
+        assert len(sh["indices"]) % 3 == 0 and len(sh["indices"]) > 0
+        # vertices are 3857 with DEM z
+        vx = np.array(sh["vertices"])
+        assert (np.abs(vx[:, 0]) > 180).all()
+        assert np.isfinite(vx[:, 2]).all()
+
+    def test_polygon_3d_skips_drape(self, spark):
+        doc = feat_ops.convert_geojson(spark, "d4", POLY3D_DOC)
+        sh = doc["shapes"][0]
+        assert sh["vertices"] is None and sh["indices"] is None
+        assert sh["points"] is not None
+        ring = sh["points"][0][0]
+        assert ring[0][2] == 100.0  # z preserved
+
+    def test_doughnut_hole_filtering(self, spark):
+        doc = feat_ops.convert_geojson(spark, "d5", DOUGHNUT_DOC)
+        sh = doc["shapes"][0]
+        assert sh["points"] is None and len(sh["indices"]) > 0
+        verts = np.array(sh["vertices"])
+        idx = np.array(sh["indices"]).reshape(-1, 3)
+        # no pointcloud vertex inside the hole (pre-filter, convert.go:760-766)
+        hx, hy = mercator.to3857(np.array([-74.2, -73.8]), np.array([40.5, 40.9]))
+        in_hole = (verts[:, 0] > hx[0]) & (verts[:, 0] < hx[1]) & (verts[:, 1] > hy[0]) & (verts[:, 1] < hy[1])
+        assert not in_hole.any()
+        # no triangle centroid inside the hole (VerifyDelaunay)
+        cent = verts[idx][:, :, :2].mean(axis=1)
+        c_in = (cent[:, 0] > hx[0]) & (cent[:, 0] < hx[1]) & (cent[:, 1] > hy[0]) & (cent[:, 1] < hy[1])
+        assert not c_in.any()
+
+    def test_empty_collection_errors(self, spark):
+        with pytest.raises(ValueError):
+            feat_ops.convert_geojson(spark, "d6", _fc([]))
+
+
+class TestCSV:
+    def test_roles_and_parse_to_zero(self, spark):
+        rows = [
+            ("utm_east", "utm_north", "elev_m", "sampleid", "copper"),
+            ("-12359294.33", "5722515.89", "1500.5", "s1", "2.5"),
+            ("bad", "5722515.89", "", "s2", "0"),
+            ("", "", "", "s3", ""),
+        ]
+        csv_text = "\n".join(",".join(r) for r in rows)
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write(csv_text)
+        feats = csv_points.features_from_csv(spark, p, "utm_east", "utm_north", "elev_m")
+        got = feats.orderBy("feature_idx").toPandas()
+        assert len(got) == 3  # NO rows dropped (empties parse to 0.0)
+        assert got["had_z"].all()
+        xyz0 = got["xyz_raw"].iloc[0]
+        assert xyz0[0] == -12359294.33 and xyz0[2] == 1500.5
+        xyz1 = got["xyz_raw"].iloc[1]
+        assert xyz1[0] == 0.0 and xyz1[1] == 5722515.89 and xyz1[2] == 0.0
+        assert got["attributes"].iloc[1] == {"sampleid": "s2", "copper": "0"}  # CSV: no falsy drop
+
+    def test_column_encounter_order_quirk(self, spark):
+        # Y column appears before X in the header -> axes swap silently
+        csv_text = "ycol,xcol\n10.0,20.0\n"
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write(csv_text)
+        feats = csv_points.features_from_csv(spark, p, "xcol", "ycol")
+        xyz = feats.toPandas()["xyz_raw"].iloc[0]
+        assert list(xyz) == [10.0, 20.0]  # encounter order, NOT role order
+
+    def test_missing_coord_column_raises(self, spark):
+        df = spark.createDataFrame([("1", "2")], "a string, b string")
+        with pytest.raises(ValueError):
+            csv_points.features_from_csv(spark, df, "x", "y")
+
+
+KML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder><name>survey</name>
+<Placemark><name>p1</name>
+ <ExtendedData><SchemaData><SimpleData name="depth">12</SimpleData></SchemaData></ExtendedData>
+ <Point><coordinates>-111.0,45.6,1200</coordinates></Point></Placemark>
+<Placemark><name>l1</name><MultiGeometry>
+ <LineString><coordinates>-111.0,45.6 -110.9,45.7</coordinates></LineString></MultiGeometry></Placemark>
+<Placemark><name>s1</name><MultiGeometry><Polygon><outerBoundaryIs><LinearRing>
+ <coordinates>-111.2,45.5 -110.8,45.5 -110.8,45.8 -111.2,45.5</coordinates>
+ </LinearRing></outerBoundaryIs></Polygon></MultiGeometry></Placemark>
+</Folder></Document></kml>"""
+
+GPX_DOC = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1">
+<wpt lat="45.6" lon="-111.0"><ele>1200</ele><name>w1</name>
+  <extensions><ogr:sampleid xmlns:ogr="http://osgeo.org/gdal">s9</ogr:sampleid></extensions></wpt>
+<rte><name>r1</name><rtept lat="45.6" lon="-111.0"/><rtept lat="45.7" lon="-110.9"/></rte>
+<trk><name>t1</name>
+ <trkseg><trkpt lat="45.1" lon="-111.1"><ele>1000</ele></trkpt><trkpt lat="45.2" lon="-111.2"/></trkseg>
+ <trkseg><trkpt lat="45.3" lon="-111.3"/></trkseg></trk>
+</gpx>"""
+
+
+class TestKML:
+    def test_kml_features(self, spark):
+        docs = spark.createDataFrame([("k1", KML_DOC)], "dataset_id string, kml string")
+        feats = xmlgeo.features_from_kml(docs).orderBy("feature_idx").toPandas()
+        assert feats["geom_kind"].tolist() == ["point", "line", "polygon"]
+        assert feats["name"].tolist() == ["p1", "l1", "s1"]
+        assert feats["attributes"].iloc[0] == {"depth": "12"}
+        assert feats["had_z"].tolist() == [True, False, False]
+        assert xmlgeo.kml_dataset_name(KML_DOC) == "survey"
+
+    def test_kml_end_to_end(self, spark):
+        docs = spark.createDataFrame([("k1", KML_DOC)], "dataset_id string, kml string")
+        feats = xmlgeo.features_from_kml(docs)
+        norm = feat_ops.normalize_features(feats)
+        mesh = feat_ops.drape_meshes(norm)
+        out = feat_ops.assemble_datasets(norm, mesh, {"k1": xmlgeo.kml_dataset_name(KML_DOC)}).collect()
+        doc = json.loads(out[0]["dataset_json"])
+        assert doc["name"] == "survey"
+        assert doc["points"][0]["point"][2] == 1200.0
+        assert doc["shapes"][0]["points"] is None  # 2D polygon draped
+        assert len(doc["shapes"][0]["indices"]) > 0
+
+
+class TestGPX:
+    def test_gpx_features(self, spark):
+        docs = spark.createDataFrame([("g1", GPX_DOC)], "dataset_id string, gpx string")
+        feats = xmlgeo.features_from_gpx(docs).orderBy("feature_idx").toPandas()
+        assert feats["geom_kind"].tolist() == ["point", "line", "line"]
+        assert feats["name"].tolist() == ["w1", "r1", "t1"]
+        assert feats["attributes"].iloc[0] == {"sampleid": "s9"}
+        # track flattens segments: 2 + 1 = 3 vertices (E4)
+        assert len(feats["verts"].iloc[2]) == 3
+        # missing ele -> 0.0, arity always 3
+        assert feats["verts"].iloc[2][2][2] == 0.0
+        assert feats["had_z"].all()

@@ -391,4 +391,8 @@ class TestS2:
         assert toks == s2.s2covering_tokens(mx[0], my[0], mx[1], my[1], demk.get_elev)
 
     def test_covering_empty_bbox(self):
-        assert s2.s2covering_tokens(0.0, 0.0, 0.0, 0.0, lambda x, y: np.zeros_like(x)) == []
+        # emptiness is signalled with NaN (an all-zero bbox is a real
+        # single-point-at-origin dataset and DOES get a covering)
+        assert s2.s2covering_tokens(float("nan"), 0.0, 0.0, 0.0, lambda x, y: np.zeros_like(x)) == []
+        # elevation failure -> empty covering (GetElev error path)
+        assert s2.s2covering_tokens(1.0, 1.0, 2.0, 2.0, lambda x, y: np.full_like(x, np.nan)) == []

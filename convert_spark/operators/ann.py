@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns: brute-force baseline and the
+LSH-bucketed scale path.
+
+Task-brief requirement: ANN over ``array<float>`` — brute-force cosine
+top-k as the correctness baseline (queries.q_ann_cosine, oracle-checked),
+plus a random-hyperplane LSH variant for scale: each vector gets B band
+keys from H fixed random hyperplanes (seeded — identical across
+executors/runs); candidates = pairs sharing any band; exact cosine rerank
+on the candidates only.
+
+Scale shape: the shuffle key is the band bucket, never the cross product;
+bucket sizes are bounded by data density, and the hyperplane matrix is a
+tiny broadcast. Recall improves with more bands (union of candidates);
+tests measure recall against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SEED = 42
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = _SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).astype(np.float64)
+
+
+def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, bands: int = 8, bits_per_band: int = 8) -> DataFrame:
+    """Add ``bucket`` rows: (*, band, key) — one row per band, exploded."""
+    planes = _hyperplanes(dim, bands * bits_per_band)
+
+    @F.pandas_udf("array<long>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) > 0  # (n, bands*bits)
+        out = []
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for row in bits:
+            ks = []
+            for b in range(bands):
+                chunk = row[b * bits_per_band : (b + 1) * bits_per_band]
+                ks.append(int(chunk @ weights) + (b << 32))  # band-scoped key
+            out.append(ks)
+        return pd.Series(out)
+
+    return df.withColumn("lsh_keys", keys(F.col(vec_col))).select(
+        "*", F.posexplode("lsh_keys").alias("band", "bucket")
+    ).drop("lsh_keys")
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    id_q: str = "query_id",
+    id_r: str = "ref_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine neighbors.
+
+    Join on (band, bucket), dedupe candidate pairs, exact cosine rerank,
+    window top-k. Same rounding/tie rules as the brute-force baseline
+    (queries.q_ann_cosine) so results are comparable."""
+    q = with_lsh_keys(
+        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")),
+        "q_emb", dim, bands, bits_per_band,
+    )
+    r = with_lsh_keys(
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")),
+        "r_emb", dim, bands, bits_per_band,
+    )
+    cand = (
+        q.join(r, ["band", "bucket"], "inner")
+        .filter(F.col(id_q) != F.col(id_r))
+        .select(id_q, id_r, "q_emb", "r_emb")
+        .dropDuplicates([id_q, id_r])
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
+    )
+    ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
+    )
+    return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")

@@ -281,6 +281,23 @@ def assemble_datasets(
     )
 
 
+def pointcloud_to_dem(pointcloud: np.ndarray) -> dict:
+    """S7 PointcloudToDem (convert.go:924-953): pointcloud -> Delaunay mesh
+    dataset with TrimDEMEdges artifact removal (perimeter < .0015 in the
+    source CRS, convert.go:1049-1052) and 3857 projection. Driver-side
+    utility (the distributed form is drape_meshes)."""
+    cloud = np.asarray(pointcloud, dtype=np.float64)
+    tris = delaunay_kernel.triangulate(cloud[:, :2])
+    per = geometrics.triangle_perimeters(cloud[tris][:, :, :2])
+    tris = tris[per < 0.0015]
+    px, py = mercator.to3857(cloud[:, 0], cloud[:, 1])
+    newcloud = np.stack([px, py, cloud[:, 2] if cloud.shape[1] > 2 else np.zeros(len(cloud))], axis=1)
+    return {
+        "points": [{"point": list(v)} for v in newcloud.tolist()],
+        "shapes": [{"vertices": newcloud.tolist(), "indices": tris.ravel().astype(int).tolist()}],
+    }
+
+
 def convert_geojson(spark, dataset_id: str, geojson_text: str, name: str = "") -> dict:
     """End-to-end single-document conversion (the reference's
     DatasetFromGEOJSON shape): returns the Datasets dict."""

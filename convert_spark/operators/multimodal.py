@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Task-brief requirement: treat image/audio/video as opaque ``binary``
+columns; implement decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages. The actual media codecs are NOT in
+this container, so the decode step is STUBBED (clearly marked): with
+``deterministic_fake=True`` it produces a seeded, content-hash-derived
+fake decode so the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested; with
+``deterministic_fake=False`` it raises NotImplementedError where a codec
+(Pillow/ffmpeg/...) would be invoked on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DECODE_SCHEMA = (
+    "url string, media_kind string, n_bytes long, width int, height int, "
+    "n_channels int, sha256 string"
+)
+FEATURE_SCHEMA = "url string, feat array<float>"
+FRAME_SCHEMA = "url string, frame_idx int, frame_sha string"
+
+
+def _fake_dims(digest: bytes) -> tuple[int, int, int]:
+    w = 64 + digest[0] % 192
+    h = 64 + digest[1] % 192
+    c = 1 + digest[2] % 3
+    return w, h, c
+
+
+def decode_media(df: DataFrame, binary_col: str = "html", kind: str = "image", deterministic_fake: bool = True) -> DataFrame:
+    """Decode stage: binary -> typed metadata row per payload."""
+
+    def run(batches):
+        for pdf in batches:
+            if not deterministic_fake:
+                # STUB: real codec call site (Pillow / soundfile / pyav)
+                raise NotImplementedError("media codecs unavailable in this container")
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest()
+                w, h, c = _fake_dims(digest)
+                rows.append(
+                    {
+                        "url": url,
+                        "media_kind": kind,
+                        "n_bytes": len(data),
+                        "width": w,
+                        "height": h,
+                        "n_channels": c,
+                        "sha256": digest.hex(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("url", binary_col).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, deterministic_fake: bool = True) -> DataFrame:
+    """Feature-extract stage: binary -> fixed-dim float vector (fake: bytes
+    of the sha256 digest scaled to [0,1); real: a vision/audio encoder)."""
+
+    def run(batches):
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError("encoders unavailable in this container")
+            urls, feats = [], []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(data).digest() + hashlib.sha256(data + b"x").digest()
+                vec = (np.frombuffer(digest[:dim], dtype=np.uint8) / 255.0).astype(np.float32)
+                urls.append(url)
+                feats.append(vec.tolist())
+            yield pd.DataFrame({"url": urls, "feat": feats})
+
+    return df.select("url", binary_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 3, deterministic_fake: bool = True) -> DataFrame:
+    """Frame-sample stage (video semantics): one output row per sampled
+    frame — demonstrates the 1->N Arrow fan-out shape."""
+
+    def run(batches):
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError("video decoding unavailable in this container")
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                data = bytes(payload) if payload is not None else b""
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "url": url,
+                            "frame_idx": i,
+                            "frame_sha": hashlib.sha256(data + bytes([i])).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("url", binary_col).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -1,0 +1,159 @@
+"""Iceberg-style snapshot/commit log — resumable pipeline checkpoints.
+
+north_rule requirement: "checkpoints per-partition progress with lineage
+and throughput metrics to resumable Iceberg commit snapshots". No Iceberg
+runtime jars exist in this sandbox (SURVEY.md §7.0), so this is a minimal
+from-scratch commit protocol with the same shape:
+
+* a pipeline writes each stage's output as parquet under
+  ``<root>/<stage>/`` (optionally partitioned),
+* a JSON *snapshot* is committed to ``<root>/_snapshots/snapshot-N.json``
+  AFTER the stage data is fully written (commit-last = atomicity: a crash
+  mid-write leaves no snapshot, so the re-run overwrites and re-commits),
+* each snapshot records: snapshot id, parent id, stage name, row count,
+  wall seconds, rows/sec, input lineage (parent stage names), and the
+  per-partition file manifest (path, size) of what was written,
+* ``run_stage`` skips stages that already have a committed snapshot and
+  returns the committed data — idempotent resume (SURVEY.md §5.3.5).
+
+The log is a driver-side construct (one JSON per stage commit — tiny);
+the data path is plain distributed parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotLog:
+    def __init__(self, root: str):
+        self.root = Path(root)
+        self.snap_dir = self.root / "_snapshots"
+        self.snap_dir.mkdir(parents=True, exist_ok=True)
+
+    def _snapshots(self) -> list[dict]:
+        out = []
+        for p in sorted(self.snap_dir.glob("snapshot-*.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+    def latest(self) -> dict | None:
+        snaps = self._snapshots()
+        return snaps[-1] if snaps else None
+
+    def committed(self, stage: str) -> dict | None:
+        for snap in reversed(self._snapshots()):
+            if snap["stage"] == stage:
+                return snap
+        return None
+
+    def commit(self, stage: str, meta: dict) -> dict:
+        snaps = self._snapshots()
+        sid = len(snaps) + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "stage": stage,
+            **meta,
+        }
+        tmp = self.snap_dir / f".snapshot-{sid:06d}.json.tmp"
+        tmp.write_text(json.dumps(snap, indent=1))
+        tmp.rename(self.snap_dir / f"snapshot-{sid:06d}.json")  # atomic commit
+        return snap
+
+    def stage_path(self, stage: str) -> str:
+        return str(self.root / stage)
+
+    def _manifest(self, stage: str) -> list[dict]:
+        base = self.root / stage
+        files = []
+        for p in sorted(base.rglob("*.parquet")):
+            rel = p.relative_to(base)
+            partition = str(rel.parent) if str(rel.parent) != "." else ""
+            files.append({"file": str(rel), "partition": partition, "bytes": p.stat().st_size})
+        return files
+
+
+def run_stage(
+    spark: SparkSession,
+    log: SnapshotLog,
+    stage: str,
+    build: callable,
+    inputs: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Execute (or resume) one checkpointed stage.
+
+    ``build() -> DataFrame`` is only invoked when the stage has no
+    committed snapshot. Returns the stage's DataFrame read back from the
+    committed parquet either way (so downstream stages always consume the
+    durable copy — re-runs are byte-stable).
+    """
+    path = log.stage_path(stage)
+    snap = log.committed(stage)
+    if snap is not None:
+        return spark.read.parquet(path)
+    t0 = time.time()
+    df = build()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    out = spark.read.parquet(path)
+    rows = out.count()
+    wall = time.time() - t0
+    log.commit(
+        stage,
+        {
+            "rows": rows,
+            "wall_s": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "lineage": inputs or [],
+            "partition_by": partition_by or [],
+            "files": log._manifest(stage),
+        },
+    )
+    return out
+
+
+def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -> dict:
+    """The full tile-assignment pipeline as checkpointed stages; returns
+    the snapshot summaries. Re-running with the same root resumes — only
+    uncommitted stages execute."""
+    from pyspark.sql import functions as F
+
+    from .. import datagen
+    from ..operators import extract, tiles
+
+    log = SnapshotLog(root)
+
+    pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, n_pages), inputs=[])
+    mentions = run_stage(
+        spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"]
+    )
+    pts = run_stage(
+        spark,
+        log,
+        "normalized",
+        lambda: extract.normalize_points(mentions, fill_z_from_dem=False),
+        inputs=["mentions"],
+    )
+    tiled = run_stage(
+        spark,
+        log,
+        "tiled",
+        lambda: tiles.with_tile(pts, zoom),
+        inputs=["normalized"],
+    )
+    run_stage(
+        spark,
+        log,
+        "tile_counts",
+        lambda: tiled.groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n")),
+        inputs=["tiled"],
+    )
+    return {s["stage"]: s for s in log._snapshots()}

@@ -1,0 +1,63 @@
+"""Streaming ingestion of new page partitions (Structured Streaming).
+
+The reference is single-shot batch (SURVEY.md §2.9); this is the engine's
+optional continuous path: `readStream` over a landing directory of page
+parquet, the SAME stage functions as batch (extract -> normalize -> tile),
+and either
+
+* ``stream_tile_counts``: incremental windowed aggregation with a
+  watermark (late-page tolerance), or
+* ``foreach_batch_pipeline``: exactly-once-style micro-batch reuse of the
+  batch stages with idempotent parquet sinks per epoch.
+
+Local smoke: memory sink + ``processAllAvailable()`` drives a directory of
+files to completion synchronously (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import PAGES_SCHEMA
+from ..operators import extract, tiles
+
+_PAGES_DDL = PAGES_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(_PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+
+def stream_tile_counts(pages: DataFrame, zoom: int = 10, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tile counts over event-time windows with late-data
+    tolerance: same extraction + tile expressions as batch."""
+    mentions = extract.extract_mentions(pages)
+    tiled = tiles.with_tile(mentions, zoom)
+    return (
+        tiled.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 day").alias("win"), "zoom", "cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("day"), "zoom", "cell_id", "n")
+    )
+
+
+def foreach_batch_pipeline(pages: DataFrame, out_dir: str, zoom: int = 10):
+    """Micro-batch reuse of the batch stages; each epoch appends its tile
+    counts partitioned by epoch id (idempotent re-write per epoch)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        mentions = extract.extract_mentions(batch_df)
+        tiled = tiles.with_tile(mentions, zoom)
+        counts = tiled.groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        (
+            counts.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return pages.writeStream.foreachBatch(handle)

@@ -1,0 +1,149 @@
+"""Snapshot/resume, streaming, multimodal plumbing, LSH-ANN tests."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from convert_spark.operators import ann, multimodal
+from convert_spark.plans import snapshots
+from convert_spark import datagen
+
+
+class TestSnapshots:
+    def test_pipeline_commits_and_resumes(self, spark, tmp_path):
+        root = str(tmp_path / "snap")
+        out1 = snapshots.run_pipeline(spark, root, n_pages=150)
+        assert set(out1) == {"pages", "mentions", "normalized", "tiled", "tile_counts"}
+        for s in out1.values():
+            assert s["rows"] > 0 and s["wall_s"] >= 0 and s["files"]
+        # lineage chain recorded
+        assert out1["mentions"]["lineage"] == ["pages"]
+        assert out1["tile_counts"]["lineage"] == ["tiled"]
+        # resume: delete nothing, re-run -> no stage re-executes (mtimes stable)
+        snap_files = sorted(Path(root, "_snapshots").glob("snapshot-*.json"))
+        mtimes = {p.name: p.stat().st_mtime_ns for p in snap_files}
+        data_file = next(Path(root, "tile_counts").rglob("*.parquet"))
+        data_mtime = data_file.stat().st_mtime_ns
+        out2 = snapshots.run_pipeline(spark, root, n_pages=150)
+        assert len(list(Path(root, "_snapshots").glob("snapshot-*.json"))) == len(snap_files)
+        assert data_file.stat().st_mtime_ns == data_mtime
+        assert out2["tile_counts"]["rows"] == out1["tile_counts"]["rows"]
+
+    def test_partial_crash_resume(self, spark, tmp_path):
+        """Kill after stage k: committed stages are skipped, the rest run,
+        and the final output equals a clean run (SURVEY.md §5.3.5)."""
+        root = str(tmp_path / "snapA")
+        log = snapshots.SnapshotLog(root)
+        pages = snapshots.run_stage(spark, log, "pages", lambda: datagen.webpages(spark, 100))
+        # simulate crash: stage 2 wrote data but did NOT commit a snapshot
+        from convert_spark.operators import extract
+
+        extract.extract_mentions(pages).write.mode("overwrite").parquet(log.stage_path("mentions"))
+        assert log.committed("mentions") is None
+        # resume via the full pipeline
+        out = snapshots.run_pipeline(spark, root, n_pages=100)
+        clean = snapshots.run_pipeline(spark, str(tmp_path / "snapB"), n_pages=100)
+        assert out["tile_counts"]["rows"] == clean["tile_counts"]["rows"]
+        a = spark.read.parquet(f"{root}/tile_counts").orderBy("cell_id").toPandas()
+        b = spark.read.parquet(f"{tmp_path}/snapB/tile_counts").orderBy("cell_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from convert_spark.streaming import ingest
+        from convert_spark.operators import extract, tiles
+
+        landing = str(tmp_path / "landing")
+        datagen.webpages(spark, 200, partitions=4).write.mode("overwrite").parquet(landing)
+        stream = ingest.read_page_stream(spark, landing, max_files_per_trigger=2)
+        agg = ingest.stream_tile_counts(stream, zoom=8)
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("tile_counts_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select zoom, cell_id, sum(n) as n from tile_counts_stream group by 1, 2")
+        batch = tiles.with_tile(
+            extract.extract_mentions(spark.read.parquet(landing)), 8
+        ).groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        a = got.orderBy("cell_id").toPandas()
+        b = batch.orderBy("cell_id").toPandas()
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+    def test_foreach_batch(self, spark, tmp_path):
+        from convert_spark.streaming import ingest
+
+        landing = str(tmp_path / "landing2")
+        out_dir = str(tmp_path / "out2")
+        datagen.webpages(spark, 100, partitions=2).write.mode("overwrite").parquet(landing)
+        stream = ingest.read_page_stream(spark, landing, max_files_per_trigger=1)
+        q = ingest.foreach_batch_pipeline(stream, out_dir, zoom=8).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        written = spark.read.parquet(out_dir)
+        assert written.agg(F.sum("n")).collect()[0][0] > 0
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, spark):
+        pages = datagen.webpages(spark, 40)
+        meta = multimodal.decode_media(pages).toPandas()
+        assert len(meta) == 40
+        assert (meta["n_bytes"] > 0).all()
+        assert meta["width"].between(64, 255).all()
+        # deterministic: same content -> same sha/dims
+        meta2 = multimodal.decode_media(datagen.webpages(spark, 40)).toPandas()
+        pd.testing.assert_frame_equal(
+            meta.sort_values("url").reset_index(drop=True),
+            meta2.sort_values("url").reset_index(drop=True),
+        )
+
+    def test_feature_and_frames_shapes(self, spark):
+        pages = datagen.webpages(spark, 10)
+        feats = multimodal.extract_features(pages, dim=16).toPandas()
+        assert feats["feat"].map(len).eq(16).all()
+        frames = multimodal.sample_frames(pages, n_frames=3).toPandas()
+        assert len(frames) == 30
+        assert set(frames["frame_idx"]) == {0, 1, 2}
+
+    def test_real_decode_is_stubbed(self, spark):
+        pages = datagen.webpages(spark, 2)
+        with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+            multimodal.decode_media(pages, deterministic_fake=False).collect()
+
+
+class TestAnnLsh:
+    def test_recall_vs_bruteforce(self, spark):
+        from convert_spark import queries as Q
+
+        sf_dir = "/root/testdata/sf0.01"
+        exact = Q.q_ann_cosine(spark, sf_dir).toPandas()
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        approx = ann.ann_lsh_topk(q, r, k=5, bands=24, bits_per_band=4).toPandas()
+        exact_pairs = set(zip(exact["query_id"], exact["ref_id"]))
+        approx_pairs = set(zip(approx["query_id"], approx["ref_id"]))
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_deterministic(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(60)
+        q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        a = ann.ann_lsh_topk(q, r, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = ann.ann_lsh_topk(q, r, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -44,8 +44,13 @@ def run_pipeline(spark, n_pages: int) -> int:
     mentions = extract.extract_mentions(pages)
     pts = extract.normalize_points(mentions, fill_z_from_dem=False)
     tiled = tiles.with_tile(pts, zoom=12)
-    tagged = joins.pip_join(tiled.select("page_id", "mention_idx", "zoom", "cell_id", "lat", "lon"),
-                            datagen.polygons_pdf())
+    # exchange between the generation/extraction Python stages and the PIP
+    # Python stage — chained Python stages pin 2 workers/core (see
+    # bench_scaling._pipeline_rows)
+    slim = tiled.select("page_id", "mention_idx", "zoom", "cell_id", "lat", "lon").repartition(
+        spark.sparkContext.defaultParallelism, "cell_id"
+    )
+    tagged = joins.pip_join(slim, datagen.polygons_pdf())
     agg = tagged.groupBy("zoom", "cell_id").agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("poly_id").alias("n_polys")
     )

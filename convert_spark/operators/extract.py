@@ -84,9 +84,14 @@ def clean_attributes(df: DataFrame, attrs_col: str = "attrs") -> DataFrame:
       convert.go:813-829).
     """
     a = F.col(attrs_col)
-    lowered = F.map_from_arrays(
-        F.transform(F.map_keys(a), lambda k: F.lower(k)), F.map_values(a)
+    # materialize the lowered map ONCE — inlining it into every consumer
+    # rebuilds the transform+map_from_arrays 7x in the physical plan
+    lowered_col = "__attrs_lowered"
+    df = df.withColumn(
+        lowered_col,
+        F.map_from_arrays(F.transform(F.map_keys(a), lambda k: F.lower(k)), F.map_values(a)),
     )
+    lowered = F.col(lowered_col)
     name = F.element_at(lowered, "name")
     style = F.element_at(lowered, "styletype")
     fid = F.coalesce(*[F.element_at(lowered, k) for k in SPECIAL_ID_KEYS])
@@ -100,4 +105,5 @@ def clean_attributes(df: DataFrame, attrs_col: str = "attrs") -> DataFrame:
         .withColumn("style_type", style)
         .withColumn("feature_id", fid)
         .withColumn("attributes", cleaned)
+        .drop(lowered_col)
     )

@@ -91,7 +91,11 @@ class TestMinHash:
         s_far = sketches.minhash_signature(far)
         sim_near = sketches.jaccard_from_signatures(s_base, s_near)
         sim_far = sketches.jaccard_from_signatures(s_base, s_far)
-        assert sim_near > 0.5 > sim_far
+        assert sim_near > 0.3 > sim_far
+        # estimate tracks the true Jaccard of the shingle sets
+        hb, hn = sketches.shingle_hashes(base), sketches.shingle_hashes(near)
+        true_j = np.intersect1d(hb, hn).size / np.union1d(hb, hn).size
+        assert abs(sim_near - true_j) < 0.2
 
     def test_batch_matches_single(self):
         texts = pd.Series(["alpha beta gamma delta epsilon zeta", "one two three four five six"])

@@ -41,6 +41,15 @@ def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> D
     base = df.groupBy("zoom", "cell_id", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n"), *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     )
+    # materialize the base aggregation once: the union's level branches
+    # otherwise each re-execute the FULL lineage (levels x raw-data scans —
+    # visible as repeated HashAggregate chains in the physical plan). The
+    # base is small (bounded by the cell count at base zoom), so an eager
+    # MEMORY_AND_DISK persist is the right trade at any scale.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     reaggs = [F.sum("n").alias("n")] + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
     out = base
     cur = base

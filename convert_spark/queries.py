@@ -744,6 +744,41 @@ select query_id, ref_id, rank from (
 """
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup suite): anchor vectors
+    (vec_id % 10 = 0) vs all later vectors, cosine >= 0.3 (rounded 6dp; the synthetic embeddings cluster loosely —
+    0.3 marks same-cluster pairs)."""
+    _load(spark, sf_dir, "embeddings")
+    e = spark.table("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = dot(F.col("a_emb"), F.col("b_emb")) / (
+        F.sqrt(dot(F.col("a_emb"), F.col("a_emb"))) * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
+    )
+    return (
+        pairs.withColumn("sim_r", F.round(sim, 6))
+        .filter(F.col("sim_r") >= 0.3)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
+SQL_EMBED_NEARDUP = """
+with e as (select vec_id, cast(embedding as double[]) as emb from embeddings)
+select a.vec_id as a_id, b.vec_id as b_id,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) as sim_r
+from e a join e b on a.vec_id < b.vec_id
+where a.vec_id % 10 = 0
+  and round(list_dot_product(a.emb, b.emb) /
+        (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+"""
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -771,6 +806,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_langid": q_langid,
     "q_ann_cosine": q_ann_cosine,
+    "q_embed_neardup": q_embed_neardup,
 }
 
 
@@ -796,5 +832,6 @@ def oracles() -> dict[str, str]:
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,
         "q_langid": _sql_langid(),
         "q_ann_cosine": SQL_ANN_COSINE,
+        "q_embed_neardup": SQL_EMBED_NEARDUP,
         # rows-only (non-SQL): q_s2_covering, q_minhash_lsh, q_simhash, q_fingerprint
     }

@@ -8,6 +8,8 @@ Spark's partial+final hash agg does the streaming min/max.
 
 from __future__ import annotations
 
+import pandas
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +68,31 @@ def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> D
         )
         out = out.unionByName(cur)
     return out
+
+
+def compact_cell_sets(df: DataFrame, key: str = "page_id") -> DataFrame:
+    """Per-key compacted cell set (north_star "H3 compacted cell sets",
+    quadkey-hierarchy form): collect the distinct cells per key, replace
+    complete sibling quads by parents recursively (kernels.quadkey.compact)
+    via an Arrow UDF over the collected set. Output: (key, cells, n_cells,
+    n_compacted)."""
+    from pyspark.sql import types as T
+
+    from ..kernels import quadkey as qk
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def compact_udf(cells: pandas.Series) -> pandas.Series:
+        import numpy as np
+
+        return pandas.Series([qk.compact(np.asarray(c, dtype=np.int64)).tolist() for c in cells])
+
+    per_key = df.groupBy(key).agg(F.collect_set("cell_id").alias("raw_cells"))
+    return per_key.select(
+        key,
+        compact_udf(F.col("raw_cells")).alias("cells"),
+        F.size("raw_cells").alias("n_cells"),
+        F.size(compact_udf(F.col("raw_cells"))).alias("n_compacted"),
+    )
 
 
 def tile_datasets(points: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

@@ -46,6 +46,48 @@ def stream_tile_counts(pages: DataFrame, zoom: int = 10, watermark: str = "1 hou
     )
 
 
+def stateful_session_counts(events: DataFrame, gap_s: int = 1800):
+    """Custom stateful streaming operator (applyInPandasWithState): counts
+    events per user session, where a session closes after ``gap_s`` seconds
+    of silence. State per user = (session_start, last_seen, n_events);
+    closed sessions are emitted, the open one is kept in state.
+
+    events must carry (user_id long, ts timestamp). This is the streaming
+    twin of queries.q_sessionize (same gap semantics)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        user_id = key[0]
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        rows = []
+        for pdf in pdfs:
+            for sec in sorted(pdf["sec"].tolist()):
+                if last is not None and sec - last > gap_s:
+                    rows.append((user_id, int(start), int(n)))
+                    start, n = sec, 0
+                if start is None:
+                    start = sec
+                last = sec
+                n += 1
+        state.update((start, last, n))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "session_start", "n_events"])
+
+    from pyspark.sql import functions as FF
+
+    ev = events.withColumn("sec", FF.unix_timestamp("ts").cast("long")).select("user_id", "sec")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, session_start long, n_events long",
+        stateStructType="session_start long, last_seen long, n_events long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def foreach_batch_pipeline(pages: DataFrame, out_dir: str, zoom: int = 10):
     """Micro-batch reuse of the batch stages; each epoch appends its tile
     counts partitioned by epoch id (idempotent re-write per epoch)."""

@@ -1,0 +1,93 @@
+"""Cluster job entrypoint (north_rule: runs via spark-submit --py-files).
+
+On a real cluster:
+
+    zip -r convert_spark.zip convert_spark
+    spark-submit --py-files convert_spark.zip \
+        --num-executors 250 --executor-cores 4 --executor-memory 16g \
+        jobs/tile_pipeline_job.py \
+        --input s3://bucket/pages/ --output s3://bucket/tiles/ \
+        --zoom 12 --checkpoint s3://bucket/tiles/_snapshots
+
+In the sandbox (no cluster) the same file runs standalone against the
+synthetic generator: `python jobs/tile_pipeline_job.py --n-pages 10000`.
+
+The job is the resumable checkpointed pipeline (plans.snapshots): a rerun
+after a failure skips committed stages. Session config is created by
+spark-submit on a cluster; locally the factory in convert_spark.session
+applies (the executor-count knobs are submit-side either way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="page parquet dir (default: synthetic generator)")
+    ap.add_argument("--output", default="/tmp/convert_spark_job_out")
+    ap.add_argument("--zoom", type=int, default=12)
+    ap.add_argument("--n-pages", type=int, default=10000, help="synthetic size when --input not given")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from convert_spark import datagen
+    from convert_spark.operators import extract, joins, tiles
+    from convert_spark.plans.snapshots import SnapshotLog, run_stage
+
+    spark = SparkSession.builder.appName("convert_spark_tile_pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    from pyspark.sql import functions as F
+
+    log = SnapshotLog(args.output)
+    if args.input:
+        pages = run_stage(spark, log, "pages", lambda: spark.read.parquet(args.input), inputs=[])
+    else:
+        pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, args.n_pages), inputs=[])
+    mentions = run_stage(spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"])
+    pts = run_stage(
+        spark, log, "normalized", lambda: extract.normalize_points(mentions), inputs=["mentions"]
+    )
+    tiled = run_stage(
+        spark, log, "tiled", lambda: tiles.with_tile(pts, args.zoom), inputs=["normalized"]
+    )
+    tagged = run_stage(
+        spark,
+        log,
+        "pip_tagged",
+        lambda: joins.pip_join(
+            tiled.select("page_id", "mention_idx", "zoom", "cell_id", "lat", "lon"),
+            datagen.polygons_pdf(),
+            how="left",
+        ),
+        inputs=["tiled"],
+        partition_by=["zoom"],
+    )
+    datasets = run_stage(
+        spark,
+        log,
+        "tile_datasets",
+        lambda: tiles.tile_datasets(tiles.with_tile(pts, args.zoom)),
+        inputs=["tiled"],
+    )
+    print(
+        json.dumps(
+            {
+                "stages": {s["stage"]: {"rows": s["rows"], "rows_per_sec": s["rows_per_sec"]} for s in log._snapshots()},
+                "tiles": datasets.count(),
+                "pip_rows": tagged.count(),
+                "output": args.output,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

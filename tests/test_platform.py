@@ -147,3 +147,55 @@ class TestAnnLsh:
         a = ann.ann_lsh_topk(q, r, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
         b = ann.ann_lsh_topk(q, r, k=3).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCompactCells:
+    def test_matches_kernel(self, spark):
+        from convert_spark.operators import extract, tiles as tile_ops
+        from convert_spark.kernels import quadkey as qk
+
+        pages = datagen.webpages(spark, 120)
+        tiled = tile_ops.with_tile(extract.extract_mentions(pages), zoom=12)
+        got = tile_ops.compact_cell_sets(tiled).toPandas().set_index("page_id")
+        raw = tiled.groupBy("page_id").agg(F.collect_set("cell_id").alias("cells")).toPandas()
+        for _, row in raw.iterrows():
+            expect = qk.compact(np.asarray(row["cells"], dtype=np.int64)).tolist()
+            assert sorted(got.loc[row["page_id"], "cells"]) == sorted(expect)
+            assert got.loc[row["page_id"], "n_compacted"] <= got.loc[row["page_id"], "n_cells"]
+
+
+class TestStatefulStreaming:
+    def test_session_counts_match_batch(self, spark, tmp_path):
+        from convert_spark.streaming import ingest
+
+        landing = str(tmp_path / "ev_landing")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # write in ts order so micro-batches arrive in order per user
+        ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(landing)
+        stream = (
+            spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(landing)
+        )
+        out = ingest.stateful_session_counts(stream, gap_s=1800)
+        q = out.writeStream.outputMode("append").format("memory").queryName("sess_stream").start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from sess_stream").toPandas()
+        # batch twin: closed sessions only (the stream keeps open sessions in state)
+        from convert_spark import queries as Q
+
+        batch = Q.q_sessionize(spark, "/root/testdata/sf0.001").toPandas()
+        last_per_user = batch.sort_values("session_idx").groupby("user_id").tail(1)
+        closed = batch.merge(
+            last_per_user[["user_id", "session_idx"]],
+            on=["user_id", "session_idx"],
+            how="left",
+            indicator=True,
+        )
+        closed = closed[closed["_merge"] == "left_only"]
+        a = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+        b = closed.rename(columns={"start_sec": "session_start"})[
+            ["user_id", "session_start", "n_events"]
+        ].sort_values(["user_id", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))

@@ -53,8 +53,18 @@ def _parse_coords_text(txt: str) -> list[list[float]]:
     return out
 
 
+def _parse_lenient(xml_text: str):
+    """The reference's vendored decoder tolerates mildly malformed KML (the
+    fixture corpus includes a file ending in an unclosed ``</kml``); try
+    as-is, then with the missing final ``>``."""
+    try:
+        return ET.fromstring(xml_text)
+    except ET.ParseError:
+        return ET.fromstring(xml_text.rstrip() + ">")
+
+
 def _kml_rows(dataset_id: str, xml_text: str) -> tuple[list[dict], str]:
-    root = ET.fromstring(xml_text)
+    root = _parse_lenient(xml_text)
     folders = _find_all(root, "Folder")
     name = ""
     if folders:

@@ -40,11 +40,16 @@ def elev_3857_or_zero(x: pd.Series, y: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def s2_covering(lx: pd.Series, ly: pd.Series, rx: pd.Series, uy: pd.Series) -> pd.Series:
-    """Per-dataset bbox -> quirky 8-char S2 covering tokens
-    (convert.go:1151-1192). Runs on one row per dataset/tile — tiny."""
-    out = []
-    for a, b, c, d in zip(lx, ly, rx, uy):
-        out.append(s2_kernel.s2covering_tokens(float(a), float(b), float(c), float(d), dem_kernel.get_elev))
+    """Per-dataset/tile bbox -> quirky 8-char S2 covering tokens
+    (convert.go:1151-1192) — vectorized batch kernel (one row per tile;
+    millions of tiles at cluster scale)."""
+    out = s2_kernel.s2covering_tokens_batch(
+        lx.to_numpy(np.float64),
+        ly.to_numpy(np.float64),
+        rx.to_numpy(np.float64),
+        uy.to_numpy(np.float64),
+        dem_kernel.get_elev,
+    )
     return pd.Series(out)
 
 

@@ -174,6 +174,32 @@ def token(cid) -> str:
     return s if s else "X"
 
 
+def face_ij_of_vec(cids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized inverse of cellid_from_face_ij for leaf cells."""
+    c = np.asarray(cids, dtype=np.uint64)
+    face = (c >> np.uint64(POS_BITS)).astype(np.int64)
+    bits = face & _SWAP
+    i = np.zeros_like(face)
+    j = np.zeros_like(face)
+    for k in range(7, -1, -1):
+        nbits = _LOOKUP_BITS if k != 7 else (MAX_LEVEL - 7 * _LOOKUP_BITS)
+        mask = (1 << (2 * nbits)) - 1
+        bits += ((c >> np.uint64(k * 2 * _LOOKUP_BITS + 1)).astype(np.int64) & mask) << 2
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+    return face, i, j
+
+
+def parent_at_vec(cid: np.ndarray, level: np.ndarray) -> np.ndarray:
+    """parent_at with a per-row level array."""
+    c = np.asarray(cid, dtype=np.uint64)
+    lv = np.asarray(level, dtype=np.uint64)
+    new_lsb = np.uint64(1) << (np.uint64(2) * (np.uint64(MAX_LEVEL) - lv))
+    return (c & (~(new_lsb - np.uint64(1)))) | new_lsb
+
+
 def face_ij_of(cid: int) -> tuple[int, int, int]:
     """Scalar inverse: leaf-ish cell id -> (face, i, j) (orientation dropped)."""
     c = int(cid)
@@ -313,6 +339,112 @@ def loop_cap_bound(points: np.ndarray) -> tuple[np.ndarray, float]:
     if ang < pole_angle:
         return center, ang
     return pole, pole_angle
+
+
+def vertex_neighbors_vec(cids: np.ndarray, levels: np.ndarray) -> list[list[int]]:
+    """Vectorized VertexNeighbors over (leaf cell, level) rows.
+
+    Same-face neighbors are computed fully vectorized; the rare rows whose
+    neighbor crosses a face boundary fall back to the scalar path."""
+    c = np.asarray(cids, dtype=np.uint64)
+    lv = np.asarray(levels, dtype=np.int64)
+    f, i, j = face_ij_of_vec(c)
+    half = np.int64(1) << (MAX_LEVEL - (lv + 1))
+    size = half << 1
+    ioff = np.where((i & half) != 0, size, -size)
+    isame = np.where((i & half) != 0, (i + size) < MAX_SIZE, (i - size) >= 0)
+    joff = np.where((j & half) != 0, size, -size)
+    jsame = np.where((j & half) != 0, (j + size) < MAX_SIZE, (j - size) >= 0)
+    wrap = ~(isame & jsame)
+    out: list[list[int]] = [None] * c.size  # type: ignore[list-item]
+    ok = ~wrap
+    if ok.any():
+        base = parent_at_vec(c[ok], lv[ok])
+        n_i = parent_at_vec(cellid_from_face_ij(f[ok], i[ok] + ioff[ok], j[ok]), lv[ok])
+        n_j = parent_at_vec(cellid_from_face_ij(f[ok], i[ok], j[ok] + joff[ok]), lv[ok])
+        n_ij = parent_at_vec(cellid_from_face_ij(f[ok], i[ok] + ioff[ok], j[ok] + joff[ok]), lv[ok])
+        idxs = np.where(ok)[0]
+        for row, a, b_, cc, d in zip(idxs, base, n_i, n_j, n_ij):
+            out[row] = [int(a), int(b_), int(cc), int(d)]
+    for row in np.where(wrap)[0]:
+        out[row] = vertex_neighbors(int(c[row]), int(lv[row]))
+    return out
+
+
+def s2covering_tokens_batch(lx, ly, rx, uy, elev_fn) -> list[list[str]]:
+    """Vectorized batch form of ``s2covering_tokens`` (identical output;
+    tests assert parity). Removes the ~1.3 ms/row scalar overhead — the
+    per-tile finalize cost at cluster scale."""
+    from .mercator import to4326
+
+    lx = np.asarray(lx, dtype=np.float64)
+    ly = np.asarray(ly, dtype=np.float64)
+    rx = np.asarray(rx, dtype=np.float64)
+    uy = np.asarray(uy, dtype=np.float64)
+    n = lx.size
+    finite = np.isfinite(lx) & np.isfinite(ly) & np.isfinite(rx) & np.isfinite(uy)
+    cz = np.full(n, np.nan)
+    if finite.any():
+        cz[finite] = np.asarray(elev_fn(rx[finite], uy[finite]), dtype=np.float64)
+    ok = finite & ~np.isnan(cz)
+    out: list[list[str]] = [[] for _ in range(n)]
+    if not ok.any():
+        return out
+    k = np.where(ok)[0]
+    # 4 corners per row: (lx,ly) (rx,ly) (rx,uy) (lx,uy)
+    cx = np.stack([lx[k], rx[k], rx[k], lx[k]], axis=1)
+    cy = np.stack([ly[k], ly[k], uy[k], uy[k]], axis=1)
+    lon4, lat4 = to4326(cx.ravel(), cy.ravel())
+    pts = np.stack([lon4, lat4, np.repeat(cz[k], 4)], axis=1).reshape(-1, 4, 3)
+    norms = np.linalg.norm(pts, axis=2, keepdims=True)
+    pts = pts / np.where(norms == 0, 1.0, norms)
+    plat = np.arctan2(pts[:, :, 2], np.hypot(pts[:, :, 0], pts[:, :, 1]))
+    plng = np.arctan2(pts[:, :, 1], pts[:, :, 0])
+    lat_lo, lat_hi = plat.min(axis=1), plat.max(axis=1)
+    lng_lo, lng_hi = plng.min(axis=1), plng.max(axis=1)
+    wrapped = (lng_hi - lng_lo) > math.pi
+    if wrapped.any():
+        sh = np.where(plng[wrapped] < 0, plng[wrapped] + 2 * math.pi, plng[wrapped])
+        lng_lo[wrapped] = sh.min(axis=1)
+        lng_hi[wrapped] = sh.max(axis=1)
+    south = (lat_lo + lat_hi) < 0
+    pole_angle = np.where(south, math.pi / 2 + lat_hi, math.pi / 2 - lat_lo)
+    clat = 0.5 * (lat_lo + lat_hi)
+    clng = 0.5 * (lng_lo + lng_hi)
+    center = np.stack([np.cos(clat) * np.cos(clng), np.cos(clat) * np.sin(clng), np.sin(clat)], axis=1)
+    ang = np.zeros(k.size)
+    for la, ln in ((lat_lo, lng_lo), (lat_lo, lng_hi), (lat_hi, lng_lo), (lat_hi, lng_hi)):
+        v = np.stack([np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)], axis=1)
+        d = np.clip((center * v).sum(axis=1), -1.0, 1.0)
+        ang = np.maximum(ang, np.arccos(d))
+    use_mid = ang < pole_angle
+    cap_center = np.where(
+        use_mid[:, None],
+        center,
+        np.stack([np.zeros(k.size), np.zeros(k.size), np.where(south, -1.0, 1.0)], axis=1),
+    )
+    radius = np.where(use_mid, ang, pole_angle)
+    # level = MaxLevel(2*radius) - 1 (face cells when < 0)
+    with np.errstate(divide="ignore"):
+        raw = np.floor(np.log2(_MIN_WIDTH_DERIV / (2.0 * radius)))
+    lvl = np.where(radius <= 0, MAX_LEVEL, np.minimum(MAX_LEVEL, raw)).astype(np.int64) - 1
+    cells_per_row: list[list[int]] = [None] * k.size  # type: ignore[list-item]
+    deep = lvl >= 0
+    if deep.any():
+        leafs = cellid_from_point(cap_center[deep])
+        neigh = vertex_neighbors_vec(leafs, lvl[deep])
+        for pos, row in enumerate(np.where(deep)[0]):
+            cells_per_row[row] = neigh[pos]
+    for row in np.where(~deep)[0]:
+        cells_per_row[row] = [(f << POS_BITS) | (1 << (POS_BITS - 1)) for f in range(6)]
+    for pos, row in enumerate(k):
+        toks: list[str] = []
+        for c in cells_per_row[pos]:
+            t = token(c)[:8]
+            if t not in toks:
+                toks.append(t)
+        out[row] = toks
+    return out
 
 
 def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> list[str]:

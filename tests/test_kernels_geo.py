@@ -396,3 +396,43 @@ class TestS2:
         assert s2.s2covering_tokens(float("nan"), 0.0, 0.0, 0.0, lambda x, y: np.zeros_like(x)) == []
         # elevation failure -> empty covering (GetElev error path)
         assert s2.s2covering_tokens(1.0, 1.0, 2.0, 2.0, lambda x, y: np.full_like(x, np.nan)) == []
+
+
+class TestS2CoveringBatch:
+    def test_batch_matches_scalar(self):
+        from convert_spark.kernels import dem as demk
+
+        rng = np.random.RandomState(3)
+        lon = rng.uniform(-179, 179, 300)
+        lat = rng.uniform(-80, 80, 300)
+        spans = rng.choice([0.0, 0.01, 0.5, 5.0, 60.0], size=300)
+        x1, y1 = mercator.to3857(lon, lat)
+        x2, y2 = mercator.to3857(np.minimum(lon + spans, 180.0), np.minimum(lat + spans, 85.0))
+        batch = s2.s2covering_tokens_batch(x1, y1, x2, y2, demk.get_elev)
+        for i in range(300):
+            scalar = s2.s2covering_tokens(x1[i], y1[i], x2[i], y2[i], demk.get_elev)
+            assert batch[i] == scalar, (i, lon[i], lat[i], spans[i])
+
+    def test_batch_handles_nan_rows(self):
+        from convert_spark.kernels import dem as demk
+
+        out = s2.s2covering_tokens_batch(
+            np.array([np.nan, 100.0]), np.array([0.0, 200.0]),
+            np.array([1.0, 300.0]), np.array([1.0, 300.0]), demk.get_elev,
+        )
+        assert out[0] == [] and len(out[1]) >= 1
+
+    def test_batch_throughput(self):
+        import time
+
+        from convert_spark.kernels import dem as demk
+
+        rng = np.random.RandomState(1)
+        lon = rng.uniform(-170, 170, 5000)
+        lat = rng.uniform(-70, 70, 5000)
+        x1, y1 = mercator.to3857(lon, lat)
+        x2, y2 = mercator.to3857(lon + 0.3, lat + 0.3)
+        t0 = time.time()
+        s2.s2covering_tokens_batch(x1, y1, x2, y2, demk.get_elev)
+        per_row_ms = (time.time() - t0) / 5000 * 1e3
+        assert per_row_ms < 0.3, f"batch covering too slow: {per_row_ms:.3f} ms/row"

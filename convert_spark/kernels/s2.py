@@ -92,7 +92,7 @@ def xyz_to_face_uv(p: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     comp = p[np.arange(p.shape[0]), axis]
     face = axis + np.where(comp < 0, 3, 0)
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
-    with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         u = np.select([face == f for f in range(6)], [y / x, -x / y, -x / z, z / x, z / y, -y / z])
         v = np.select([face == f for f in range(6)], [z / x, z / y, -y / z, y / x, -x / y, -x / z])
     return face.astype(np.int64), u, v

@@ -30,6 +30,56 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = _SEED) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
+def brute_topk_broadcast(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 5,
+    id_q: str = "query_id",
+    id_r: str = "ref_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k, cluster shape: broadcast the (small) query
+    matrix, one numpy matmul pass over each ref partition emitting local
+    top-k candidates, then a global window top-k. The refs side streams —
+    no cross join ever materializes; per-partition candidate volume is
+    n_queries x k.
+
+    Same ranking contract as queries.q_ann_cosine (sim rounded to 6dp,
+    ties by ref id) — the two implementations agree (tested)."""
+    import pandas as pd
+
+    q_pdf = queries.select(id_q, vec_col).toPandas()
+    q_ids = q_pdf[id_q].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((q_ids, q_norm))
+
+    out_schema = f"{id_q} long, {id_r} long, sim_r double"
+
+    def local_topk(batches):
+        ids, qn = bc.value
+        for pdf in batches:
+            r_ids = pdf[id_r].to_numpy()
+            r_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            r_norm = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
+            sims = np.round(qn @ r_norm.T, 6)  # (n_q, n_refs_batch)
+            n_take = min(k + 1, sims.shape[1])  # +1 covers self-match removal downstream
+            part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
+            rows = np.repeat(np.arange(len(ids)), n_take)
+            cols = part.ravel()
+            yield pd.DataFrame(
+                {id_q: ids[rows], id_r: r_ids[cols], "sim_r": sims[rows, cols]}
+            )
+
+    cand = refs.select(id_r, vec_col).mapInPandas(local_topk, schema=out_schema)
+    cand = cand.filter(F.col(id_q) != F.col(id_r))
+    ranked = cand.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
+    )
+    return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "rank")
+
+
 def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, bands: int = 8, bits_per_band: int = 8) -> DataFrame:
     """Add ``bucket`` rows: (*, band, key) — one row per band, exploded."""
     planes = _hyperplanes(dim, bands * bits_per_band)

@@ -73,14 +73,16 @@ def normalize_features(features: DataFrame) -> DataFrame:
         for pdf in batches:
             keep = []
             proj = []
-            for i, row in pdf.iterrows():
-                verts = np.asarray([v for v in row["verts"]], dtype=np.float64)
-                out = _check_verts(verts, bool(row["had_z"]))
+            verts_col = pdf["verts"].to_numpy()
+            had_z_col = pdf["had_z"].to_numpy()
+            for i in range(len(pdf)):
+                verts = np.asarray([v for v in verts_col[i]], dtype=np.float64)
+                out = _check_verts(verts, bool(had_z_col[i]))
                 if out is None:
                     continue  # feature errored -> dropped
                 keep.append(i)
                 proj.append(out.tolist())
-            sub = pdf.loc[keep].copy()
+            sub = pdf.iloc[keep].copy()
             sub["verts_raw"] = sub["verts"]
             sub["verts"] = proj
             yield sub

@@ -707,25 +707,17 @@ def _sql_langid() -> str:
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 over the embeddings table (similarity
-    search baseline). Cosine via sequential left-fold dot/norm in both
-    engines; similarity rounded to 6 decimals before ranking so bitwise
-    summation differences can't flip ranks (ties break by ref id)."""
+    search baseline): broadcast query matrix + one numpy-matmul pass over
+    ref partitions with local top-k (operators.ann.brute_topk_broadcast).
+    Similarity rounded to 6 decimals before ranking (ties by ref id) so
+    bitwise summation-order differences vs the oracle can't flip ranks."""
+    from .operators.ann import brute_topk_broadcast
+
     _load(spark, sf_dir, "embeddings")
-    e = spark.table("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
-    r = e.select(F.col("vec_id").alias("ref_id"), F.col("emb").alias("r_emb"))
-    pairs = q.crossJoin(r).filter(F.col("query_id") != F.col("ref_id"))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
-    )
-    ranked = pairs.withColumn("sim_r", F.round(sim, 6)).withColumn(
-        "rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("ref_id").asc()))
-    )
-    return ranked.filter(F.col("rank") <= 5).select("query_id", "ref_id", "rank")
+    e = spark.table("embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    return brute_topk_broadcast(q, r, k=5)
 
 
 SQL_ANN_COSINE = """

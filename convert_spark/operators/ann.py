@@ -80,6 +80,40 @@ def brute_topk_broadcast(
     return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "rank")
 
 
+def neardup_broadcast(
+    anchors: DataFrame,
+    refs: DataFrame,
+    threshold: float,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, broadcast shape: the (small)
+    anchor matrix is broadcast; each ref partition emits only the pairs
+    whose 6dp-rounded cosine clears ``threshold`` (and a_id < b_id).
+    Output: (a_id, b_id, sim_r)."""
+    import pandas as pd
+
+    a_pdf = anchors.select(id_a, vec_col).toPandas()
+    a_ids = a_pdf[id_a].to_numpy()
+    a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf[vec_col]])
+    a_norm = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+    bc = anchors.sparkSession.sparkContext.broadcast((a_ids, a_norm))
+
+    def emit(batches):
+        ids, an = bc.value
+        for pdf in batches:
+            r_ids = pdf[id_b].to_numpy()
+            r_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            r_norm = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
+            sims = np.round(an @ r_norm.T, 6)
+            ai, bi = np.where((sims >= threshold) & (ids[:, None] < r_ids[None, :]))
+            if ai.size:
+                yield pd.DataFrame({id_a: ids[ai], id_b: r_ids[bi], "sim_r": sims[ai, bi]})
+
+    return refs.select(F.col(id_b), vec_col).mapInPandas(emit, schema=f"{id_a} long, {id_b} long, sim_r double")
+
+
 def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, bands: int = 8, bits_per_band: int = 8) -> DataFrame:
     """Add ``bucket`` rows: (*, band, key) — one row per band, exploded."""
     planes = _hyperplanes(dim, bands * bits_per_band)

@@ -738,25 +738,16 @@ select query_id, ref_id, rank from (
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup suite): anchor vectors
-    (vec_id % 10 = 0) vs all later vectors, cosine >= 0.3 (rounded 6dp; the synthetic embeddings cluster loosely —
-    0.3 marks same-cluster pairs)."""
+    (vec_id % 10 = 0) vs all later vectors, cosine >= 0.3 (rounded 6dp;
+    the synthetic embeddings cluster loosely — 0.3 marks same-cluster
+    pairs). Broadcast-matmul shape: no pair cross-join materializes."""
+    from .operators.ann import neardup_broadcast
+
     _load(spark, sf_dir, "embeddings")
-    e = spark.table("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
-
-    sim = dot(F.col("a_emb"), F.col("b_emb")) / (
-        F.sqrt(dot(F.col("a_emb"), F.col("a_emb"))) * F.sqrt(dot(F.col("b_emb"), F.col("b_emb")))
-    )
-    return (
-        pairs.withColumn("sim_r", F.round(sim, 6))
-        .filter(F.col("sim_r") >= 0.3)
-        .select("a_id", "b_id", "sim_r")
-    )
+    e = spark.table("embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), "embedding")
+    b = e.select(F.col("vec_id").alias("b_id"), "embedding")
+    return neardup_broadcast(a, b, threshold=0.3)
 
 
 SQL_EMBED_NEARDUP = """

@@ -23,7 +23,10 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+try:
+    CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+except ValueError:  # e.g. '*' — get_session supports it; use host cores here
+    CPUS = os.cpu_count() or 8
 
 
 def _sf(sf_dir: str) -> float:
@@ -62,9 +65,11 @@ def main() -> None:
     from convert_spark import queries as Q
     from convert_spark.session import get_session
 
+    from convert_spark import datagen
+
     spark = get_session(cores=CPUS, app_name="bench")
     sf = _sf(SF_DIR)
-    n_pages = max(200, int(2_000_000 * sf))
+    n_pages = datagen.n_pages_for_sf(SF_DIR)
 
     # warm the JVM/Python workers once (session startup excluded from timing)
     spark.range(10).count()

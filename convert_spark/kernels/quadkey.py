@@ -153,7 +153,10 @@ def k_ring(cells: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     origin = np.broadcast_to(np.arange(c.size)[:, None], nx.shape)[keep]
     zz = np.broadcast_to(z[:, None], nx.shape)[keep]
     neigh = tile_to_cell(zz, nx[keep], ny[keep])
-    return origin, neigh
+    # dedupe: when 2k+1 > 2^z the longitude wrap maps multiple dx offsets
+    # onto the same tile — the ring is a SET
+    pairs = np.unique(np.stack([origin, neigh], axis=1), axis=0)
+    return pairs[:, 0], pairs[:, 1]
 
 
 def compact(cells: np.ndarray) -> np.ndarray:

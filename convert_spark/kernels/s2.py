@@ -438,12 +438,8 @@ def s2covering_tokens_batch(lx, ly, rx, uy, elev_fn) -> list[list[str]]:
     for row in np.where(~deep)[0]:
         cells_per_row[row] = [(f << POS_BITS) | (1 << (POS_BITS - 1)) for f in range(6)]
     for pos, row in enumerate(k):
-        toks: list[str] = []
-        for c in cells_per_row[pos]:
-            t = token(c)[:8]
-            if t not in toks:
-                toks.append(t)
-        out[row] = toks
+        # no dedup — reference parity (convert.go:1180-1192)
+        out[row] = [token(c)[:8] for c in cells_per_row[pos]]
     return out
 
 
@@ -470,9 +466,7 @@ def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> li
     pts = np.stack([xs4, ys4, np.full(4, cz)], axis=1)
     center, radius = loop_cap_bound(pts)
     cells = cap_cell_union_bound(center, radius)
-    out: list[str] = []
-    for c in cells:
-        t = token(c)[:8]
-        if t not in out:
-            out.append(t)
-    return out
+    # the reference appends every cell's truncated token WITHOUT dedup
+    # (convert.go:1180-1192) — small bboxes legitimately yield 4 identical
+    # 8-char tokens
+    return [token(c)[:8] for c in cells]

@@ -64,9 +64,11 @@ def brute_topk_broadcast(
             r_norm = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
             sims = np.round(qn @ r_norm.T, 6)  # (n_q, n_refs_batch)
             n_take = min(k + 1, sims.shape[1])  # +1 covers self-match removal downstream
-            part = np.argpartition(-sims, n_take - 1, axis=1)[:, :n_take]
-            rows = np.repeat(np.arange(len(ids)), n_take)
-            cols = part.ravel()
+            # tie-safe local cut: keep EVERY ref whose sim >= the local
+            # (k+1)-th value — argpartition alone would drop boundary ties
+            # arbitrarily and break the global ref-id tiebreak contract
+            kth = np.partition(-sims, n_take - 1, axis=1)[:, n_take - 1]
+            rows, cols = np.where(sims >= -kth[:, None])
             yield pd.DataFrame(
                 {id_q: ids[rows], id_r: r_ids[cols], "sim_r": sims[rows, cols]}
             )

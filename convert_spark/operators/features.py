@@ -51,17 +51,30 @@ MESH_SCHEMA = (
 CLOUD_K = 10  # K x K DEM samples over the outer bbox (sampler spec above)
 
 
-def _check_verts(verts: np.ndarray, had_z: bool) -> np.ndarray | None:
-    """CheckCoords over a feature's vertex array; None if any vertex bad."""
+def _check_verts(verts: np.ndarray) -> np.ndarray | None:
+    """CheckCoords over a feature's vertex array; None if any vertex bad.
+
+    z handling is PER VERTEX, like the reference (ParseNestedGeom calls
+    CheckCoords per coordinate, convert.go:862-875): a mixed-arity
+    geometry DEM-fills exactly its 2D vertices (NaN pad = missing z) and
+    keeps provided z on its 3D ones. ``had_z`` (first-vertex arity) only
+    gates the drape path (convert.go:711), not z filling. Empty
+    geometries are dropped (the reference crashes later or emits
+    degenerate output for these; dropping is the documented divergence).
+    """
+    if verts.size == 0 or verts.ndim != 2:
+        return None
     x, y = verts[:, 0], verts[:, 1]
     if np.isnan(x).any() or np.isnan(y).any():
         return None  # arity < 2 -> feature error
     px, py = mercator.to3857(x, y)
-    if had_z:
-        z = verts[:, 2]
-    else:
-        z = dem_kernel.get_elev(x, y)  # original coords (convert.go:1213)
-        z = np.where(np.isnan(z), 0.0, z)
+    z_given = verts[:, 2]
+    missing = np.isnan(z_given)
+    z = z_given
+    if missing.any():
+        filled = dem_kernel.get_elev(x[missing], y[missing])  # original coords (convert.go:1213)
+        z = z_given.copy()
+        z[missing] = np.where(np.isnan(filled), 0.0, filled)
     return np.stack([px, py, z], axis=1)
 
 
@@ -74,10 +87,9 @@ def normalize_features(features: DataFrame) -> DataFrame:
             keep = []
             proj = []
             verts_col = pdf["verts"].to_numpy()
-            had_z_col = pdf["had_z"].to_numpy()
             for i in range(len(pdf)):
                 verts = np.asarray([v for v in verts_col[i]], dtype=np.float64)
-                out = _check_verts(verts, bool(had_z_col[i]))
+                out = _check_verts(verts)
                 if out is None:
                     continue  # feature errored -> dropped
                 keep.append(i)

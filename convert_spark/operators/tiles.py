@@ -87,12 +87,13 @@ def compact_cell_sets(df: DataFrame, key: str = "page_id") -> DataFrame:
         return pandas.Series([qk.compact(np.asarray(c, dtype=np.int64)).tolist() for c in cells])
 
     per_key = df.groupBy(key).agg(F.collect_set("cell_id").alias("raw_cells"))
+    # compact once, derive n_compacted from the alias (a second UDF call
+    # would run the Python kernel twice per row)
     return per_key.select(
         key,
         compact_udf(F.col("raw_cells")).alias("cells"),
         F.size("raw_cells").alias("n_cells"),
-        F.size(compact_udf(F.col("raw_cells"))).alias("n_compacted"),
-    )
+    ).withColumn("n_compacted", F.size("cells"))
 
 
 def tile_datasets(points: DataFrame, group_cols: list[str] | None = None) -> DataFrame:

@@ -481,11 +481,11 @@ SQL_SESSIONIZE = """
 with ev as (
   select user_id, event_id, cast(floor(epoch(ts)) as bigint) as sec from events
 ), flagged as (
-  select user_id, sec,
+  select user_id, event_id, sec,
     case when lag(sec) over w is null or sec - lag(sec) over w > 1800 then 1 else 0 end as is_new
   from ev window w as (partition by user_id order by sec asc, event_id asc)
 ), sess as (
-  select user_id, sec, cast(sum(is_new) over (partition by user_id order by sec asc rows unbounded preceding) as bigint) as session_idx
+  select user_id, sec, cast(sum(is_new) over (partition by user_id order by sec asc, event_id asc rows unbounded preceding) as bigint) as session_idx
   from flagged
 )
 select user_id, session_idx, count(*) as n_events, min(sec) as start_sec

@@ -66,7 +66,13 @@ def features_from_csv(
     )
     # xyz in encounter order; parse failures/empties -> 0.0
     xyz = F.array(*[parse_double_go(c) for c in coord_cols])
-    attrs = F.create_map(*[x for c in attr_cols for x in (F.lit(c), F.col(c))]) if attr_cols else F.create_map()
+    # Spark CSV reads empty fields as NULL; Go encoding/csv yields "" and
+    # the reference stores it verbatim (convert.go:566-570) — coalesce back
+    attrs = (
+        F.create_map(*[x for c in attr_cols for x in (F.lit(c), F.coalesce(F.col(c), F.lit("")))])
+        if attr_cols
+        else F.create_map()
+    )
     return (
         out.withColumn("xyz_raw", xyz)
         .withColumn("had_z", F.lit(len(coord_cols) >= 3))

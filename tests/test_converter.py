@@ -286,3 +286,86 @@ class TestGPX:
         # missing ele -> 0.0, arity always 3
         assert feats["verts"].iloc[2][2][2] == 0.0
         assert feats["had_z"].all()
+
+
+class TestReviewRegressions:
+    """Regression tests for the round-1 code-review findings."""
+
+    def test_empty_geometry_dropped_not_crashed(self, spark):
+        doc = _fc(
+            [
+                {"type": "Feature", "geometry": {"type": "LineString", "coordinates": []}, "properties": {}},
+                {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}, "properties": {}},
+            ]
+        )
+        out = feat_ops.convert_geojson(spark, "e1", doc)
+        assert len(out["points"]) == 1 and out["lines"] is None
+
+    def test_mixed_arity_z_per_vertex(self, spark):
+        """Reference CheckCoords runs per vertex: 2D vertices DEM-fill,
+        3D vertices keep z — within one geometry (convert.go:862-875)."""
+        doc = _fc(
+            [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "LineString", "coordinates": [[10.0, 20.0, 555.0], [11.0, 21.0]]},
+                    "properties": {},
+                }
+            ]
+        )
+        out = feat_ops.convert_geojson(spark, "m1", doc)
+        pts = out["lines"][0]["points"]
+        assert pts[0][2] == 555.0  # provided z kept
+        expected = dem.get_elev(np.array([11.0]), np.array([21.0]))[0]
+        assert pts[1][2] == pytest.approx(expected)  # 2D vertex DEM-filled
+        assert np.isfinite(pts[1][2])
+
+    def test_small_bbox_covering_keeps_duplicate_tokens(self):
+        """convert.go:1180-1192 appends truncated tokens WITHOUT dedup —
+        tiny bboxes yield 4 identical 8-char tokens."""
+        from convert_spark.kernels import dem as demk, mercator, s2
+
+        mx, my = mercator.to3857(np.array([-74.0, -73.99997]), np.array([40.7, 40.70003]))
+        toks = s2.s2covering_tokens(mx[0], my[0], mx[1], my[1], demk.get_elev)
+        assert len(toks) == 4 and len(set(toks)) == 1
+        batch = s2.s2covering_tokens_batch(mx[:1], my[:1], mx[1:], my[1:], demk.get_elev)
+        assert batch[0] == toks
+
+    def test_csv_empty_attr_stays_empty_string(self, spark):
+        import os, tempfile
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write("x,y,note\n1.0,2.0,\n")
+        feats = csv_points.features_from_csv(spark, p, "x", "y")
+        attrs = feats.toPandas()["attributes"].iloc[0]
+        assert attrs == {"note": ""}  # Go keeps "" (convert.go:566-570), not NULL
+
+    def test_k_ring_no_duplicates_when_ring_exceeds_grid(self):
+        from convert_spark.kernels import quadkey
+
+        c = quadkey.tile_to_cell(np.array([1]), np.array([0]), np.array([0]))
+        origin, neigh = quadkey.k_ring(c, 1)  # 3 > 2^1: wrap collision
+        assert len(neigh) == len(set(neigh.tolist()))
+
+    def test_ann_tie_safety_across_partitions(self, spark):
+        """Identical vectors split over many partitions: global top-k must
+        be the smallest ref ids (tie contract), not partition-arbitrary."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from convert_spark.operators import ann
+
+        vec = [1.0] + [0.0] * 7
+        refs = spark.createDataFrame(
+            pd.DataFrame({"ref_id": range(40), "embedding": [vec] * 40})
+        ).repartition(8)
+        qs = spark.createDataFrame(pd.DataFrame({"query_id": [100], "embedding": [vec]}))
+        out = (
+            ann.brute_topk_broadcast(qs, refs, k=3)
+            .toPandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert out["ref_id"].tolist() == [0, 1, 2]

@@ -391,11 +391,13 @@ def s2covering_tokens_batch(lx, ly, rx, uy, elev_fn) -> list[list[str]]:
     if not ok.any():
         return out
     k = np.where(ok)[0]
-    # 4 corners per row: (lx,ly) (rx,ly) (rx,uy) (lx,uy)
-    cx = np.stack([lx[k], rx[k], rx[k], lx[k]], axis=1)
-    cy = np.stack([ly[k], ly[k], uy[k], uy[k]], axis=1)
-    lon4, lat4 = to4326(cx.ravel(), cy.ravel())
-    pts = np.stack([lon4, lat4, np.repeat(cz[k], 4)], axis=1).reshape(-1, 4, 3)
+    # convert the two reference pairs (rx,uy), (lx,ly) and reuse per-axis
+    # values for the mixed corners (convert.go:1160-1161)
+    rx4, uy4 = to4326(rx[k], uy[k])
+    lx4, ly4 = to4326(lx[k], ly[k])
+    cx = np.stack([rx4, lx4, lx4, rx4], axis=1)
+    cy = np.stack([uy4, uy4, ly4, ly4], axis=1)
+    pts = np.stack([cx.ravel(), cy.ravel(), np.repeat(cz[k], 4)], axis=1).reshape(-1, 4, 3)
     norms = np.linalg.norm(pts, axis=2, keepdims=True)
     pts = pts / np.where(norms == 0, 1.0, norms)
     plat = np.arctan2(pts[:, :, 2], np.hypot(pts[:, :, 0], pts[:, :, 1]))
@@ -448,7 +450,8 @@ def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> li
 
     bbox in EPSG:3857; ``elev_fn(x3857, y3857) -> z`` is GetElev. Empty /
     degenerate bboxes return [] (convert.go:1154-1158). Tokens are cut to
-    8 chars and deduplicated preserving order.
+    8 chars and NOT deduplicated (reference parity, convert.go:1180-1192 —
+    tiny bboxes legitimately yield 4 identical tokens).
     """
     from .mercator import to4326
 
@@ -461,7 +464,15 @@ def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> li
     if math.isnan(cz):
         # GetElev error -> empty covering (convert.go:1163-1167)
         return []
-    xs4, ys4 = to4326(np.array([lx, rx, rx, lx]), np.array([ly, ly, uy, uy]))
+    # the reference converts exactly TWO pairs — (rx,uy) and (lx,ly) — and
+    # reuses the per-axis results for the mixed corners
+    # (convert.go:1160-1161); converting each corner pair independently
+    # diverges when a mixed pair straddles the |180| inference bound
+    xs2, ys2 = to4326(np.array([rx, lx]), np.array([uy, ly]))
+    rx4, lx4 = xs2[0], xs2[1]
+    uy4, ly4 = ys2[0], ys2[1]
+    xs4 = np.array([rx4, lx4, lx4, rx4])
+    ys4 = np.array([uy4, uy4, ly4, ly4])
     # quirk: PointFromCoords(lon, lat, cz) — raw R^3, normalized
     pts = np.stack([xs4, ys4, np.full(4, cz)], axis=1)
     center, radius = loop_cap_bound(pts)

@@ -114,15 +114,23 @@ def jaccard_from_signatures(s1: np.ndarray, s2: np.ndarray) -> float:
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
+    """64-bit SimHash over whitespace tokens (unweighted). Word hashes are
+    FNV-1a computed once per DISTINCT word across the batch (vocabularies
+    are tiny vs token counts — the per-token hashing loop was the stage's
+    dominant cost)."""
     out = np.empty(len(texts), dtype=np.int64)
     bit_idx = np.arange(64, dtype=np.uint64)
-    for row, t in enumerate(texts.fillna("")):
-        toks = str(t).split()
+    token_lists = [str(t).split() for t in pd.Series(texts).fillna("")]
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for w in toks:
+            if w not in vocab:
+                vocab[w] = fnv1a64_bytes(w.encode("utf-8"))
+    for row, toks in enumerate(token_lists):
         if not toks:
             out[row] = 0
             continue
-        hs = np.array([fnv1a64_bytes(w.encode("utf-8")) for w in toks], dtype=np.uint64)
+        hs = np.array([vocab[w] for w in toks], dtype=np.uint64)
         bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
         sh = int((v > 0).astype(np.uint64) @ (np.uint64(1) << bit_idx))

@@ -177,13 +177,18 @@ def fnv1a64_bytes(data: bytes) -> int:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Deterministic 63-bit rolling document fingerprint over the
-    whitespace-normalized text (order-sensitive polynomial hash)."""
+    """Deterministic 63-bit document fingerprint over the whitespace-
+    normalized text. Uses blake2b (C speed, one call per document) — the
+    previous per-byte Python FNV loop was the dominant cost of the
+    fingerprint stage at corpus scale."""
+    import hashlib
+
     s = texts.reset_index(drop=True).astype("string").fillna("")
     norm = s.str.split().str.join(" ")
     out = np.empty(len(norm), dtype=np.int64)
     for idx, t in enumerate(norm):
-        out[idx] = fnv1a64_bytes(t.encode("utf-8")) & 0x7FFFFFFFFFFFFFFF
+        digest = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[idx] = int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF
     return out
 
 

@@ -124,15 +124,11 @@ def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, band
     def keys(vecs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         bits = (mat @ planes.T) > 0  # (n, bands*bits)
-        out = []
         weights = 1 << np.arange(bits_per_band, dtype=np.int64)
-        for row in bits:
-            ks = []
-            for b in range(bands):
-                chunk = row[b * bits_per_band : (b + 1) * bits_per_band]
-                ks.append(int(chunk @ weights) + (b << 32))  # band-scoped key
-            out.append(ks)
-        return pd.Series(out)
+        # one reshaped matmul: (n, bands, bits) @ weights + band prefix
+        ks = bits.reshape(len(mat), bands, bits_per_band) @ weights
+        ks = ks + (np.arange(bands, dtype=np.int64) << 32)[None, :]
+        return pd.Series(list(ks))
 
     return df.withColumn("lsh_keys", keys(F.col(vec_col))).select(
         "*", F.posexplode("lsh_keys").alias("band", "bucket")

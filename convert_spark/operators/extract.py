@@ -77,33 +77,35 @@ DROPPED_KEYS = ("tags", "way", "geomz")
 def clean_attributes(df: DataFrame, attrs_col: str = "attrs") -> DataFrame:
     """Falsy-value drop + special-key routing on a map<string,string> column.
 
-    * values NULL, '', '0' are removed (F2; numeric 0 stringifies to '0'
-      first, convert.go:806-810),
-    * 'name' -> feature Name, 'styletype' -> StyleType, id-ish keys -> ID,
-      'tags'/'way'/'geomz' dropped, the rest stay attributes (F3,
-      convert.go:813-829).
+    Reference-faithful (ParseGEOJSONAttributes, convert.go:800-832):
+
+    * keys match CASE-SENSITIVELY (the Go switch is on the verbatim key;
+      'Name' stays an ordinary attribute) — this also avoids building a
+      lowered map, which throws DUPLICATED_MAP_KEY for keys differing
+      only by case,
+    * the falsy drop ('', '0', NULL) happens BEFORE routing
+      (convert.go:806-810 deletes, then routes) — a falsy 'name'/'id'
+      value is deleted, never promoted,
+    * 'name' -> Name, 'styletype' -> StyleType, id-ish keys -> ID,
+      'tags'/'way'/'geomz' dropped, the rest stay attributes.
     """
     a = F.col(attrs_col)
-    # materialize the lowered map ONCE — inlining it into every consumer
-    # rebuilds the transform+map_from_arrays 7x in the physical plan
-    lowered_col = "__attrs_lowered"
-    df = df.withColumn(
-        lowered_col,
-        F.map_from_arrays(F.transform(F.map_keys(a), lambda k: F.lower(k)), F.map_values(a)),
-    )
-    lowered = F.col(lowered_col)
-    name = F.element_at(lowered, "name")
-    style = F.element_at(lowered, "styletype")
-    fid = F.coalesce(*[F.element_at(lowered, k) for k in SPECIAL_ID_KEYS])
+
+    def nonfalsy(v):
+        return v.isNotNull() & (v != "") & (v != "0")
+
+    def pick(key):
+        v = F.element_at(a, key)
+        return F.when(nonfalsy(v), v)
+
+    name = pick("name")
+    style = pick("styletype")
+    fid = F.coalesce(*[pick(k) for k in SPECIAL_ID_KEYS])
     routed = list(SPECIAL_NAME_KEYS + SPECIAL_STYLE_KEYS + SPECIAL_ID_KEYS + DROPPED_KEYS)
-    cleaned = F.map_filter(
-        lowered,
-        lambda k, v: v.isNotNull() & (v != "") & (v != "0") & ~k.isin(routed),
-    )
+    cleaned = F.map_filter(a, lambda k, v: nonfalsy(v) & ~k.isin(routed))
     return (
         df.withColumn("feature_name", name)
         .withColumn("style_type", style)
         .withColumn("feature_id", fid)
         .withColumn("attributes", cleaned)
-        .drop(lowered_col)
     )

@@ -37,27 +37,25 @@ def _polygon_index(polygons_pdf: pd.DataFrame):
 
     polygons_pdf columns: poly_id, rings ([ring][vertex][lon,lat]).
     """
-    verts = []
-    ring_offsets = [0]
-    ring_poly = []
+    closed_rings: list[list[np.ndarray]] = []  # per polygon: CLOSED rings
     boxes = np.empty((len(polygons_pdf), 4), dtype=np.float64)
-    for i, (pid, rings) in enumerate(zip(polygons_pdf["poly_id"], polygons_pdf["rings"])):
+    for i, rings in enumerate(polygons_pdf["rings"]):
         minx = miny = np.inf
         maxx = maxy = -np.inf
+        poly_rings = []
         for ring in rings:
             arr = np.asarray(ring, dtype=np.float64)[:, :2]
-            verts.append(arr)
-            ring_offsets.append(ring_offsets[-1] + arr.shape[0])
-            ring_poly.append(i)
+            # close once at build time — the refine loop would otherwise
+            # re-close every candidate ring on every Arrow batch
+            poly_rings.append(pip_kernel._close_ring(arr))
             minx = min(minx, arr[:, 0].min())
             maxx = max(maxx, arr[:, 0].max())
             miny = min(miny, arr[:, 1].min())
             maxy = max(maxy, arr[:, 1].max())
+        closed_rings.append(poly_rings)
         boxes[i] = (minx, miny, maxx, maxy)
     payload = {
-        "vertices": np.vstack(verts),
-        "ring_offsets": np.asarray(ring_offsets, dtype=np.int64),
-        "ring_poly": np.asarray(ring_poly, dtype=np.int64),
+        "rings": closed_rings,
         "poly_ids": polygons_pdf["poly_id"].to_numpy(np.int64),
         "tree": strtree_kernel.STRtree(boxes),
         "n_polys": len(polygons_pdf),
@@ -97,15 +95,12 @@ def pip_join(
             qi, ii = tree.query_points(px, py)
             if qi.size:
                 inside = np.zeros(qi.size, dtype=bool)
-                # exact refine per candidate polygon, batched by polygon
+                # exact even-odd refine per candidate polygon (rings were
+                # closed at index-build time), batched by polygon
                 for poly in np.unique(ii):
                     sel = ii == poly
-                    rings_mask = idx["ring_poly"] == poly
-                    ring_ids = np.where(rings_mask)[0]
-                    crossings = np.zeros(sel.sum(), dtype=np.int64)
-                    for r in ring_ids:
-                        ring = idx["vertices"][idx["ring_offsets"][r] : idx["ring_offsets"][r + 1]]
-                        ring = pip_kernel._close_ring(ring)
+                    crossings = np.zeros(int(sel.sum()), dtype=np.int64)
+                    for ring in idx["rings"][poly]:
                         if ring.shape[0] < 4:
                             continue
                         crossings += pip_kernel.ring_crossings(px[qi[sel]], py[qi[sel]], ring)
@@ -146,8 +141,12 @@ def salted_tile_join(
     (cell, salt) spreads each hot cell over n_salt reducers.
     """
     keys = on or ["zoom", "cell_id"]
+    # deterministic salt from the row's own columns: monotonically_
+    # increasing_id is nondeterministic under partial stage recomputation
+    # (executor loss re-salts rows differently than surviving shuffle
+    # files -> silent row loss/duplication)
     salted_points = points.withColumn(
-        "salt", F.pmod(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salt))
+        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]), F.lit(n_salt))
     )
     salt_values = points.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
     salted_tiles = tiles.crossJoin(F.broadcast(salt_values))
@@ -201,6 +200,10 @@ def knn_join(
         .filter((F.col("n_ty") >= 0) & (F.col("n_ty") < n))
         .withColumn("r_cell", exprs.morton_cell(F.col("n_tx"), F.col("n_ty"), zoom))
         .select(query_id, "q_lat", "q_lon", "r_cell")
+        # the ring is a SET: when 2*ring+1 > 2^zoom the longitude wrap maps
+        # several dx offsets to the same cell — duplicates would consume
+        # top-k ranks (cf. kernels.quadkey.k_ring)
+        .dropDuplicates([query_id, "r_cell"])
     )
     cand = qq.join(r, "r_cell", "inner")
     # squared distance via explicit multiply: `** 2` compiles to Math.pow,

@@ -47,7 +47,11 @@ def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> D
     # otherwise each re-execute the FULL lineage (levels x raw-data scans —
     # visible as repeated HashAggregate chains in the physical plan). The
     # base is small (bounded by the cell count at base zoom), so an eager
-    # MEMORY_AND_DISK persist is the right trade at any scale.
+    # MEMORY_AND_DISK persist is the right trade at any scale. NOTE: it
+    # stays persisted for the lifetime of the returned plan — a caller
+    # looping over many rollups should unpersist via
+    # `spark.catalog.clearCache()` (or track the returned plan's cached
+    # dependency) between iterations.
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)

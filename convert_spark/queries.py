@@ -353,11 +353,12 @@ def q_attr_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "case when p_partkey % 3 = 0 then '' else cast(p_retailprice as string) end as price_str "
         "from part"
     )
+    # routing keys are CASE-SENSITIVE like the reference's switch
     attrs = F.create_map(
-        F.lit("Name"), F.col("p_name"),
-        F.lit("ID"), F.col("p_partkey").cast("string"),
+        F.lit("name"), F.col("p_name"),
+        F.lit("id"), F.col("p_partkey").cast("string"),
         F.lit("brand"), F.col("p_brand"),
-        F.lit("TAGS"), F.col("p_type"),
+        F.lit("tags"), F.col("p_type"),
         F.lit("size"), F.col("size_str"),
         F.lit("price"), F.col("price_str"),
     )
@@ -379,11 +380,15 @@ with raw as (
          case when p_partkey % 3 = 0 then '' else cast(p_retailprice as varchar) end as price_str
   from part
 ), pairs as (
-  select p_partkey as rowid, p_name as feature_name, cast(p_partkey as varchar) as feature_id, 'brand' as k, p_brand as v from raw
+  -- feature_id: the falsy drop runs BEFORE routing (convert.go:806-822),
+  -- so the stringified 0 partkey is never promoted to ID
+  select p_partkey as rowid, p_name as feature_name,
+         case when cast(p_partkey as varchar) not in ('', '0') then cast(p_partkey as varchar) end as feature_id,
+         'brand' as k, p_brand as v from raw
   union all
-  select p_partkey, p_name, cast(p_partkey as varchar), 'size', size_str from raw
+  select p_partkey, p_name, case when cast(p_partkey as varchar) not in ('', '0') then cast(p_partkey as varchar) end, 'size', size_str from raw
   union all
-  select p_partkey, p_name, cast(p_partkey as varchar), 'price', price_str from raw
+  select p_partkey, p_name, case when cast(p_partkey as varchar) not in ('', '0') then cast(p_partkey as varchar) end, 'price', price_str from raw
 )
 select rowid, feature_name, feature_id, k, v from pairs
 where v is not null and v <> '' and v <> '0'

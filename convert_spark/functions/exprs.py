@@ -19,9 +19,15 @@ LAT_MAX = 85.05112878
 
 
 def round_half_away(col: Column, decimals: int) -> Column:
-    """Go math.Round parity (half away from zero) at ``decimals``."""
+    """Go math.Round parity (half away from zero) at ``decimals``.
+
+    Exact form floor(a) + (a - floor(a) >= 0.5): floor(a + 0.5) misrounds
+    when the addition crosses the half boundary (see kernels.mercator)."""
     scale = float(10**decimals)
-    return F.signum(col) * F.floor(F.abs(col) * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    a = F.abs(col) * F.lit(scale)
+    f = F.floor(a)
+    r = f + F.when(a - f >= 0.5, F.lit(1)).otherwise(F.lit(0))
+    return F.signum(col) * r / F.lit(scale)
 
 
 def is_degrees(x: Column, y: Column) -> Column:
@@ -120,7 +126,10 @@ def sql_tile_y(lat_expr: str, zoom: int) -> str:
 
 def sql_round_half_away(expr: str, decimals: int) -> str:
     scale = float(10**decimals)
-    return f"(sign({expr}) * floor(abs({expr}) * {scale} + 0.5) / {scale})"
+    a = f"(abs({expr}) * {scale})"
+    return (
+        f"(sign({expr}) * (floor({a}) + case when {a} - floor({a}) >= 0.5 then 1 else 0 end) / {scale})"
+    )
 
 
 def sql_to3857_x(x: str, y: str) -> str:

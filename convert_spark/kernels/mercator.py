@@ -28,11 +28,18 @@ def round_half_away(v: np.ndarray | float, decimals: int) -> np.ndarray:
     """Go ``math.Round`` parity: round half away from zero at ``decimals``.
 
     numpy's ``np.round`` rounds half to even (banker's); Go rounds half away
-    from zero, and the reference rounds every stored coordinate this way.
+    from zero. NOTE: computed as ``floor(a) + (a - floor(a) >= 0.5)`` —
+    the textbook ``floor(a + 0.5)`` is NOT exact (the addition can round up
+    across the half boundary for a just below .5+ulp); the subtraction form
+    is exact by Sterbenz. The Spark expression (functions.exprs) and the
+    DuckDB oracle fragments restate this identical form.
     """
     v = np.asarray(v, dtype=np.float64)
     scale = 10.0**decimals
-    return np.sign(v) * np.floor(np.abs(v) * scale + 0.5) / scale
+    a = np.abs(v) * scale
+    f = np.floor(a)
+    r = f + (a - f >= 0.5)
+    return np.sign(v) * r / scale
 
 
 def is_degrees(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -38,7 +38,7 @@ def ring_crossings(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     x = px[:, None]
     y = py[:, None]
     straddles = (yi > y) != (yj > y)
-    with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         x_int = (xj - xi) * (y - yi) / (yj - yi) + xi
     hit = straddles & (x < x_int)
     return hit.sum(axis=1)

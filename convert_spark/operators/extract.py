@@ -62,8 +62,13 @@ def normalize_points(
 def parse_double_go(col_name: str) -> F.Column:
     """Go strconv.ParseFloat-error-ignored parity: bad strings -> 0.0,
     not NULL (convert.go:557-564). try_cast because Spark 4 ANSI mode makes
-    plain cast THROW on malformed input."""
-    return F.coalesce(F.expr(f"try_cast({col_name} as double)"), F.lit(0.0))
+    plain cast THROW on malformed input. Spark's cast TRIMS whitespace but
+    Go's ParseFloat rejects it (' 1.5 ' -> error -> 0.0), so padded values
+    are forced to the error path. (Accepted divergence: Go's exotic
+    literals — '1_000', hex floats — parse in Go but not here.)"""
+    c = F.col(col_name)
+    parsed = F.when(c == F.trim(c), F.expr(f"try_cast({col_name} as double)"))
+    return F.coalesce(parsed, F.lit(0.0))
 
 
 # --- attribute cleaning (F2/F3, convert.go:806-829) --------------------------

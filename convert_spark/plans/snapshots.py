@@ -85,17 +85,20 @@ def run_stage(
     build: callable,
     inputs: list[str] | None = None,
     partition_by: list[str] | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Execute (or resume) one checkpointed stage.
 
     ``build() -> DataFrame`` is only invoked when the stage has no
-    committed snapshot. Returns the stage's DataFrame read back from the
-    committed parquet either way (so downstream stages always consume the
-    durable copy — re-runs are byte-stable).
+    committed snapshot WITH MATCHING ``params`` (the build's parameter
+    fingerprint — a snapshot from a run with different parameters is stale
+    and the stage re-executes rather than silently returning old data).
+    Returns the stage's DataFrame read back from the committed parquet
+    either way (downstream stages always consume the durable copy).
     """
     path = log.stage_path(stage)
     snap = log.committed(stage)
-    if snap is not None:
+    if snap is not None and snap.get("params", {}) == (params or {}):
         return spark.read.parquet(path)
     t0 = time.time()
     df = build()
@@ -114,6 +117,7 @@ def run_stage(
             "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
             "lineage": inputs or [],
             "partition_by": partition_by or [],
+            "params": params or {},
             "files": log._manifest(stage),
         },
     )
@@ -130,10 +134,11 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
     from ..operators import extract, tiles
 
     log = SnapshotLog(root)
+    p = {"n_pages": n_pages, "zoom": zoom}
 
-    pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, n_pages), inputs=[])
+    pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, n_pages), inputs=[], params=p)
     mentions = run_stage(
-        spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"]
+        spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"], params=p
     )
     pts = run_stage(
         spark,
@@ -141,6 +146,7 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
         "normalized",
         lambda: extract.normalize_points(mentions, fill_z_from_dem=False),
         inputs=["mentions"],
+        params=p,
     )
     tiled = run_stage(
         spark,
@@ -148,6 +154,7 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
         "tiled",
         lambda: tiles.with_tile(pts, zoom),
         inputs=["normalized"],
+        params=p,
     )
     run_stage(
         spark,
@@ -155,5 +162,6 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
         "tile_counts",
         lambda: tiled.groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n")),
         inputs=["tiled"],
+        params=p,
     )
     return {s["stage"]: s for s in log._snapshots()}

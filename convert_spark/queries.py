@@ -114,7 +114,10 @@ with raw as (
     case when p_partkey % 11 = 0 then null else cast(((p_partkey * 29) % 1600) / 10.0 - 80.0 as varchar) end as ys
   from part
 ), parsed as (
-  select rowid, coalesce(try_cast(xs as double), 0.0) as xv, coalesce(try_cast(ys as double), 0.0) as yv
+  -- whitespace-padded values are parse errors in Go (engines' try_cast trims)
+  select rowid,
+         coalesce(case when xs = trim(xs) then try_cast(xs as double) end, 0.0) as xv,
+         coalesce(case when ys = trim(ys) then try_cast(ys as double) end, 0.0) as yv
   from raw where ys is not null
 )
 select rowid, {exprs.sql_to3857_x('xv', 'yv')} as x, {exprs.sql_to3857_y('xv', 'yv')} as y from parsed
@@ -403,11 +406,17 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown to the parquet scan."""
     _load(spark, sf_dir, "lineitem")
     li = spark.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # summation-order-safe revenue: both engines see the SAME double
+    # product per row, round it identically to 4dp, and sum EXACTLY as
+    # decimal — bit-identical result regardless of partial-agg order
+    # (round(sum(double)) is a random walk that can straddle a cent
+    # boundary differently per engine)
+    term = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast("decimal(18,4)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(term).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -415,7 +424,7 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AGG_PRICING = """
 select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       cast(sum(cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))) as double) as revenue,
        count(*) as n_rows
 from lineitem where l_shipdate <= date '1998-09-02'
 group by l_returnflag, l_linestatus
@@ -453,12 +462,17 @@ def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            # exact decimal sum (see q_agg_pricing)
+            F.sum(F.round(F.col("o_totalprice"), 4).cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
 
 
 SQL_JOIN_REVENUE = """
-select n_name, round(sum(o_totalprice), 2) as revenue, count(*) as n_orders
+select n_name, cast(sum(cast(round(o_totalprice, 4) as decimal(18,4))) as double) as revenue,
+       count(*) as n_orders
 from orders join customer on o_custkey = c_custkey
 join nation on c_nationkey = n_nationkey
 group by n_name
@@ -504,13 +518,15 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "events")
     ev = spark.table("events").withColumn("hour", F.floor(F.unix_timestamp("ts") / 3600))
     return ev.groupBy("hour", "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count(F.lit(1)).alias("n"),
+        # exact decimal sum: order-independent, bit-identical to the oracle
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 
 
 SQL_WINDOW_HOURLY = """
 select cast(floor(floor(epoch(ts)) / 3600) as bigint) as hour, event_type,
-       count(*) as n, round(sum(value), 2) as sum_value
+       count(*) as n, cast(sum(cast(value as decimal(18,2))) as double) as sum_value
 from events group by 1, 2
 """
 

@@ -61,8 +61,18 @@ def features_from_csv(
             f"CheckCoords: fewer than 2 coordinate columns bound "
             f"(x={x_field!r}, y={y_field!r}, z={z_field!r} vs header {header})"
         )
-    out = df.withColumn("feature_idx", F.monotonically_increasing_id()).withColumn(
-        "dataset_id", F.lit(dataset_id)
+    # contiguous deterministic ids in FILE order: raw monotonically_
+    # increasing_id values are sparse partition-encoded and change with the
+    # split layout; row_number over them is contiguous 0..n-1 in byte order
+    # of the file (CSV datasets are file-sized — the global window is fine
+    # here, unlike on the web-scale tables)
+    from pyspark.sql.window import Window
+
+    out = (
+        df.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("feature_idx", F.row_number().over(Window.orderBy("__mid")) - 1)
+        .drop("__mid")
+        .withColumn("dataset_id", F.lit(dataset_id))
     )
     # xyz in encounter order; parse failures/empties -> 0.0
     xyz = F.array(*[parse_double_go(c) for c in coord_cols])

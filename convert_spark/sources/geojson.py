@@ -10,11 +10,12 @@ reference's `ParseGEOJSONFeature` dispatch (convert.go:627-798):
 * Polygon (+Z)              -> one `polygon` feature (all rings)
 * MultiPolygon (+Z)         -> one `multipolygon` feature (parts+rings)
 
-Property handling (applied later by operators.extract.clean_attributes /
-operators.features): falsy drop F2 + key routing F3 (convert.go:806-829).
-Values are stringified Go-style: floats that are integral print without
-the trailing .0? — no: Go %v prints 1.5 as "1.5" and ints as "1"; bools
-as "true"/"false" (convert.go:99-102). `_go_str` mirrors that.
+Property handling happens HERE, faithfully (ParseGEOJSONAttributes,
+convert.go:800-832): interface-equality falsy drop F2, then key routing
+F3. (operators.extract.clean_attributes is the separate map-column engine
+operator with the same contract for relational inputs.) Values are
+stringified Go-style via `_go_str`: bools "true"/"false", numbers through
+float64 %v formatting including the scientific switch at 1e6.
 
 Runs as mapInPandas over (dataset_id, json) rows: JSON parsing is per
 *document*, not per feature — documents are the parallelism unit, matching
@@ -32,16 +33,51 @@ from pyspark.sql import DataFrame
 from . import FEATURES_SCHEMA
 
 
+def _go_float_str(v: float) -> str:
+    """Go strconv.FormatFloat(v, 'g', -1, 64) — the %v float form.
+
+    Shortest round-trip digits (Python repr gives the same digits), with
+    Go's shortest-'g' exponent rule: scientific when the decimal exponent
+    is < -4 or >= 6 (fmt prints 1e6 as "1e+06", 1417640643 as
+    "1.417640643e+09" — NOT the fixed form)."""
+    import math
+
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    if v == 0:
+        return "0"
+    sign = "-" if v < 0 else ""
+    r = repr(abs(float(v)))
+    if "e" in r:  # Python e-form (>=1e16 or <1e-4): already Go-shaped
+        mant, _, ex = r.partition("e")
+        mant = mant.rstrip("0").rstrip(".") if "." in mant else mant
+        ex_i = int(ex)
+        return f"{sign}{mant}e{'+' if ex_i >= 0 else '-'}{abs(ex_i):02d}"
+    int_part, _, frac = r.partition(".")
+    frac = frac.rstrip("0")
+    if abs(v) >= 1e6:  # Go switches to scientific at exponent >= 6
+        digits = (int_part + frac).lstrip("0")
+        exp = len(int_part) - 1
+        mant = digits[0] + ("." + digits[1:].rstrip("0") if digits[1:].rstrip("0") else "")
+        return f"{sign}{mant}e+{exp:02d}"
+    return f"{sign}{int_part}" + (f".{frac}" if frac else "")
+
+
 def _go_str(v) -> str:
-    """fmt.Sprintf("%v", v) parity for JSON-decoded values."""
+    """fmt.Sprintf("%v", v) parity for JSON-decoded values.
+
+    Go json.Unmarshal into interface{} yields float64 for ALL JSON numbers,
+    so even integral values go through the float formatting (1417640643 ->
+    "1.417640643e+09"). Python json gives int for integer literals — route
+    ints through the float path to stay Go-faithful."""
     if v is None:
         return ""
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+    if isinstance(v, (int, float)):
+        return _go_float_str(float(v))
     return str(v)
 
 
@@ -59,7 +95,8 @@ def _feature_rows(dataset_id: str, doc: dict) -> list[dict]:
         # a JSON numeric 0 decodes to float64 in Go and is KEPT (then
         # stringifies to "0").  Python json gives int for `0`, so we mimic
         # Go by keeping numeric zeros.
-        name = style = fid = None
+        name = style = None
+        fid_by_key: dict[str, str] = {}
         attrs = {}
         for k, v in props.items():
             if v is None or v == "" or (isinstance(v, str) and v == "0"):
@@ -69,11 +106,15 @@ def _feature_rows(dataset_id: str, doc: dict) -> list[dict]:
             elif k == "styletype":
                 style = _go_str(v)
             elif k in ("id", "fid", "osm_id", "uid", "uuid"):
-                fid = _go_str(v)
+                fid_by_key[k] = _go_str(v)
             elif k in ("tags", "way", "geomz"):
                 continue
             else:
                 attrs[str(k)] = _go_str(v)
+        # the reference's ID pick is Go-map-iteration-random when several
+        # id-ish keys exist (convert.go:818); the engine canonicalizes to
+        # the same priority order clean_attributes uses
+        fid = next((fid_by_key[k] for k in ("id", "fid", "osm_id", "uid", "uuid") if k in fid_by_key), None)
         base = {
             "dataset_id": dataset_id,
             "name": name,
@@ -136,7 +177,15 @@ def features_from_geojson(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for did, txt in zip(pdf["dataset_id"], pdf["geojson"]):
-                out.extend(_feature_rows(str(did), json.loads(txt)))
+                try:
+                    doc = json.loads(txt)
+                except (ValueError, TypeError) as e:
+                    # per-dataset failure must not abort the distributed
+                    # job (the reference returns an error for that one
+                    # dataset and the caller continues)
+                    print(f"NonFatal [features_from_geojson] dataset {did}: {e}")
+                    continue
+                out.extend(_feature_rows(str(did), doc))
             if out:
                 yield pd.DataFrame(out)
 

@@ -63,17 +63,31 @@ def _parse_lenient(xml_text: str):
         return ET.fromstring(xml_text.rstrip() + ">")
 
 
+def _children(el, name):
+    return [c for c in el if _strip(c.tag) == name]
+
+
 def _kml_rows(dataset_id: str, xml_text: str) -> tuple[list[dict], str]:
+    """Structural parity with the reference's kml-decode bindings
+    (convert.go:305-385): ONLY Document>Folder (the first folder) is read;
+    per placemark exactly one Point (direct child), one
+    MultiGeometry>LineString, and one MultiGeometry>Polygon>outerBoundaryIs
+    ring bind — bare LineStrings, extra folders, and additional geometries
+    inside a MultiGeometry are silently ignored, matching Go struct
+    decoding of fixed paths."""
     root = _parse_lenient(xml_text)
     folders = _find_all(root, "Folder")
     name = ""
+    placemarks = []
     if folders:
-        names = [c for c in folders[0] if _strip(c.tag) == "name"]
+        first = folders[0]
+        names = _children(first, "name")
         if names:
             name = (names[0].text or "").strip()
+        placemarks = _children(first, "Placemark")
     rows = []
     fidx = 0
-    for pm in _find_all(root, "Placemark"):
+    for pm in placemarks:
         attrs = {}
         for sd in _find_all(pm, "SimpleData"):
             attrs[sd.get("name") or ""] = (sd.text or "").strip()
@@ -105,26 +119,36 @@ def _kml_rows(dataset_id: str, xml_text: str) -> tuple[list[dict], str]:
             )
             fidx += 1
 
-        for pt in _find_all(pm, "Point"):
-            for co in _find_all(pt, "coordinates"):
-                verts = _parse_coords_text(co.text)
+        # one geometry per fixed path (Go struct binding takes the first)
+        points = _children(pm, "Point")
+        if points:
+            cos = _find_all(points[0], "coordinates")
+            if cos:
+                verts = _parse_coords_text(cos[0].text)
                 if verts:
-                    had_z = len((co.text or "").split()[0].split(",")) >= 3
+                    had_z = len((cos[0].text or "").split()[0].split(",")) >= 3
                     emit("point", verts[:1], [0, 1], [0, 1], had_z)
-        for ls in _find_all(pm, "LineString"):
-            for co in _find_all(ls, "coordinates"):
-                verts = _parse_coords_text(co.text)
-                if verts:
-                    had_z = len((co.text or "").split()[0].split(",")) >= 3
-                    emit("line", verts, [0, len(verts)], [0, 1], had_z)
-        for poly in _find_all(pm, "Polygon"):
-            outers = _find_all(poly, "outerBoundaryIs")
-            for ob in outers:  # outer boundary ONLY (convert.go:346-359)
-                for co in _find_all(ob, "coordinates"):
-                    verts = _parse_coords_text(co.text)
+        multis = _children(pm, "MultiGeometry")
+        if multis:
+            mg = multis[0]
+            lss = _children(mg, "LineString")
+            if lss:
+                cos = _find_all(lss[0], "coordinates")
+                if cos:
+                    verts = _parse_coords_text(cos[0].text)
                     if verts:
-                        had_z = len((co.text or "").split()[0].split(",")) >= 3
-                        emit("polygon", verts, [0, len(verts)], [0, 1], had_z)
+                        had_z = len((cos[0].text or "").split()[0].split(",")) >= 3
+                        emit("line", verts, [0, len(verts)], [0, 1], had_z)
+            polys = _children(mg, "Polygon")
+            if polys:
+                outers = _find_all(polys[0], "outerBoundaryIs")
+                if outers:  # outer boundary ONLY (convert.go:346-359)
+                    cos = _find_all(outers[0], "coordinates")
+                    if cos:
+                        verts = _parse_coords_text(cos[0].text)
+                        if verts:
+                            had_z = len((cos[0].text or "").split()[0].split(",")) >= 3
+                            emit("polygon", verts, [0, len(verts)], [0, 1], had_z)
     return rows, name
 
 
@@ -200,7 +224,11 @@ def features_from_kml(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for did, txt in zip(pdf["dataset_id"], pdf["kml"]):
-                rows, _ = _kml_rows(str(did), txt)
+                try:
+                    rows, _ = _kml_rows(str(did), txt)
+                except ET.ParseError as e:
+                    print(f"NonFatal [features_from_kml] dataset {did}: {e}")
+                    continue
                 out.extend(rows)
             if out:
                 yield pd.DataFrame(out)
@@ -219,7 +247,11 @@ def features_from_gpx(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for did, txt in zip(pdf["dataset_id"], pdf["gpx"]):
-                out.extend(_gpx_rows(str(did), txt))
+                try:
+                    out.extend(_gpx_rows(str(did), txt))
+                except ET.ParseError as e:
+                    print(f"NonFatal [features_from_gpx] dataset {did}: {e}")
+                    continue
             if out:
                 yield pd.DataFrame(out)
 

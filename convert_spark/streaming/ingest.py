@@ -63,15 +63,18 @@ def stateful_session_counts(events: DataFrame, gap_s: int = 1800):
         else:
             start, last, n = None, None, 0
         rows = []
-        for pdf in pdfs:
-            for sec in sorted(pdf["sec"].tolist()):
-                if last is not None and sec - last > gap_s:
-                    rows.append((user_id, int(start), int(n)))
-                    start, n = sec, 0
-                if start is None:
-                    start = sec
-                last = sec
-                n += 1
+        # concatenate ALL chunks before sorting: applyInPandasWithState
+        # delivers a group as multiple Arrow chunks with no cross-chunk
+        # ordering guarantee — per-chunk sorting would merge sessions
+        all_secs = sorted(s for pdf in pdfs for s in pdf["sec"].tolist())
+        for sec in all_secs:
+            if last is not None and sec - last > gap_s:
+                rows.append((user_id, int(start), int(n)))
+                start, n = sec, 0
+            if start is None:
+                start = sec
+            last = sec
+            n += 1
         state.update((start, last, n))
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "session_start", "n_events"])

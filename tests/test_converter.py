@@ -369,3 +369,88 @@ class TestReviewRegressions:
             .reset_index(drop=True)
         )
         assert out["ref_id"].tolist() == [0, 1, 2]
+
+
+class TestThirdReviewRegressions:
+    def test_go_float_formatting(self):
+        """Go fmt %v parity: scientific at decimal exponent >= 6 or < -4
+        (json.Unmarshal gives float64 for ALL JSON numbers)."""
+        from convert_spark.sources.geojson import _go_str
+
+        assert _go_str(17) == "17"
+        assert _go_str(999999) == "999999"
+        assert _go_str(1000000) == "1e+06"
+        assert _go_str(1417640643) == "1.417640643e+09"
+        assert _go_str(1234567.5) == "1.2345675e+06"
+        assert _go_str(0.0001) == "0.0001"
+        assert _go_str(0.00001) == "1e-05"
+        assert _go_str(-2500000.0) == "-2.5e+06"
+        assert _go_str(True) == "true" and _go_str(None) == ""
+
+    def test_id_priority_unified(self, spark):
+        doc = _fc(
+            [
+                {
+                    "type": "Feature",
+                    "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                    "properties": {"uuid": "u9", "id": "i1"},
+                }
+            ]
+        )
+        out = feat_ops.convert_geojson(spark, "p", doc)
+        assert out["points"][0]["id"] == "i1"  # priority order, not doc order
+
+    def test_malformed_document_skipped(self, spark):
+        docs = spark.createDataFrame(
+            [("bad", "{not json"), ("good", _fc([{"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}, "properties": {}}]))],
+            "dataset_id string, geojson string",
+        )
+        feats = gj.features_from_geojson(docs).toPandas()
+        assert set(feats["dataset_id"]) == {"good"}
+
+    def test_kml_structural_parity(self, spark):
+        """Bare LineString under Placemark, second Folder, and second
+        geometry in a MultiGeometry are IGNORED (Go fixed-path binding)."""
+        kml = """<?xml version="1.0"?><kml><Document>
+        <Folder><name>f1</name>
+          <Placemark><name>a</name><LineString><coordinates>1,2 3,4</coordinates></LineString></Placemark>
+          <Placemark><name>b</name><MultiGeometry>
+            <LineString><coordinates>1,2 3,4</coordinates></LineString>
+            <LineString><coordinates>5,6 7,8</coordinates></LineString>
+          </MultiGeometry></Placemark>
+        </Folder>
+        <Folder><name>f2</name><Placemark><name>c</name><Point><coordinates>9,9</coordinates></Point></Placemark></Folder>
+        </Document></kml>"""
+        docs = spark.createDataFrame([("k", kml)], "dataset_id string, kml string")
+        feats = xmlgeo.features_from_kml(docs).toPandas()
+        # only placemark b's FIRST MultiGeometry LineString binds
+        assert len(feats) == 1
+        assert feats["name"].iloc[0] == "b"
+        assert list(feats["verts"].iloc[0][0][:2]) == [1.0, 2.0]
+
+    def test_parse_double_go_whitespace(self, spark):
+        from convert_spark.operators.extract import parse_double_go
+
+        df = spark.createDataFrame([(" 1.5 ",), ("2.5",), ("x",)], "s string")
+        got = [r[0] for r in df.select(parse_double_go("s")).collect()]
+        assert got == [0.0, 2.5, 0.0]  # Go ParseFloat rejects padding
+
+    def test_csv_feature_idx_contiguous(self, spark):
+        import os, tempfile
+
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "t.csv")
+        with open(p, "w") as f:
+            f.write("x,y\n" + "\n".join(f"{i}.0,{i}.0" for i in range(50)))
+        feats = csv_points.features_from_csv(spark, p, "x", "y")
+        idx = sorted(feats.toPandas()["feature_idx"])
+        assert idx == list(range(50))
+
+    def test_snapshot_params_invalidate(self, spark, tmp_path):
+        from convert_spark.plans import snapshots
+
+        root = str(tmp_path / "s")
+        a = snapshots.run_pipeline(spark, root, n_pages=50)
+        b = snapshots.run_pipeline(spark, root, n_pages=120)  # params changed
+        assert b["pages"]["rows"] == 120  # stale 50-page snapshot NOT reused
+        assert a["pages"]["rows"] == 50

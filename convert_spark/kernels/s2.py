@@ -20,11 +20,13 @@ including its quirks (SURVEY.md §7.1 item 5):
   bounding cap decomposed into at most 4 cells (convert.go:1177-1178),
 * tokens are truncated to their first 8 characters (convert.go:1180-1186).
 
-Known deviation (documented for the judge): the loop bound here is the
-lat/lng rect of the four vertices (edge latitude extrema from Go's
-RectBounder are omitted — for the tiny quasi-planar loops this pipeline
-produces the difference is below token-8 resolution). Goldens are pinned
-from this implementation (SURVEY.md §5.2).
+The loop bound implements the full published RectBounder algorithm (edge
+latitude extrema, near-identical/near-antipodal fallbacks, 2eps expansion,
+polar closure) plus Loop.initBound's pole-containment adjustments and
+Rect.CapBound's chord-angle radius math; MinWidthMetric.MaxLevel uses the
+Ilogb rounding of the Go library (see the covering section header for the
+two remaining degenerate-input deviations). Goldens are pinned from this
+implementation (SURVEY.md §5.2) — no Go toolchain exists in this sandbox.
 """
 
 from __future__ import annotations
@@ -272,73 +274,306 @@ def vertex_neighbors(cid: int, level: int) -> list[int]:
 
 
 # --- cap / covering ---------------------------------------------------------
+#
+# Reference semantics (convert.go:1170-1192):
+#   LoopFromPoints(corners).CellUnionBound()
+# which in the public golang/geo library expands to
+#   Loop.initBound (RectBounder over the closed vertex chain, 2eps lat
+#   expansion + polar closure, then pole-containment adjustments)
+#   -> Rect.CapBound (pole cap vs rect-center cap, chord-angle radii)
+#   -> Cap.CellUnionBound (level = MinWidthMetric.MaxLevel(radius) - 1,
+#      VertexNeighbors; 6 face cells when level < 0).
+# Everything below reimplements that chain from the published algorithm
+# (s2geometry.io + the Apache-licensed golang/geo sources' documented
+# formulas), vectorized in numpy.
+#
+# Documented deviations (degenerate inputs only):
+#  * pole containment uses a centroid-probe crossing-parity test instead of
+#    golang/geo's OriginPoint bootstrap with symbolically-perturbed robust
+#    predicates. Identical for the simple convex corner quads this pipeline
+#    builds; may differ for self-intersecting or concave loops.
+#  * edge-crossing signs use plain double arithmetic (no exact/symbolic
+#    fallback), so points exactly on a loop edge may classify differently.
 
-# kMinWidth derivative for the quadratic projection (published constant)
+_DBL_EPS = 2.220446049250313e-16  # Go dblEpsilon (2^-52)
+
+# kMinWidth derivative for the quadratic projection (published constant:
+# MinWidthMetric = Metric{dim: 1, deriv: 2*sqrt(2)/3})
 _MIN_WIDTH_DERIV = 2.0 * math.sqrt(2.0) / 3.0
 
+# golang/geo s2.OriginPoint() — the fixed "point at infinity" PointFromCoords
+# returns for the all-zero vector.
+_ORIGIN_POINT = np.array([-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195])
 
-def _min_width_max_level(value: float) -> int:
-    """Max level L such that minWidth(L) = deriv * 2^-L >= value."""
-    if value <= 0:
-        return MAX_LEVEL
-    return min(MAX_LEVEL, int(math.floor(math.log2(_MIN_WIDTH_DERIV / value))))
+_FULL_LO, _FULL_HI = -math.pi, math.pi
+
+
+def _ilogb_vec(x: np.ndarray) -> np.ndarray:
+    """math.Ilogb for positive finite doubles: exponent e with x in [2^e, 2^(e+1))."""
+    _, e = np.frexp(np.asarray(x, dtype=np.float64))
+    return e.astype(np.int64) - 1
+
+
+def _min_width_max_level(value) -> np.ndarray:
+    """MinWidthMetric.MaxLevel — Go metric.go: level = -Ilogb(val/deriv)
+    clamped to [0, 30]; val <= 0 -> 30. NOTE the Ilogb form rounds the
+    floating-point level UP vs the naive floor(log2(deriv/val))."""
+    v = np.asarray(value, dtype=np.float64)
+    scalar = v.ndim == 0
+    v = np.atleast_1d(v)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lvl = -_ilogb_vec(np.where(v > 0, v, 1.0) / _MIN_WIDTH_DERIV)
+    lvl = np.clip(lvl, 0, MAX_LEVEL)
+    lvl = np.where(v <= 0, MAX_LEVEL, lvl)
+    return int(lvl[0]) if scalar else lvl
+
+
+# --- s1.Interval (lng intervals), vectorized --------------------------------
+# Representation: (lo, hi) arrays, values in (-pi, pi]; full = (-pi, pi).
+# No empty intervals occur in this flow (always seeded from an edge).
+
+
+def _s1_pos_dist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from a to b counterclockwise, in [0, 2pi)."""
+    d = b - a
+    return np.where(d >= 0, d, (b + math.pi) - (a - math.pi))
+
+
+def _s1_norm_pt(p: np.ndarray) -> np.ndarray:
+    return np.where(p == -math.pi, math.pi, p)
+
+
+def _s1_fast_contains(lo, hi, p):
+    inv = lo > hi
+    return np.where(inv, (p >= lo) | (p <= hi), (p >= lo) & (p <= hi))
+
+
+def _s1_from_two_points(a: np.ndarray, b: np.ndarray):
+    """IntervalFromPoint(a).AddPoint(b): the shorter arc between a and b."""
+    a = _s1_norm_pt(a)
+    b = _s1_norm_pt(b)
+    swap = _s1_pos_dist(b, a) < _s1_pos_dist(a, b)
+    lo = np.where(swap, b, a)
+    hi = np.where(swap, a, b)
+    same = a == b
+    return np.where(same, a, lo), np.where(same, a, hi)
+
+
+def _s1_is_full(lo, hi):
+    return (hi - lo) == 2 * math.pi
+
+
+def _s1_length(lo, hi):
+    l = hi - lo
+    return np.where(l >= 0, l, l + 2 * math.pi)
+
+
+def _s1_contains_interval(ilo, ihi, ylo, yhi):
+    """i.ContainsInterval(y), both non-empty."""
+    i_inv = ilo > ihi
+    y_inv = ylo > yhi
+    both = (ylo >= ilo) & (yhi <= ihi)
+    return np.where(
+        i_inv,
+        np.where(y_inv, both, (ylo >= ilo) | (yhi <= ihi)),
+        np.where(y_inv, _s1_is_full(ilo, ihi), both),
+    )
+
+
+def _s1_union(ilo, ihi, ylo, yhi):
+    """i.Union(y), both non-empty (golang/geo s1.Interval.Union)."""
+    c_lo = _s1_fast_contains(ilo, ihi, ylo)
+    c_hi = _s1_fast_contains(ilo, ihi, yhi)
+    # case both endpoints contained: i if i contains y else full
+    cont = _s1_contains_interval(ilo, ihi, ylo, yhi)
+    r1_lo = np.where(cont, ilo, _FULL_LO)
+    r1_hi = np.where(cont, ihi, _FULL_HI)
+    # case neither endpoint contained: y if y contains i.lo else closer-pair
+    y_has_ilo = _s1_fast_contains(ylo, yhi, ilo)
+    d_lo = _s1_pos_dist(yhi, ilo)
+    d_hi = _s1_pos_dist(ihi, ylo)
+    r4_lo = np.where(y_has_ilo, ylo, np.where(d_lo < d_hi, ylo, ilo))
+    r4_hi = np.where(y_has_ilo, yhi, np.where(d_lo < d_hi, ihi, yhi))
+    lo = np.where(c_lo & c_hi, r1_lo, np.where(c_lo, ilo, np.where(c_hi, ylo, r4_lo)))
+    hi = np.where(c_lo & c_hi, r1_hi, np.where(c_lo, yhi, np.where(c_hi, ihi, r4_hi)))
+    return lo, hi
+
+
+def _s1_center(lo, hi):
+    c = 0.5 * (lo + hi)
+    inv = lo > hi
+    return np.where(inv, np.where(c <= 0, c + math.pi, c - math.pi), c)
+
+
+# --- Loop bound -> bounding cap, vectorized ---------------------------------
+
+
+def _normalize_points(raw: np.ndarray) -> np.ndarray:
+    """PointFromCoords semantics: normalize; the zero vector -> OriginPoint."""
+    pts = np.asarray(raw, dtype=np.float64)
+    norms = np.linalg.norm(pts, axis=-1, keepdims=True)
+    out = pts / np.where(norms == 0, 1.0, norms)
+    zero = (norms == 0)[..., 0]
+    if zero.any():
+        out[zero] = _ORIGIN_POINT
+    return out
+
+
+def _simple_crossing(a, b, c, d):
+    """s2.SimpleCrossing: does minor arc AB cross minor arc CD strictly
+    interior to both? a,b broadcast against c,d (…,3) arrays."""
+    ab = np.cross(a, b)
+    acb = -(ab * c).sum(axis=-1)
+    bda = (ab * d).sum(axis=-1)
+    cd = np.cross(c, d)
+    cbd = -(cd * b).sum(axis=-1)
+    dac = (cd * a).sum(axis=-1)
+    return (acb * bda > 0) & (acb * cbd > 0) & (cbd * dac > 0) & (dac * bda > 0)
+
+
+def _loops_contain_point(verts: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """Crossing-parity containment of fixed point ``p`` for each closed loop.
+
+    verts: (n, k+1, 3) unit vertex chains (vertex 0 repeated at the end).
+    Probe = normalized vertex centroid; its own containment flag is the sign
+    of sum_e det(a_e, b_e, centroid) (interior is left of the edges). Loops
+    whose vertices are coplanar with the origin (zero area — degenerate
+    bboxes collapse to out-and-back slits) contain nothing, matching the
+    crossing-parity result golang/geo produces for them."""
+    n, kp1, _ = verts.shape
+    a = verts[:, :-1, :]
+    b = verts[:, 1:, :]
+    cen = verts[:, :-1, :].sum(axis=1)
+    cn = np.linalg.norm(cen, axis=1, keepdims=True)
+    cen = cen / np.where(cn == 0, 1.0, cn)
+    dets = (np.cross(a, b) * cen[:, None, :]).sum(axis=-1)
+    cen_inside = dets.sum(axis=1) > 0
+    # zero-area guard: every vertex coplanar with v0,v1 through the origin
+    tri = np.abs((np.cross(verts[:, 0:1, :], verts[:, 1:2, :]) * verts[:, 2:-1, :]).sum(axis=-1))
+    degenerate = (tri < 1e-300).all(axis=1) | (cn[:, 0] == 0)
+    crossings = _simple_crossing(cen[:, None, :], p[None, None, :], a, b).sum(axis=1)
+    even = (crossings % 2) == 0
+    inside = np.where(cen_inside, even, ~even)
+    return inside & ~degenerate
+
+
+def _loop_cap_batch(raw_pts: np.ndarray):
+    """Raw loop corner vectors (n, k, 3) -> bounding cap (centers (n,3),
+    radii (n,) in radians), the golang/geo Loop.CapBound chain."""
+    pts = _normalize_points(raw_pts)
+    n, k, _ = pts.shape
+    verts = np.concatenate([pts, pts[:, :1, :]], axis=1)  # closed chain
+    a = verts[:, :-1, :]
+    b = verts[:, 1:, :]
+
+    lat_v = np.arctan2(verts[:, :, 2], np.hypot(verts[:, :, 0], verts[:, :, 1]))
+    lng_v = np.arctan2(verts[:, :, 1], verts[:, :, 0])
+    lat_a, lat_b = lat_v[:, :-1], lat_v[:, 1:]
+    lng_a, lng_b = lng_v[:, :-1], lng_v[:, 1:]
+
+    # N = (A-B) x (A+B) = 2 (A x B), computed this way for accuracy (RectBounder)
+    nv = np.cross(a - b, a + b)
+    n_norm = np.linalg.norm(nv, axis=-1)
+    small = n_norm < 1.91346e-15
+    anti = small & ((a * b).sum(axis=-1) < 0)   # near-antipodal -> full rect
+    ident = small & ~anti                        # near-identical -> endpoint rect
+
+    # per-edge lng interval: shorter arc, promoted to full when it spans
+    # nearly pi (normal edges only — ident edges keep the plain 2-point arc)
+    e_lo, e_hi = _s1_from_two_points(lng_a, lng_b)
+    spans_pi = (_s1_length(e_lo, e_hi) >= math.pi - 2 * _DBL_EPS) & ~small
+    e_lo = np.where(spans_pi | anti, _FULL_LO, e_lo)
+    e_hi = np.where(spans_pi | anti, _FULL_HI, e_hi)
+
+    # per-edge lat interval with great-circle extrema (RectBounder.AddPoint)
+    lat_lo_e = np.minimum(lat_a, lat_b)
+    lat_hi_e = np.maximum(lat_a, lat_b)
+    m_a = (nv[:, :, 1] * a[:, :, 0] - nv[:, :, 0] * a[:, :, 1])  # (N x z).A
+    m_b = (nv[:, :, 1] * b[:, :, 0] - nv[:, :, 0] * b[:, :, 1])
+    m_err = 6.06638e-16 * n_norm + 6.83174e-31
+    cond = ((m_a * m_b < 0) | (np.abs(m_a) <= m_err) | (np.abs(m_b) <= m_err)) & ~small
+    with np.errstate(invalid="ignore"):
+        max_lat = np.minimum(
+            np.arctan2(np.hypot(nv[:, :, 0], nv[:, :, 1]), np.abs(nv[:, :, 2])) + 3 * _DBL_EPS,
+            math.pi / 2,
+        )
+        chord = np.linalg.norm(a - b, axis=-1)
+        lat_budget = 2 * np.arcsin(np.clip(0.5 * chord * np.sin(max_lat), -1.0, 1.0))
+    max_delta = 0.5 * (lat_budget - (lat_hi_e - lat_lo_e)) + _DBL_EPS
+    hi_adj = cond & (m_a <= m_err) & (m_b >= -m_err)
+    lo_adj = cond & (m_b <= m_err) & (m_a >= -m_err)
+    lat_hi_e = np.where(hi_adj, np.minimum(max_lat, lat_hi_e + max_delta), lat_hi_e)
+    lat_lo_e = np.where(lo_adj, np.maximum(-max_lat, lat_lo_e - max_delta), lat_lo_e)
+    lat_lo_e = np.where(anti, -math.pi / 2, lat_lo_e)
+    lat_hi_e = np.where(anti, math.pi / 2, lat_hi_e)
+
+    # union across edges: r1 hull for lat, s1.Interval.Union for lng
+    lat_lo = lat_lo_e.min(axis=1)
+    lat_hi = lat_hi_e.max(axis=1)
+    lng_lo, lng_hi = e_lo[:, 0], e_hi[:, 0]
+    for e in range(1, k):
+        lng_lo, lng_hi = _s1_union(lng_lo, lng_hi, e_lo[:, e], e_hi[:, e])
+
+    # RectBound: expand lat by 2eps, clamp, polar closure
+    lat_lo = np.maximum(lat_lo - 2 * _DBL_EPS, -math.pi / 2)
+    lat_hi = np.minimum(lat_hi + 2 * _DBL_EPS, math.pi / 2)
+    polar = (lat_lo == -math.pi / 2) | (lat_hi == math.pi / 2)
+    lng_lo = np.where(polar, _FULL_LO, lng_lo)
+    lng_hi = np.where(polar, _FULL_HI, lng_hi)
+
+    # Loop.initBound pole adjustments
+    north = _loops_contain_point(verts, np.array([0.0, 0.0, 1.0]))
+    lat_hi = np.where(north, math.pi / 2, lat_hi)
+    lng_lo = np.where(north, _FULL_LO, lng_lo)
+    lng_hi = np.where(north, _FULL_HI, lng_hi)
+    full_lng = _s1_is_full(lng_lo, lng_hi)
+    south = full_lng & _loops_contain_point(verts, np.array([0.0, 0.0, -1.0]))
+    lat_lo = np.where(south, -math.pi / 2, lat_lo)
+
+    # Rect.CapBound: pole cap vs mid cap, radii via chord angles
+    south_axis = (lat_hi + lat_lo) < 0
+    pole_angle = np.where(south_axis, math.pi / 2 + lat_hi, math.pi / 2 - lat_lo)
+    pole_chord2 = (2.0 * np.sin(0.5 * np.minimum(math.pi, pole_angle))) ** 2
+    pole_rad = 2.0 * np.arcsin(0.5 * np.sqrt(pole_chord2))
+    pole_center = np.stack(
+        [np.zeros(n), np.zeros(n), np.where(south_axis, -1.0, 1.0)], axis=1
+    )
+
+    clat = 0.5 * (lat_lo + lat_hi)
+    clng = _s1_center(lng_lo, lng_hi)
+    mid_center = np.stack(
+        [np.cos(clat) * np.cos(clng), np.sin(clng) * np.cos(clat), np.sin(clat)], axis=1
+    )
+    chord2 = np.zeros(n)
+    for la, ln in ((lat_lo, lng_lo), (lat_hi, lng_hi)):
+        v = np.stack([np.cos(la) * np.cos(ln), np.sin(ln) * np.cos(la), np.sin(la)], axis=1)
+        d = ((mid_center - v) ** 2).sum(axis=1)
+        chord2 = np.maximum(chord2, np.minimum(4.0, d))
+    mid_rad = 2.0 * np.arcsin(0.5 * np.sqrt(chord2))
+
+    use_mid = ~full_lng & (mid_rad < pole_rad)
+    center = np.where(use_mid[:, None], mid_center, pole_center)
+    radius = np.where(use_mid, mid_rad, pole_rad)
+    return center, radius
+
+
+def loop_cap_bound(points: np.ndarray) -> tuple[np.ndarray, float]:
+    """Bounding cap of one loop (golang/geo Loop.CapBound chain)."""
+    pts = np.asarray(points, dtype=np.float64).reshape(1, -1, 3)
+    center, radius = _loop_cap_batch(pts)
+    return center[0], float(radius[0])
 
 
 def cap_cell_union_bound(center_xyz: np.ndarray, radius_rad: float) -> list[int]:
-    """Cap -> <=4 covering cells (public Cap.CellUnionBound): the vertex
-    neighbors of the center's cell at the deepest level whose cells can
-    still contain the cap; the 6 face cells when the cap is hemispheric."""
-    level = _min_width_max_level(2.0 * radius_rad) - 1
+    """Cap -> covering cells (Cap.CellUnionBound): the vertex neighbors of
+    the center's cell at MinWidthMetric.MaxLevel(radius) - 1; the 6 face
+    cells when that level is < 0 (radius unscaled — golang/geo passes
+    c.Radius().Radians() directly)."""
+    level = int(_min_width_max_level(float(radius_rad))) - 1
     if level < 0:
         return [(f << POS_BITS) | (1 << (POS_BITS - 1)) for f in range(6)]
     cid = int(cellid_from_point(np.asarray(center_xyz).reshape(1, 3))[0])
     return vertex_neighbors(cid, level)
-
-
-def _latlng_of(p: np.ndarray) -> tuple[float, float]:
-    x, y, z = p
-    lat = math.atan2(z, math.hypot(x, y))
-    lng = math.atan2(y, x)
-    return lat, lng
-
-
-def loop_cap_bound(points: np.ndarray) -> tuple[np.ndarray, float]:
-    """Bounding cap of a small loop via its lat/lng rect (Rect.CapBound):
-    compare the poleward cap against the rect-center cap and keep the
-    smaller (public algorithm; see module docstring for the deviation)."""
-    pts = np.asarray(points, dtype=np.float64).reshape(-1, 3)
-    norms = np.linalg.norm(pts, axis=1, keepdims=True)
-    pts = pts / np.where(norms == 0, 1.0, norms)
-    lls = np.array([_latlng_of(p) for p in pts])
-    lat_lo, lat_hi = float(lls[:, 0].min()), float(lls[:, 0].max())
-    lngs = lls[:, 1]
-    # minimal lng interval (loops here are tiny; handle antimeridian by
-    # choosing the narrower of the direct and wrapped spans)
-    lng_lo, lng_hi = float(lngs.min()), float(lngs.max())
-    direct = lng_hi - lng_lo
-    if direct > math.pi:
-        # wrapped: shift negatives by 2pi
-        shifted = np.where(lngs < 0, lngs + 2 * math.pi, lngs)
-        lng_lo, lng_hi = float(shifted.min()), float(shifted.max())
-
-    if lat_lo + lat_hi < 0:
-        pole = np.array([0.0, 0.0, -1.0])
-        pole_angle = math.pi / 2 + lat_hi
-    else:
-        pole = np.array([0.0, 0.0, 1.0])
-        pole_angle = math.pi / 2 - lat_lo
-    # mid cap: centered at rect center, expanded to the 4 rect vertices
-    clat = 0.5 * (lat_lo + lat_hi)
-    clng = 0.5 * (lng_lo + lng_hi)
-    center = np.array([math.cos(clat) * math.cos(clng), math.cos(clat) * math.sin(clng), math.sin(clat)])
-    ang = 0.0
-    for la in (lat_lo, lat_hi):
-        for ln in (lng_lo, lng_hi):
-            v = np.array([math.cos(la) * math.cos(ln), math.cos(la) * math.sin(ln), math.sin(la)])
-            ang = max(ang, math.acos(max(-1.0, min(1.0, float(np.dot(center, v))))))
-    if ang < pole_angle:
-        return center, ang
-    return pole, pole_angle
 
 
 def vertex_neighbors_vec(cids: np.ndarray, levels: np.ndarray) -> list[list[int]]:
@@ -372,9 +607,8 @@ def vertex_neighbors_vec(cids: np.ndarray, levels: np.ndarray) -> list[list[int]
 
 
 def s2covering_tokens_batch(lx, ly, rx, uy, elev_fn) -> list[list[str]]:
-    """Vectorized batch form of ``s2covering_tokens`` (identical output;
-    tests assert parity). Removes the ~1.3 ms/row scalar overhead — the
-    per-tile finalize cost at cluster scale."""
+    """Vectorized bbox -> quirky 8-char S2 covering tokens
+    (convert.go:1151-1192; the per-tile finalize kernel at cluster scale)."""
     from .mercator import to4326
 
     lx = np.asarray(lx, dtype=np.float64)
@@ -397,43 +631,15 @@ def s2covering_tokens_batch(lx, ly, rx, uy, elev_fn) -> list[list[str]]:
     lx4, ly4 = to4326(lx[k], ly[k])
     cx = np.stack([rx4, lx4, lx4, rx4], axis=1)
     cy = np.stack([uy4, uy4, ly4, ly4], axis=1)
-    pts = np.stack([cx.ravel(), cy.ravel(), np.repeat(cz[k], 4)], axis=1).reshape(-1, 4, 3)
-    norms = np.linalg.norm(pts, axis=2, keepdims=True)
-    pts = pts / np.where(norms == 0, 1.0, norms)
-    plat = np.arctan2(pts[:, :, 2], np.hypot(pts[:, :, 0], pts[:, :, 1]))
-    plng = np.arctan2(pts[:, :, 1], pts[:, :, 0])
-    lat_lo, lat_hi = plat.min(axis=1), plat.max(axis=1)
-    lng_lo, lng_hi = plng.min(axis=1), plng.max(axis=1)
-    wrapped = (lng_hi - lng_lo) > math.pi
-    if wrapped.any():
-        sh = np.where(plng[wrapped] < 0, plng[wrapped] + 2 * math.pi, plng[wrapped])
-        lng_lo[wrapped] = sh.min(axis=1)
-        lng_hi[wrapped] = sh.max(axis=1)
-    south = (lat_lo + lat_hi) < 0
-    pole_angle = np.where(south, math.pi / 2 + lat_hi, math.pi / 2 - lat_lo)
-    clat = 0.5 * (lat_lo + lat_hi)
-    clng = 0.5 * (lng_lo + lng_hi)
-    center = np.stack([np.cos(clat) * np.cos(clng), np.cos(clat) * np.sin(clng), np.sin(clat)], axis=1)
-    ang = np.zeros(k.size)
-    for la, ln in ((lat_lo, lng_lo), (lat_lo, lng_hi), (lat_hi, lng_lo), (lat_hi, lng_hi)):
-        v = np.stack([np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)], axis=1)
-        d = np.clip((center * v).sum(axis=1), -1.0, 1.0)
-        ang = np.maximum(ang, np.arccos(d))
-    use_mid = ang < pole_angle
-    cap_center = np.where(
-        use_mid[:, None],
-        center,
-        np.stack([np.zeros(k.size), np.zeros(k.size), np.where(south, -1.0, 1.0)], axis=1),
-    )
-    radius = np.where(use_mid, ang, pole_angle)
-    # level = MaxLevel(2*radius) - 1 (face cells when < 0)
-    with np.errstate(divide="ignore"):
-        raw = np.floor(np.log2(_MIN_WIDTH_DERIV / (2.0 * radius)))
-    lvl = np.where(radius <= 0, MAX_LEVEL, np.minimum(MAX_LEVEL, raw)).astype(np.int64) - 1
+    # quirk: PointFromCoords(lon, lat, cz) — raw R^3 vector, normalized
+    raw = np.stack([cx, cy, np.repeat(cz[k], 4).reshape(-1, 4)], axis=2)
+    center, radius = _loop_cap_batch(raw)
+
+    lvl = np.asarray(_min_width_max_level(radius), dtype=np.int64) - 1
     cells_per_row: list[list[int]] = [None] * k.size  # type: ignore[list-item]
     deep = lvl >= 0
     if deep.any():
-        leafs = cellid_from_point(cap_center[deep])
+        leafs = cellid_from_point(center[deep])
         neigh = vertex_neighbors_vec(leafs, lvl[deep])
         for pos, row in enumerate(np.where(deep)[0]):
             cells_per_row[row] = neigh[pos]
@@ -451,33 +657,9 @@ def s2covering_tokens(lx: float, ly: float, rx: float, uy: float, elev_fn) -> li
     bbox in EPSG:3857; ``elev_fn(x3857, y3857) -> z`` is GetElev. Empty /
     degenerate bboxes return [] (convert.go:1154-1158). Tokens are cut to
     8 chars and NOT deduplicated (reference parity, convert.go:1180-1192 —
-    tiny bboxes legitimately yield 4 identical tokens).
+    tiny bboxes legitimately yield 4 identical tokens). Thin wrapper over
+    the batch kernel so scalar and batch cannot drift.
     """
-    from .mercator import to4326
-
-    # empty/unset bbox -> empty covering (convert.go:1154-1158); note an
-    # all-zero bbox from a real (0,0) point is NOT empty — callers signal
-    # emptiness with NaN
-    if not (np.isfinite([lx, ly, rx, uy]).all()):
-        return []
-    cz = float(np.asarray(elev_fn(np.array([rx]), np.array([uy])))[0])
-    if math.isnan(cz):
-        # GetElev error -> empty covering (convert.go:1163-1167)
-        return []
-    # the reference converts exactly TWO pairs — (rx,uy) and (lx,ly) — and
-    # reuses the per-axis results for the mixed corners
-    # (convert.go:1160-1161); converting each corner pair independently
-    # diverges when a mixed pair straddles the |180| inference bound
-    xs2, ys2 = to4326(np.array([rx, lx]), np.array([uy, ly]))
-    rx4, lx4 = xs2[0], xs2[1]
-    uy4, ly4 = ys2[0], ys2[1]
-    xs4 = np.array([rx4, lx4, lx4, rx4])
-    ys4 = np.array([uy4, uy4, ly4, ly4])
-    # quirk: PointFromCoords(lon, lat, cz) — raw R^3, normalized
-    pts = np.stack([xs4, ys4, np.full(4, cz)], axis=1)
-    center, radius = loop_cap_bound(pts)
-    cells = cap_cell_union_bound(center, radius)
-    # the reference appends every cell's truncated token WITHOUT dedup
-    # (convert.go:1180-1192) — small bboxes legitimately yield 4 identical
-    # 8-char tokens
-    return [token(c)[:8] for c in cells]
+    return s2covering_tokens_batch(
+        np.array([lx]), np.array([ly]), np.array([rx]), np.array([uy]), elev_fn
+    )[0]

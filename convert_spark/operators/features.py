@@ -186,9 +186,20 @@ def dataset_bbox(normalized: DataFrame) -> DataFrame:
     )
 
 
-def _attrs_sorted(attrs: dict | None) -> list[dict]:
+def _attrs_json(attrs: dict | None, keys=None) -> list[dict]:
+    """Attribute array for the Datasets JSON.
+
+    CSV/KML/GPX carry a deterministic source order (column encounter /
+    document order, convert.go:554-570, 318-330) in ``attr_keys`` — emit in
+    that order. GeoJSON properties come from a Go map (random iteration
+    order); those rows carry no key order and canonicalize by sorting
+    (documented deviation, SURVEY.md §3.2)."""
     if not attrs:
         return None  # Go nil slice -> JSON null
+    if keys is not None and len(keys) > 0:
+        ordered = [k for k in keys if k in attrs]
+        extra = sorted(k for k in attrs if k not in ordered)
+        return [{"key": k, "value": attrs[k]} for k in list(ordered) + extra]
     return [{"key": k, "value": attrs[k]} for k in sorted(attrs)]
 
 
@@ -200,7 +211,7 @@ def _feature_json(row: pd.Series, meshes: dict) -> tuple[str, dict]:
         "id": row["feature_id"] or "",
         "name": row["name"] or "",
         "type": row["style_type"] or "",
-        "attributes": _attrs_sorted(row["attributes"]),
+        "attributes": _attrs_json(row["attributes"], row.get("attr_keys")),
     }
     kind = row["geom_kind"]
     if kind == "point":
@@ -233,7 +244,7 @@ def assemble_datasets(
     spark_names = dataset_names or {}
     feat = normalized.select(
         "dataset_id", "feature_idx", "geom_kind", "name", "style_type", "feature_id",
-        "attributes", "verts", "ring_offsets", "part_offsets",
+        "attributes", "attr_keys", "verts", "ring_offsets", "part_offsets",
     )
     if meshes is not None:
         m = meshes.select(
@@ -277,7 +288,9 @@ def assemble_datasets(
             "dataurl": "",
             "lastUpdated": "",
             "center": [{"x": cx, "y": cy, "z": cz}],
-            "s2": s2toks,
+            # Go marshals a nil []string as JSON null (convert.go:1151-1158
+            # returns nil on empty/err bboxes) — never an empty array
+            "s2": s2toks or None,
             "points": buckets["points"] or None,
             "lines": buckets["lines"] or None,
             "shapes": buckets["shapes"] or None,

@@ -68,6 +68,31 @@ class SnapshotLog:
     def stage_path(self, stage: str) -> str:
         return str(self.root / stage)
 
+    # --- per-partition progress (north_rule) -------------------------------
+
+    def _partition_records(self, stage: str) -> list[dict]:
+        out = []
+        for p in sorted(self.snap_dir.glob(f"part-{stage}-*.json")):
+            out.append(json.loads(p.read_text()))
+        return out
+
+    def partitions_committed(self, stage: str, params: dict) -> set[str]:
+        """Partition values (stringified) already committed for this stage
+        under the SAME params fingerprint — stale-params records don't count."""
+        done: set[str] = set()
+        for rec in self._partition_records(stage):
+            if rec.get("params", {}) == params:
+                done.update(map(str, rec["values"]))
+        return done
+
+    def partition_commit(self, stage: str, values: list, meta: dict) -> dict:
+        rec = {"stage": stage, "values": [str(v) for v in values], **meta}
+        key = "_".join(str(v) for v in values)[:80] or "empty"
+        tmp = self.snap_dir / f".part-{stage}-{key}.json.tmp"
+        tmp.write_text(json.dumps(rec, indent=1))
+        tmp.rename(self.snap_dir / f"part-{stage}-{key}.json")  # atomic
+        return rec
+
     def _manifest(self, stage: str) -> list[dict]:
         base = self.root / stage
         files = []
@@ -118,6 +143,89 @@ def run_stage(
             "lineage": inputs or [],
             "partition_by": partition_by or [],
             "params": params or {},
+            "files": log._manifest(stage),
+        },
+    )
+    return out
+
+
+def run_stage_partitioned(
+    spark: SparkSession,
+    log: SnapshotLog,
+    stage: str,
+    build: callable,
+    partition_col: str,
+    partition_values: list | None = None,
+    inputs: list[str] | None = None,
+    params: dict | None = None,
+    chunk_size: int = 4,
+) -> DataFrame:
+    """Execute (or resume) one stage with PER-PARTITION commit granularity
+    (north_rule: "checkpoints per-partition progress").
+
+    The stage output is written partition-group by partition-group, each
+    group its own atomic write + partition-manifest commit
+    (``_snapshots/part-<stage>-<id>.json``). A crash mid-stage loses only
+    the in-flight group: the re-run skips every committed group and
+    recomputes the rest, then commits the stage snapshot. Scale note: each
+    group is one Spark job filtering the built DataFrame on
+    ``partition_col`` — upstream stages should be partitioned/bucketed on
+    the same column so the filter prunes at the scan instead of rescanning
+    the full input per group (partition pruning; check PartitionFilters in
+    explain).
+    """
+    path = log.stage_path(stage)
+    snap = log.committed(stage)
+    if snap is not None and snap.get("params", {}) == (params or {}):
+        return spark.read.parquet(path)
+
+    t0 = time.time()
+    df = build()
+    if partition_values is None:
+        partition_values = [
+            r[0] for r in df.select(partition_col).distinct().orderBy(partition_col).collect()
+        ]
+    done = log.partitions_committed(stage, params or {})
+    missing = [v for v in partition_values if str(v) not in done]
+    # dynamic overwrite: a group write replaces ONLY its own partition dirs
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        from pyspark.sql import functions as F
+
+        for i in range(0, len(missing), chunk_size):
+            group = missing[i : i + chunk_size]
+            tg = time.time()
+            part = df.filter(F.col(partition_col).isin(group))
+            part.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+            rows = spark.read.parquet(path).filter(F.col(partition_col).isin(group)).count()
+            wall = time.time() - tg
+            log.partition_commit(
+                stage,
+                group,
+                {
+                    "rows": rows,
+                    "wall_s": round(wall, 3),
+                    "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+                    "params": params or {},
+                },
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    out = spark.read.parquet(path)
+    rows = out.count()
+    wall = time.time() - t0
+    log.commit(
+        stage,
+        {
+            "rows": rows,
+            "wall_s": round(wall, 3),
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "lineage": inputs or [],
+            "partition_by": [partition_col],
+            "params": params or {},
+            "partitions": sorted(log.partitions_committed(stage, params or {})),
+            "resumed_partitions": sorted(set(map(str, partition_values)) - set(map(str, missing))),
             "files": log._manifest(stage),
         },
     )

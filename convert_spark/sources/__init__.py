@@ -9,7 +9,7 @@ shuffle-friendly encoding the normalization/mesh kernels consume.
 FEATURES_SCHEMA = (
     "dataset_id string, feature_idx long, geom_kind string, "
     "name string, style_type string, feature_id string, "
-    "attributes map<string,string>, "
+    "attributes map<string,string>, attr_keys array<string>, "
     "verts array<array<double>>, ring_offsets array<int>, part_offsets array<int>, "
     "had_z boolean"
 )

@@ -87,5 +87,8 @@ def features_from_csv(
         out.withColumn("xyz_raw", xyz)
         .withColumn("had_z", F.lit(len(coord_cols) >= 3))
         .withColumn("attributes", attrs)
-        .select("dataset_id", "feature_idx", "xyz_raw", "had_z", "attributes")
+        # header encounter order — the reference emits CSV attributes in
+        # column order (convert.go:566-570), carried for downstream JSON
+        .withColumn("attr_keys", F.array(*[F.lit(c) for c in attr_cols]))
+        .select("dataset_id", "feature_idx", "xyz_raw", "had_z", "attributes", "attr_keys")
     )

@@ -121,6 +121,10 @@ def _feature_rows(dataset_id: str, doc: dict) -> list[dict]:
             "style_type": style,
             "feature_id": fid,
             "attributes": attrs,
+            # Go map iteration is RANDOM for GeoJSON properties — no
+            # deterministic source order exists; downstream canonicalizes
+            # by sorting (documented deviation, SURVEY.md §3.2)
+            "attr_keys": None,
         }
         if coords is None:
             continue

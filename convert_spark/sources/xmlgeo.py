@@ -102,6 +102,9 @@ def _kml_rows(dataset_id: str, xml_text: str) -> tuple[list[dict], str]:
             "style_type": None,
             "feature_id": None,
             "attributes": attrs,
+            # KML SimpleData order is deterministic (document order) and the
+            # reference emits attributes in that order — carry it through
+            "attr_keys": list(attrs),
         }
 
         def emit(kind, verts, ring_offsets, part_offsets, had_z):
@@ -194,6 +197,7 @@ def _gpx_rows(dataset_id: str, xml_text: str) -> list[dict]:
                 "style_type": None,
                 "feature_id": None,
                 "attributes": attrs,
+                "attr_keys": list(attrs),  # OGR extension document order
                 "verts": verts,
                 "ring_offsets": [0, len(verts)],
                 "part_offsets": [0, 1],
@@ -226,7 +230,10 @@ def features_from_kml(docs: DataFrame) -> DataFrame:
             for did, txt in zip(pdf["dataset_id"], pdf["kml"]):
                 try:
                     rows, _ = _kml_rows(str(did), txt)
-                except ET.ParseError as e:
+                except (ET.ParseError, ValueError) as e:
+                    # ValueError: malformed numerics in coordinates/attrs —
+                    # per-dataset failure isolation (the reference warns and
+                    # continues; a bad document must not abort the task)
                     print(f"NonFatal [features_from_kml] dataset {did}: {e}")
                     continue
                 out.extend(rows)
@@ -249,7 +256,9 @@ def features_from_gpx(docs: DataFrame) -> DataFrame:
             for did, txt in zip(pdf["dataset_id"], pdf["gpx"]):
                 try:
                     out.extend(_gpx_rows(str(did), txt))
-                except ET.ParseError as e:
+                except (ET.ParseError, ValueError) as e:
+                    # ValueError: malformed lon/lat/ele numerics — isolate
+                    # the one bad dataset instead of aborting the task
                     print(f"NonFatal [features_from_gpx] dataset {did}: {e}")
                     continue
             if out:

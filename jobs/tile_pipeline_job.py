@@ -40,23 +40,40 @@ def main() -> None:
 
     from convert_spark import datagen
     from convert_spark.operators import extract, joins, tiles
-    from convert_spark.plans.snapshots import SnapshotLog, run_stage
+    from convert_spark.plans.snapshots import SnapshotLog, run_stage, run_stage_partitioned
 
     spark = SparkSession.builder.appName("convert_spark_tile_pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     from pyspark.sql import functions as F
 
     log = SnapshotLog(args.output)
+    # params fingerprint on EVERY stage: a rerun against the same --output
+    # with different zoom/size must recompute, not return stale parquet
+    p = {"input": args.input, "n_pages": args.n_pages, "zoom": args.zoom}
     if args.input:
-        pages = run_stage(spark, log, "pages", lambda: spark.read.parquet(args.input), inputs=[])
+        pages = run_stage(spark, log, "pages", lambda: spark.read.parquet(args.input), inputs=[], params=p)
     else:
-        pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, args.n_pages), inputs=[])
-    mentions = run_stage(spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"])
-    pts = run_stage(
-        spark, log, "normalized", lambda: extract.normalize_points(mentions), inputs=["mentions"]
+        pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, args.n_pages), inputs=[], params=p)
+    mentions = run_stage(
+        spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"], params=p
     )
-    tiled = run_stage(
-        spark, log, "tiled", lambda: tiles.with_tile(pts, args.zoom), inputs=["normalized"]
+    pts = run_stage(
+        spark, log, "normalized", lambda: extract.normalize_points(mentions), inputs=["mentions"], params=p
+    )
+    # per-partition commit granularity (north_rule): tile rows grouped into
+    # 16 cell buckets, each bucket an atomic write+manifest — a crash loses
+    # only the in-flight bucket
+    tiled = run_stage_partitioned(
+        spark,
+        log,
+        "tiled",
+        lambda: tiles.with_tile(pts, args.zoom).withColumn(
+            "cell_bucket", F.pmod(F.col("cell_id"), F.lit(16)).cast("int")
+        ),
+        partition_col="cell_bucket",
+        partition_values=list(range(16)),
+        inputs=["normalized"],
+        params=p,
     )
     tagged = run_stage(
         spark,
@@ -69,13 +86,15 @@ def main() -> None:
         ),
         inputs=["tiled"],
         partition_by=["zoom"],
+        params=p,
     )
     datasets = run_stage(
         spark,
         log,
         "tile_datasets",
-        lambda: tiles.tile_datasets(tiles.with_tile(pts, args.zoom)),
+        lambda: tiles.tile_datasets(tiled),
         inputs=["tiled"],
+        params=p,
     )
     print(
         json.dumps(

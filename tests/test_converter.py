@@ -454,3 +454,62 @@ class TestThirdReviewRegressions:
         b = snapshots.run_pipeline(spark, root, n_pages=120)  # params changed
         assert b["pages"]["rows"] == 120  # stale 50-page snapshot NOT reused
         assert a["pages"]["rows"] == 50
+
+
+class TestAttrOrderAndIsolation:
+    """Round-2 fixes: deterministic source attribute order (CSV/KML/GPX emit
+    in encounter/document order, convert.go:554-570 + SimpleData order) and
+    per-dataset failure isolation for malformed XML numerics."""
+
+    KML_UNSORTED = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder><name>n</name>
+<Placemark><name>p1</name>
+ <ExtendedData><SchemaData>
+  <SimpleData name="zeta">1</SimpleData>
+  <SimpleData name="alpha">2</SimpleData>
+  <SimpleData name="mid">3</SimpleData>
+ </SchemaData></ExtendedData>
+ <Point><coordinates>-111.0,45.6,1200</coordinates></Point></Placemark>
+</Folder></Document></kml>"""
+
+    def test_kml_attr_document_order(self, spark):
+        import json
+
+        from convert_spark.operators import features as feat_ops
+        from convert_spark.sources import xmlgeo
+
+        docs = spark.createDataFrame([("k", self.KML_UNSORTED)], "dataset_id string, kml string")
+        norm = feat_ops.normalize_features(xmlgeo.features_from_kml(docs))
+        row = feat_ops.assemble_datasets(norm, None, {}).collect()[0]
+        doc = json.loads(row["dataset_json"])
+        keys = [a["key"] for a in doc["points"][0]["attributes"]]
+        assert keys == ["zeta", "alpha", "mid"]  # document order, NOT sorted
+
+    def test_kml_bad_numeric_isolated(self, spark):
+        from convert_spark.sources import xmlgeo
+
+        bad = self.KML_UNSORTED.replace("-111.0,45.6,1200", "oops,45.6,1200")
+        docs = spark.createDataFrame(
+            [("bad", bad), ("good", self.KML_UNSORTED)], "dataset_id string, kml string"
+        ).repartition(1)  # same task: the bad doc must not poison the good one
+        out = xmlgeo.features_from_kml(docs).collect()
+        assert {r["dataset_id"] for r in out} == {"good"}
+
+    def test_gpx_bad_numeric_isolated(self, spark):
+        from convert_spark.sources import xmlgeo
+
+        bad = GPX_DOC.replace('lat="45.6"', 'lat="4x.6"', 1)
+        docs = spark.createDataFrame(
+            [("bad", bad), ("good", GPX_DOC)], "dataset_id string, gpx string"
+        ).repartition(1)
+        out = xmlgeo.features_from_gpx(docs).collect()
+        assert {r["dataset_id"] for r in out} == {"good"}
+
+    def test_csv_attr_header_order(self, spark, tmp_path):
+        from convert_spark.sources import csv_points
+
+        p = str(tmp_path / "h.csv")
+        with open(p, "w") as f:
+            f.write("zz,x,aa,y,mm\n7,1.0,8,2.0,9\n")
+        got = csv_points.features_from_csv(spark, p, "x", "y").toPandas()
+        assert list(got["attr_keys"].iloc[0]) == ["zz", "aa", "mm"]

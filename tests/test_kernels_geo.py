@@ -436,3 +436,100 @@ class TestS2CoveringBatch:
         s2.s2covering_tokens_batch(x1, y1, x2, y2, demk.get_elev)
         per_row_ms = (time.time() - t0) / 5000 * 1e3
         assert per_row_ms < 0.3, f"batch covering too slow: {per_row_ms:.3f} ms/row"
+
+
+class TestS2BoundParity:
+    """Pins the golang/geo chain semantics the round-2 fix introduced:
+    Ilogb MaxLevel rounding, unscaled cap radius, RectBounder edge latitude
+    extrema, and Loop pole containment."""
+
+    def test_min_width_max_level_ilogb(self):
+        # Go: level = -Ilogb(val/deriv), i.e. the CEIL of log2(deriv/val)
+        # for non-power ratios — one deeper than naive floor
+        d = s2._MIN_WIDTH_DERIV
+        assert s2._min_width_max_level(0.2 * d) == 3     # ilogb(0.2) = -3
+        assert s2._min_width_max_level(0.125 * d) == 3   # exact power
+        assert s2._min_width_max_level(0.124 * d) == 4
+        assert s2._min_width_max_level(0.126 * d) == 3
+        assert s2._min_width_max_level(0.0) == 30
+        assert s2._min_width_max_level(2.0 * d) == 0     # clamped at 0
+        # vectorized path agrees
+        vals = np.array([0.2, 0.125, 0.124, 0.126, 2.0]) * d
+        assert list(s2._min_width_max_level(vals)) == [3, 3, 4, 3, 0]
+
+    def test_cap_radius_unscaled(self):
+        # Cap.CellUnionBound passes radius UNSCALED to MaxLevel (the round-1
+        # bug used the diameter): a cap of radius r must cover at
+        # MaxLevel(r)-1, not MaxLevel(2r)-1 — one level deeper.
+        center = np.array([1.0, 0.0, 0.0])
+        r = 0.124 * s2._MIN_WIDTH_DERIV
+        cells = s2.cap_cell_union_bound(center, r)
+        lv = int(s2.level_of(np.array(cells, dtype=np.uint64))[0])
+        assert lv == s2._min_width_max_level(r) - 1 == 3
+
+    def test_bound_contains_edge_interiors(self):
+        # The old vertex-rect bound missed latitude extrema attained in the
+        # interior of near-pole edges; the cap must contain sampled points
+        # along every great-circle edge.
+        rng = np.random.RandomState(7)
+        lon = rng.uniform(-179, 179, 50)
+        lat = rng.uniform(-80, 80, 50)
+        dlon = rng.uniform(0.1, 40, 50)
+        dlat = rng.uniform(0.1, 20, 50)
+        z = rng.uniform(0, 4000, 50)  # high z -> near-pole quirky loops
+        corners = np.stack([
+            np.stack([lon + dlon, lat + dlat, z], axis=1),
+            np.stack([lon, lat + dlat, z], axis=1),
+            np.stack([lon, lat, z], axis=1),
+            np.stack([lon + dlon, lat, z], axis=1),
+        ], axis=1)
+        centers, radii = s2._loop_cap_batch(corners)
+        pts = s2._normalize_points(corners)
+        verts = np.concatenate([pts, pts[:, :1, :]], axis=1)
+        for t in np.linspace(0.0, 1.0, 9):
+            m = (1 - t) * verts[:, :-1, :] + t * verts[:, 1:, :]
+            m = m / np.linalg.norm(m, axis=2, keepdims=True)
+            ang = np.arccos(np.clip((m * centers[:, None, :]).sum(axis=2), -1, 1))
+            assert (ang <= radii[:, None] + 1e-9).all()
+
+    def test_edge_extrema_widen_bound(self):
+        # adversarial case: wide-longitude near-pole loop — the max latitude
+        # along the edges exceeds every vertex latitude, so the full
+        # RectBounder cap must be wider than the naive vertex-rect cap
+        corners = np.array([[
+            [60.0, 10.0, 3000.0],
+            [-60.0, 10.0, 3000.0],
+            [-60.0, -10.0, 3000.0],
+            [60.0, -10.0, 3000.0],
+        ]])
+        centers, radii = s2._loop_cap_batch(corners)
+        pts = s2._normalize_points(corners)[0]
+        # edge midpoint of the (60,10)->(-60,10) edge sits closer to the
+        # pole than any vertex — i.e. attains a higher z (latitude)
+        mid = pts[0] + pts[1]
+        mid = mid / np.linalg.norm(mid)
+        assert mid[2] > pts[:, 2].max()
+        ang = float(np.arccos(np.clip(mid @ centers[0], -1, 1)))
+        assert ang <= radii[0] + 1e-12  # old vertex-rect bound violated this
+
+    def test_pole_containment_six_faces(self):
+        # bbox straddling lon=0 AND lat=0 with positive elevation: the quirky
+        # loop encloses the +z pole -> Loop.initBound full-lng rect -> cap
+        # spans a hemisphere -> 6 face cells
+        elev = lambda x, y: np.full_like(np.asarray(x, dtype=np.float64), 500.0)
+        toks = s2.s2covering_tokens(-111319.0, -111325.0, 111319.0, 111325.0, elev)
+        assert toks == ["1", "3", "5", "7", "9", "b"]
+
+    def test_flat_bbox_no_pole_containment(self):
+        # degenerate (zero-height) bbox through (0,0): the loop is an
+        # out-and-back slit with no interior -> NOT pole-containing
+        elev = lambda x, y: np.full_like(np.asarray(x, dtype=np.float64), 500.0)
+        toks = s2.s2covering_tokens(-111319.0, 0.0, 111319.0, 0.0, elev)
+        assert len(toks) == 4
+
+    def test_zero_vector_corner_uses_origin_point(self):
+        # PointFromCoords(0,0,0) -> s2.OriginPoint(): a (0,0) bbox at z=0
+        # must produce the covering of OriginPoint, not NaN
+        elev = lambda x, y: np.zeros_like(np.asarray(x, dtype=np.float64))
+        toks = s2.s2covering_tokens(0.0, 0.0, 0.0, 0.0, elev)
+        assert len(toks) == 4 and all(t == toks[0] for t in toks)

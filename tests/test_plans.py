@@ -77,3 +77,77 @@ class TestAQE:
     def test_aqe_enabled(self, spark):
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
         assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+class TestPerPartitionResume:
+    """north_rule: per-partition checkpoint progress. A crash mid-stage
+    loses only the in-flight partition group; the re-run recomputes ONLY
+    the missing groups and the final output is identical."""
+
+    def test_kill_midway_recomputes_only_missing(self, spark, tmp_path):
+        import json
+        import shutil
+        from pathlib import Path
+
+        from convert_spark.plans.snapshots import SnapshotLog, run_stage_partitioned
+
+        root = str(tmp_path / "snap")
+        params = {"v": 1}
+
+        def build():
+            return spark.range(0, 1000).withColumn(
+                "bucket", (F.col("id") % 4).cast("int")
+            ).withColumn("val", F.col("id") * 2)
+
+        # full run (chunk_size=1 -> one commit per bucket)
+        log = SnapshotLog(root)
+        out = run_stage_partitioned(
+            spark, log, "st", build, "bucket",
+            partition_values=[0, 1, 2, 3], params=params, chunk_size=1,
+        )
+        expected = sorted(r["id"] for r in out.collect())
+        snap = log.committed("st")
+        assert snap["partitions"] == ["0", "1", "2", "3"]
+
+        # simulate a crash: bucket=2's data + manifest gone, stage snapshot
+        # never committed
+        shutil.rmtree(Path(root) / "st" / "bucket=2")
+        (Path(root) / "_snapshots" / "part-st-2.json").unlink()
+        for p in (Path(root) / "_snapshots").glob("snapshot-*.json"):
+            p.unlink()
+        # fingerprint the surviving partition files to prove they are not
+        # rewritten by the resume
+        surviving = {
+            str(p): p.stat().st_mtime_ns
+            for p in (Path(root) / "st").rglob("*.parquet")
+        }
+
+        log2 = SnapshotLog(root)
+        out2 = run_stage_partitioned(
+            spark, log2, "st", build, "bucket",
+            partition_values=[0, 1, 2, 3], params=params, chunk_size=1,
+        )
+        assert sorted(r["id"] for r in out2.collect()) == expected
+        snap2 = log2.committed("st")
+        assert sorted(snap2["resumed_partitions"]) == ["0", "1", "3"]
+        for p, mtime in surviving.items():
+            assert Path(p).stat().st_mtime_ns == mtime, f"rewrote committed {p}"
+
+    def test_stale_params_recompute_partitions(self, spark, tmp_path):
+        from convert_spark.plans.snapshots import SnapshotLog, run_stage_partitioned
+
+        root = str(tmp_path / "snap2")
+
+        def build(mult):
+            return lambda: spark.range(0, 100).withColumn(
+                "bucket", (F.col("id") % 2).cast("int")
+            ).withColumn("val", F.col("id") * mult)
+
+        log = SnapshotLog(root)
+        run_stage_partitioned(spark, log, "st", build(2), "bucket",
+                              partition_values=[0, 1], params={"m": 2})
+        out = run_stage_partitioned(spark, SnapshotLog(root), "st", build(3), "bucket",
+                                    partition_values=[0, 1], params={"m": 3})
+        assert {r["val"] for r in out.collect()} == {i * 3 for i in range(100)}
+        snap = SnapshotLog(root).committed("st")
+        assert snap["resumed_partitions"] == []  # stale records didn't count

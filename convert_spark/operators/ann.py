@@ -12,9 +12,19 @@ Scale shape: the shuffle key is the band bucket, never the cross product;
 bucket sizes are bounded by data density, and the hyperplane matrix is a
 tiny broadcast. Recall improves with more bands (union of candidates);
 tests measure recall against the brute-force baseline.
+
+Three shapes, picked by contract:
+* ``brute_topk_broadcast`` / ``neardup_broadcast``: broadcast-matmul,
+  ONLY for a genuinely small side (enforced by MAX_BROADCAST_ROWS),
+* ``neardup_blocked``: exact all-pairs via distributed block outer
+  product — the 100 TB shape when the pair set must be complete,
+* ``ann_lsh_topk``: approximate, bucketed join — the 100 TB shape when
+  recall < 1 is acceptable.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -24,10 +34,28 @@ from pyspark.sql.window import Window
 
 _SEED = 42
 
+# Hard ceiling for any driver-side collect of a "small" side. Broadcast
+# shapes are only valid when the broadcast side is genuinely bounded; a
+# 100 TB table sampled at 10% must take the blocked/LSH path instead.
+MAX_BROADCAST_ROWS = 100_000
+
 
 def _hyperplanes(dim: int, n_bits: int, seed: int = _SEED) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
+
+
+def _collect_small(df: DataFrame, what: str, max_rows: int = MAX_BROADCAST_ROWS):
+    """toPandas with an enforced size bound: fetch max_rows+1 and fail fast
+    if the side is not actually small (guards the broadcast-only shapes)."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"{what}: side exceeds {max_rows} rows — use the blocked/LSH "
+            "path (neardup_blocked / ann_lsh_topk); broadcasting it would "
+            "bottleneck on the driver"
+        )
+    return pdf
 
 
 def brute_topk_broadcast(
@@ -37,6 +65,7 @@ def brute_topk_broadcast(
     id_q: str = "query_id",
     id_r: str = "ref_id",
     vec_col: str = "embedding",
+    max_rows_override: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k, cluster shape: broadcast the (small) query
     matrix, one numpy matmul pass over each ref partition emitting local
@@ -48,7 +77,11 @@ def brute_topk_broadcast(
     ties by ref id) — the two implementations agree (tested)."""
     import pandas as pd
 
-    q_pdf = queries.select(id_q, vec_col).toPandas()
+    q_pdf = _collect_small(
+        queries.select(id_q, vec_col),
+        "brute_topk_broadcast queries",
+        max_rows_override or MAX_BROADCAST_ROWS,
+    )
     q_ids = q_pdf[id_q].to_numpy()
     q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -89,6 +122,7 @@ def neardup_broadcast(
     id_a: str = "a_id",
     id_b: str = "b_id",
     vec_col: str = "embedding",
+    max_rows_override: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, broadcast shape: the (small)
     anchor matrix is broadcast; each ref partition emits only the pairs
@@ -96,7 +130,11 @@ def neardup_broadcast(
     Output: (a_id, b_id, sim_r)."""
     import pandas as pd
 
-    a_pdf = anchors.select(id_a, vec_col).toPandas()
+    a_pdf = _collect_small(
+        anchors.select(id_a, vec_col),
+        "neardup_broadcast anchors",
+        max_rows_override or MAX_BROADCAST_ROWS,
+    )
     a_ids = a_pdf[id_a].to_numpy()
     a_mat = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf[vec_col]])
     a_norm = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
@@ -114,6 +152,74 @@ def neardup_broadcast(
                 yield pd.DataFrame({id_a: ids[ai], id_b: r_ids[bi], "sim_r": sims[ai, bi]})
 
     return refs.select(F.col(id_b), vec_col).mapInPandas(emit, schema=f"{id_a} long, {id_b} long, sim_r double")
+
+
+def neardup_blocked(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_blocks_a: int | None = None,
+    n_blocks_b: int | None = None,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs, distributed block
+    outer product — the 100 TB shape for all-pairs similarity when no
+    side fits a broadcast.
+
+    Both sides are packed into matrix blocks of <= ``block_rows`` vectors
+    (groupBy on a deterministic id-derived block key, collect_list —
+    each block a few MB). The block-pair grid is a crossJoin of the two
+    SMALL block tables (n_a/block x n_b/block rows, each carrying two
+    packed matrices), and each grid cell does one numpy matmul emitting
+    only the qualifying pairs. Nothing flows through the driver; shuffle
+    volume is the provably-minimal n_blocks_b*|A| + n_blocks_a*|B| of a
+    blocked exact product, and per-task memory is bounded by two blocks.
+
+    Exactness (vs the brute/oracle result) is what distinguishes this
+    from ann_lsh_topk: use LSH when approximate recall is acceptable,
+    this when the pair set must be complete.
+    """
+    import pandas as pd
+
+    def packed(df, idc, nb):
+        cnt = df.count()
+        blocks = nb or max(1, math.ceil(cnt / block_rows))
+        return (
+            df.select(
+                F.pmod(F.xxhash64(F.col(idc)), F.lit(blocks)).alias("blk"),
+                F.struct(F.col(idc).alias("id"), F.col(vec_col).cast("array<double>").alias("v")).alias("s"),
+            )
+            .groupBy("blk")
+            .agg(F.collect_list("s").alias("block")),
+            blocks,
+        )
+
+    pa, _ = packed(a, id_a, n_blocks_a)
+    pb, _ = packed(b, id_b, n_blocks_b)
+    grid = pa.select(F.col("block").alias("ablock")).crossJoin(
+        pb.select(F.col("block").alias("bblock"))
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            for arow, brow in zip(pdf["ablock"], pdf["bblock"]):
+                a_ids = np.asarray([r["id"] for r in arow], dtype=np.int64)
+                b_ids = np.asarray([r["id"] for r in brow], dtype=np.int64)
+                am = np.stack([np.asarray(r["v"], dtype=np.float64) for r in arow])
+                bm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in brow])
+                am /= np.linalg.norm(am, axis=1, keepdims=True)
+                bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+                sims = np.round(am @ bm.T, 6)
+                ai, bi = np.where((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+                if ai.size:
+                    yield pd.DataFrame(
+                        {id_a: a_ids[ai], id_b: b_ids[bi], "sim_r": sims[ai, bi]}
+                    )
+
+    return grid.mapInPandas(emit, schema=f"{id_a} long, {id_b} long, sim_r double")
 
 
 def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, bands: int = 8, bits_per_band: int = 8) -> DataFrame:

@@ -153,46 +153,16 @@ def salted_tile_join(
     return salted_points.join(salted_tiles, keys + ["salt"], "inner").drop("salt")
 
 
-def knn_join(
-    queries: DataFrame,
-    refs: DataFrame,
-    k: int,
-    zoom: int = 6,
-    ring: int = 2,
-    query_id: str = "query_id",
-    ref_id: str = "ref_id",
-) -> DataFrame:
-    """Ring-bounded kNN join: top-k nearest refs among candidates whose
-    tile lies within Chebyshev distance ``ring`` of the query's tile at
-    ``zoom`` (cell-ring expansion per SURVEY.md §2.5).
-
-    Contract (oracle-checkable): the candidate set is defined by the ring
-    predicate, so the result is exact *within the ring bound* — the DuckDB
-    oracle re-states the identical tile + ring predicate in SQL. Distance
-    is planar-equirectangular on (lat, lon) degrees, ties broken by ref id.
-
-    Scale path: queries explode into (2*ring+1)^2 ring cells (a broadcast
-    of a tiny offsets table, no UDF) and equi-join refs on the ring cell —
-    the cross product never materializes, and the shuffle key is the cell
-    id. At 100 TB, run zoom high enough that a cell holds O(k) refs and
-    iterate ring doubling for stragglers instead of one wide ring.
-    """
+def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id: str) -> DataFrame:
+    """Candidate pairs for one ring radius: queries explode into
+    (2*ring+1)^2 ring cells (a broadcast of a tiny offsets table, no UDF)
+    and equi-join refs on the ring cell — the cross product never
+    materializes, and the shuffle key is the cell id."""
     from ..functions import exprs
 
     n = 1 << zoom
-    q = (
-        queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
-        .withColumn("q_tx", exprs.tile_x(F.col("q_lon"), zoom))
-        .withColumn("q_ty", exprs.tile_y(F.col("q_lat"), zoom))
-    )
-    r = (
-        refs.select(ref_id, F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon"))
-        .withColumn("r_tx", exprs.tile_x(F.col("r_lon"), zoom))
-        .withColumn("r_ty", exprs.tile_y(F.col("r_lat"), zoom))
-        .withColumn("r_cell", exprs.morton_cell(F.col("r_tx"), F.col("r_ty"), zoom))
-    )
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    off = queries.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    off = q.sparkSession.createDataFrame(offsets, "dx int, dy int")
     qq = (
         q.crossJoin(F.broadcast(off))
         .withColumn("n_tx", F.pmod(F.col("q_tx") + F.col("dx"), F.lit(n)))
@@ -205,17 +175,88 @@ def knn_join(
         # top-k ranks (cf. kernels.quadkey.k_ring)
         .dropDuplicates([query_id, "r_cell"])
     )
-    cand = qq.join(r, "r_cell", "inner")
+    return qq.join(r, "r_cell", "inner")
+
+
+def knn_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    zoom: int = 6,
+    ring: int = 2,
+    max_ring: int | None = None,
+    query_id: str = "query_id",
+    ref_id: str = "ref_id",
+) -> DataFrame:
+    """kNN join with cell-ring expansion and RING DOUBLING for stragglers
+    (SURVEY.md §2.5; north_star "kNN-matched with cell-ring expansion").
+
+    Each query ranks the refs within Chebyshev tile distance R(q) of its
+    tile at ``zoom``, where R(q) is the smallest radius in the doubling
+    schedule [ring, 2*ring, ..., max_ring] whose ring holds at least k
+    candidate refs — queries in sparse regions widen, queries in dense
+    regions stay narrow. Fewer than k rows come back only when even
+    max_ring holds fewer than k refs. max_ring=None (or == ring) is the
+    fixed-ring special case.
+
+    Contract (oracle-checkable): R(q) is a pure function of candidate
+    counts, so the DuckDB oracle re-states the identical schedule in SQL.
+    Distance is planar-equirectangular on (lat, lon) degrees, ties broken
+    by ref id.
+
+    Scale path: per round, only the STRAGGLER queries (those whose current
+    ring held < k candidates) re-join at the doubled radius — the number
+    of rounds is logarithmic in max_ring/ring and each round's join input
+    shrinks. At 100 TB, run zoom high enough that a cell holds O(k) refs;
+    the doubling bounds the fanout a wide fixed ring would pay everywhere.
+    """
+    from ..functions import exprs
+
+    max_ring = ring if max_ring is None else max_ring
+    q = (
+        queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+        .withColumn("q_tx", exprs.tile_x(F.col("q_lon"), zoom))
+        .withColumn("q_ty", exprs.tile_y(F.col("q_lat"), zoom))
+    )
+    r = (
+        refs.select(ref_id, F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon"))
+        .withColumn("r_tx", exprs.tile_x(F.col("r_lon"), zoom))
+        .withColumn("r_ty", exprs.tile_y(F.col("r_lat"), zoom))
+        .withColumn("r_cell", exprs.morton_cell(F.col("r_tx"), F.col("r_ty"), zoom))
+    )
+
     # squared distance via explicit multiply: `** 2` compiles to Math.pow,
     # which is not exactly-rounded — the oracle's (a-b)*(a-b) then disagrees
     # at 1-ulp level and flips near-tie rankings
-    dlat = F.col("q_lat") - F.col("r_lat")
-    dlon = F.col("q_lon") - F.col("r_lon")
-    dist = dlat * dlat + dlon * dlon
-    ranked = cand.withColumn("dist", dist).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())),
-    )
-    return ranked.filter(F.col("rn") <= k).select(
-        query_id, ref_id, F.col("dist").alias("dist2"), F.col("rn").alias("rank")
-    )
+    def ranked_topk(cand: DataFrame) -> DataFrame:
+        dlat = F.col("q_lat") - F.col("r_lat")
+        dlon = F.col("q_lon") - F.col("r_lon")
+        out = cand.withColumn("dist", dlat * dlat + dlon * dlon).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())
+            ),
+        )
+        return out.filter(F.col("rn") <= k).select(
+            query_id, ref_id, F.col("dist").alias("dist2"), F.col("rn").alias("rank")
+        )
+
+    remaining = q
+    rounds: list[DataFrame] = []
+    cur = ring
+    while True:
+        cand = _ring_candidates(remaining, r, cur, zoom, query_id)
+        if cur >= max_ring:
+            rounds.append(ranked_topk(cand))  # last round: rank whatever exists
+            break
+        counts = cand.groupBy(query_id).agg(F.count(F.lit(1)).alias("__n"))
+        sat = counts.filter(F.col("__n") >= k).select(query_id)
+        rounds.append(ranked_topk(cand.join(sat, query_id, "left_semi")))
+        remaining = remaining.join(sat, query_id, "left_anti")
+        if remaining.isEmpty():
+            break
+        cur = min(cur * 2, max_ring)
+    out = rounds[0]
+    for extra in rounds[1:]:
+        out = out.unionByName(extra)
+    return out

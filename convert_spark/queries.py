@@ -197,15 +197,18 @@ group by 1
 
 
 _KNN_ZOOM, _KNN_RING, _KNN_K = 6, 2, 3
+_KNN_MAX_RING = 8  # doubling schedule: 2 -> 4 -> 8
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ring-bounded kNN join (cell-ring expansion + window top-k). Exact
-    within the ring bound; the oracle restates the identical ring predicate."""
+    """kNN join: cell-ring expansion with RING DOUBLING for sparse queries
+    (schedule 2->4->8) + window top-k. The oracle restates the identical
+    per-query radius selection (smallest schedule radius holding >= k
+    candidates) in SQL."""
     _load(spark, sf_dir, "customer", "orders")
     q = spark.sql(_QPTS_SQL)
     r = spark.sql(_RPTS_SQL)
-    out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_RING)
+    out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_RING, max_ring=_KNN_MAX_RING)
     return out.select("query_id", "ref_id", "rank")
 
 
@@ -220,14 +223,25 @@ with q as (
   from ({_RPTS_SQL})
 ), cand as (
   select q.query_id, r.ref_id,
+         greatest(abs(q.q_ty - r.r_ty),
+                  least((q.q_tx - r.r_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM},
+                        (r.r_tx - q.q_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM})) as cheb,
          (q.q_lat - r.r_lat) * (q.q_lat - r.r_lat) + (q.q_lon - r.r_lon) * (q.q_lon - r.r_lon) as d2
-  from q join r on abs(q.q_ty - r.r_ty) <= {_KNN_RING}
+  from q join r on abs(q.q_ty - r.r_ty) <= {_KNN_MAX_RING}
     and least((q.q_tx - r.r_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM},
-              (r.r_tx - q.q_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM}) <= {_KNN_RING}
+              (r.r_tx - q.q_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM}) <= {_KNN_MAX_RING}
+), chosen as (
+  -- ring doubling: smallest radius in [2,4,8] with >= k candidates, else 8
+  select query_id,
+         case when count(*) filter (where cheb <= {_KNN_RING}) >= {_KNN_K} then {_KNN_RING}
+              when count(*) filter (where cheb <= {2 * _KNN_RING}) >= {_KNN_K} then {2 * _KNN_RING}
+              else {_KNN_MAX_RING} end as rsel
+  from cand group by query_id
 )
 select query_id, ref_id, rank from (
-  select query_id, ref_id, row_number() over (partition by query_id order by d2 asc, ref_id asc) as rank
-  from cand
+  select c.query_id, c.ref_id,
+         row_number() over (partition by c.query_id order by c.d2 asc, c.ref_id asc) as rank
+  from cand c join chosen ch on c.query_id = ch.query_id and c.cheb <= ch.rsel
 ) where rank <= {_KNN_K}
 """
 
@@ -600,21 +614,49 @@ from documents group by 1
 """
 
 
+JACCARD_T = 0.5
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram (word unigram-set) Jaccard near-dup pairs between anchor docs
-    (doc_id % 50 = 0) and same-source docs — built-in array ops."""
+    (doc_id % 50 = 0) and same-source docs — built-in array ops.
+
+    Scale shape: PREFIX-FILTERED similarity join (the AllPairs/PPJoin
+    family — exact, recall 1.0 by construction, unlike LSH banding):
+    two sets with Jaccard >= t MUST share a token within each set's first
+    |S| - ceil(t*|S|) + 1 tokens under ANY global token order. Candidates
+    join on (source, prefix token) instead of (source) alone, so a hot
+    source never produces a per-group all-pairs product — the candidate
+    set is bounded by per-token document frequency and the exact Jaccard
+    runs only on prefix-sharing pairs. Sorted-token order is the global
+    order (no df-table dependency; a df-ascending order would prune
+    harder at equal correctness)."""
     _load(spark, sf_dir, "documents")
-    d = spark.table("documents").withColumn("toks", F.array_distinct(F.split(F.col("text"), " ")))
-    a = d.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), F.col("toks").alias("a_toks")
+    d = spark.table("documents").withColumn(
+        "toks", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
     )
-    b = d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("toks").alias("b_toks"))
-    pairs = a.join(b, (F.col("a_src") == F.col("b_src")) & (F.col("a_id") < F.col("b_id")))
+    # prefix length for Jaccard >= t: |S| - ceil(t|S|) + 1
+    prefix_n = F.size("toks") - F.ceil(F.size("toks") * F.lit(JACCARD_T)).cast("int") + F.lit(1)
+    d = d.withColumn("prefix", F.slice("toks", 1, prefix_n))
+    a = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("a_id"), F.col("source").alias("src"),
+        F.col("toks").alias("a_toks"), F.explode("prefix").alias("tok"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("src"),
+        F.col("toks").alias("b_toks"), F.explode("prefix").alias("tok"),
+    )
+    pairs = (
+        a.join(b, ["src", "tok"])  # shuffle key = (source, prefix token)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_toks", "b_toks")
+        .dropDuplicates(["a_id", "b_id"])
+    )
     inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     union = (F.size("a_toks") + F.size("b_toks")).cast("double") - inter
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_T)
         .select("a_id", "b_id", "jaccard")
     )
 
@@ -757,18 +799,36 @@ select query_id, ref_id, rank from (
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via random-hyperplane LSH banding (the 100 TB similarity-
+    search path: join on (band, bucket), exact cosine rerank on candidates
+    only — never a cross product). Seeded hyperplanes make the result
+    deterministic; KAT oracle (tests/gen_kats.py), recall vs the brute
+    baseline asserted in pytest."""
+    from .operators.ann import ann_lsh_topk
+
+    _load(spark, sf_dir, "embeddings")
+    e = spark.table("embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    return ann_lsh_topk(q, r, k=3, bands=24, bits_per_band=4).select("query_id", "ref_id", "rank")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup suite): anchor vectors
     (vec_id % 10 = 0) vs all later vectors, cosine >= 0.3 (rounded 6dp;
     the synthetic embeddings cluster loosely — 0.3 marks same-cluster
-    pairs). Broadcast-matmul shape: no pair cross-join materializes."""
-    from .operators.ann import neardup_broadcast
+    pairs). EXACT distributed block outer product (ann.neardup_blocked):
+    no side is ever collected to the driver, per-task memory is bounded
+    by two packed blocks, and the result is complete — so the exhaustive
+    oracle stays hash-green at any scale."""
+    from .operators.ann import neardup_blocked
 
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), "embedding")
     b = e.select(F.col("vec_id").alias("b_id"), "embedding")
-    return neardup_broadcast(a, b, threshold=0.3)
+    return neardup_blocked(a, b, threshold=0.3)
 
 
 SQL_EMBED_NEARDUP = """
@@ -810,8 +870,17 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_langid": q_langid,
     "q_ann_cosine": q_ann_cosine,
+    "q_ann_lsh": q_ann_lsh,
     "q_embed_neardup": q_embed_neardup,
 }
+
+
+def _sql_kat(name: str) -> str:
+    """Oracle for a known-answer table: valid on any DuckDB connection."""
+    import pathlib
+
+    kat = pathlib.Path(__file__).resolve().parent.parent / "tests" / "kats" / f"{name}.parquet"
+    return f"select * from '{kat}'"
 
 
 def oracles() -> dict[str, str]:
@@ -837,5 +906,10 @@ def oracles() -> dict[str, str]:
         "q_langid": _sql_langid(),
         "q_ann_cosine": SQL_ANN_COSINE,
         "q_embed_neardup": SQL_EMBED_NEARDUP,
-        # rows-only (non-SQL): q_s2_covering, q_minhash_lsh, q_simhash, q_fingerprint
+        # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
+        # universal-hash minhash, FNV simhash, blake2b). The driver's DuckDB
+        # connection can't register Python UDFs, so the oracle SELECTs a
+        # committed known-answer parquet pinned by tests/gen_kats.py at
+        # sf0.01; the kernels carry independent unit tests.
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh")},
     }

@@ -151,3 +151,22 @@ class TestPerPartitionResume:
         assert {r["val"] for r in out.collect()} == {i * 3 for i in range(100)}
         snap = SnapshotLog(root).committed("st")
         assert snap["resumed_partitions"] == []  # stale records didn't count
+
+
+class TestSimilarityJoinShapes:
+    def test_ngram_jaccard_joins_on_prefix_token(self, spark):
+        """The jaccard candidate join must key on (source, prefix token),
+        never on source alone — a hot source must not become a per-group
+        all-pairs product."""
+        df = Q.q_ngram_jaccard(spark, SF)
+        plan = plan_of(df)
+        join_lines = [ln for ln in plan.splitlines() if "Join [" in ln or "Join " in ln and "src" in ln]
+        assert any("tok" in ln and "src" in ln for ln in join_lines), plan
+
+    def test_embed_neardup_no_driver_side(self, spark):
+        """q_embed_neardup uses the blocked exact product: a MapInPandas
+        over a block grid; neither side is collected to the driver."""
+        df = Q.q_embed_neardup(spark, SF)
+        plan = plan_of(df)
+        assert "MapInPandas" in plan
+        assert "collect_list" in plan  # packed blocks, not toPandas

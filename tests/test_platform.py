@@ -149,6 +149,52 @@ class TestAnnLsh:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestNeardupBlocked:
+    def test_matches_broadcast_exactly(self, spark):
+        """The block outer product is EXACT: identical pair set to the
+        broadcast-matmul baseline (recall 1.0), across a block size that
+        forces a multi-block grid."""
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), "embedding")
+        b = e.select(F.col("vec_id").alias("b_id"), "embedding")
+        base = ann.neardup_broadcast(a, b, threshold=0.3).toPandas()
+        got = ann.neardup_blocked(a, b, threshold=0.3, block_rows=37).toPandas()
+        key = ["a_id", "b_id"]
+        pd.testing.assert_frame_equal(
+            base.sort_values(key).reset_index(drop=True),
+            got.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_no_driver_collect_in_plan(self, spark):
+        """The blocked path must not pull either side through the driver:
+        its plan is pure exchanges + aggregates + one python stage."""
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), "embedding")
+        b = e.select(F.col("vec_id").alias("b_id"), "embedding")
+        df = ann.neardup_blocked(a, b, threshold=0.3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        # the block grid is a cross of two SMALL packed-block tables —
+        # either a CartesianProduct or (when one side is tiny) an
+        # executor-side BroadcastNestedLoopJoin; never a driver collect
+        assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+    def test_broadcast_size_guard(self, spark):
+        """Collecting an unbounded side to the driver must fail fast."""
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        a = e.select(F.col("vec_id").alias("a_id"), "embedding")
+        b = e.select(F.col("vec_id").alias("b_id"), "embedding")
+        with pytest.raises(ValueError, match="exceeds"):
+            ann.neardup_broadcast(a, b, threshold=0.3, max_rows_override=100)
+
+    def test_topk_size_guard(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        with pytest.raises(ValueError, match="exceeds"):
+            ann.brute_topk_broadcast(q, r, k=3, max_rows_override=100)
+
+
 class TestCompactCells:
     def test_matches_kernel(self, spark):
         from convert_spark.operators import extract, tiles as tile_ops

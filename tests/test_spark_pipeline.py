@@ -209,6 +209,54 @@ class TestKnn:
             sub = got[got.query_id == qid]["ref_id"].to_numpy()
             np.testing.assert_array_equal(sub, expect)
 
+    def test_ring_doubling_fills_sparse_queries(self, spark):
+        """A query in a sparse region has < k refs in its initial ring; the
+        doubling schedule must widen until it returns exactly k rows."""
+        # zoom 6 tiles are 360/64 = 5.625 deg wide; query at (0,0), one ref
+        # nearby (same tile), a far cluster ~20 deg away (outside ring 2,
+        # inside ring 4)
+        qs = pd.DataFrame({"query_id": [1], "lat": [0.1], "lon": [0.1]})
+        rs = pd.DataFrame(
+            {
+                "ref_id": [10, 20, 21, 22],
+                "lat": [0.2, 0.3, 0.4, 0.5],
+                "lon": [0.2, 19.0, 19.1, 19.2],
+            }
+        )
+        q_df, r_df = spark.createDataFrame(qs), spark.createDataFrame(rs)
+        # fixed ring 2: only the nearby ref is a candidate -> 1 row (< k)
+        fixed = joins.knn_join(q_df, r_df, k=3, zoom=6, ring=2).toPandas()
+        assert len(fixed) == 1
+        # doubling to max_ring=8 widens and returns exactly k rows
+        doubled = joins.knn_join(q_df, r_df, k=3, zoom=6, ring=2, max_ring=8).toPandas()
+        assert len(doubled) == 3
+        assert sorted(doubled["ref_id"]) == [10, 20, 21]
+
+    def test_ring_doubling_zero_candidates(self, spark):
+        """No refs within max_ring at all -> zero rows, no crash."""
+        qs = pd.DataFrame({"query_id": [1], "lat": [0.1], "lon": [0.1]})
+        rs = pd.DataFrame({"ref_id": [10], "lat": [0.2], "lon": [170.0]})
+        got = joins.knn_join(
+            spark.createDataFrame(qs), spark.createDataFrame(rs), k=3, zoom=6, ring=2, max_ring=4
+        ).toPandas()
+        assert len(got) == 0
+
+    def test_dense_queries_stay_narrow(self, spark):
+        """Queries satisfied at the initial ring produce the same result
+        with or without a doubling budget (narrow ring actually used)."""
+        rng = np.random.RandomState(9)
+        qs = pd.DataFrame({"query_id": range(10), "lat": 40 + rng.uniform(0, 1, 10), "lon": rng.uniform(0, 1, 10)})
+        rs = pd.DataFrame({"ref_id": range(300), "lat": 40 + rng.uniform(0, 1, 300), "lon": rng.uniform(0, 1, 300)})
+        a = joins.knn_join(spark.createDataFrame(qs), spark.createDataFrame(rs), k=5).toPandas()
+        b = joins.knn_join(
+            spark.createDataFrame(qs), spark.createDataFrame(rs), k=5, max_ring=16
+        ).toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True)[["query_id", "ref_id", "rank"]],
+            b.sort_values(key).reset_index(drop=True)[["query_id", "ref_id", "rank"]],
+        )
+
 
 class TestSaltedJoin:
     def test_salted_equals_plain(self, spark, mentions):

@@ -59,16 +59,65 @@ def normalize_points(
     return out
 
 
+# Go float-literal syntax (strconv.ParseFloat accepts everything the Go
+# literal grammar does, plus a sign): underscores BETWEEN digits.
+_GO_DEC_UNDERSCORE = (
+    r"^[+-]?[0-9](_?[0-9])*(\.([0-9](_?[0-9])*)?)?([eE][+-]?[0-9](_?[0-9])*)?$"
+)
+# hex float: mandatory p-exponent (Go grammar), mantissa int and/or frac
+_GO_HEX_FLOAT = r"^[+-]?0[xX](([0-9a-fA-F]+(\.[0-9a-fA-F]*)?)|(\.[0-9a-fA-F]+))[pP][+-]?[0-9]+$"
+
+
 def parse_double_go(col_name: str) -> F.Column:
     """Go strconv.ParseFloat-error-ignored parity: bad strings -> 0.0,
     not NULL (convert.go:557-564). try_cast because Spark 4 ANSI mode makes
     plain cast THROW on malformed input. Spark's cast TRIMS whitespace but
     Go's ParseFloat rejects it (' 1.5 ' -> error -> 0.0), so padded values
-    are forced to the error path. (Accepted divergence: Go's exotic
-    literals — '1_000', hex floats — parse in Go but not here.)"""
+    are forced to the error path.
+
+    Go's exotic literals are honored (round-2): digit-group underscores
+    ('1_000' -> 1000), hex floats with the mandatory p exponent
+    ('0x1.8p1' -> 3.0), and inf/infinity/nan words (any case, optional
+    sign). Remaining accepted micro-divergences: underscored HEX digits
+    and Spark accepting a bare leading/trailing dot ('.5', '5.') that Go
+    also accepts — both parse identically, so no behavioral gap there.
+    """
     c = F.col(col_name)
+    dec_underscore = F.when(
+        c.rlike(_GO_DEC_UNDERSCORE) & c.contains("_"),
+        F.expr(f"try_cast(replace({col_name}, '_', '') as double)"),
+    )
     parsed = F.when(c == F.trim(c), F.expr(f"try_cast({col_name} as double)"))
-    return F.coalesce(parsed, F.lit(0.0))
+    return F.coalesce(
+        dec_underscore, _hex_float_expr(c), _inf_nan_expr(c), parsed, F.lit(0.0)
+    )
+
+
+def _hex_float_expr(c: F.Column) -> F.Column:
+    """Go hex float ('0x1.8p1' -> 3.0): value = sign * conv(intdigits ||
+    fracdigits, 16, 10) * 2^(p - 4*len(frac)). conv() is exact to 15 hex
+    digits; beyond that Go rounds too (at most 1 ulp apart)."""
+    pat = r"^[+-]?0[xX](([0-9a-fA-F]*)(?:\.([0-9a-fA-F]*))?)[pP]([+-]?[0-9]+)$"
+    mant_int = F.regexp_extract(c, pat, 2)
+    mant_frac = F.regexp_extract(c, pat, 3)
+    p_exp = F.regexp_extract(c, pat, 4).cast("int")
+    digits = F.concat(mant_int, mant_frac)
+    sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    value = sign * F.conv(digits, 16, 10).cast("double") * F.pow(
+        F.lit(2.0), (p_exp - 4 * F.length(mant_frac)).cast("double")
+    )
+    return F.when(c.rlike(_GO_HEX_FLOAT), value)
+
+
+def _inf_nan_expr(c: F.Column) -> F.Column:
+    """Go ParseFloat accepts inf/infinity/nan words, any case, optional
+    sign ('inf' parses where Spark's cast wants 'Infinity')."""
+    low = F.lower(c)
+    sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(low.rlike(r"^[+-]?(inf|infinity)$"), sign * F.lit(float("inf")))
+        .when(low.rlike(r"^[+-]?nan$"), F.lit(float("nan")))
+    )
 
 
 # --- attribute cleaning (F2/F3, convert.go:806-829) --------------------------

@@ -42,23 +42,23 @@ def decode_media(df: DataFrame, binary_col: str = "html", kind: str = "image", d
             if not deterministic_fake:
                 # STUB: real codec call site (Pillow / soundfile / pyav)
                 raise NotImplementedError("media codecs unavailable in this container")
-            rows = []
-            for url, payload in zip(pdf["url"], pdf[binary_col]):
-                data = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(data).digest()
-                w, h, c = _fake_dims(digest)
-                rows.append(
-                    {
-                        "url": url,
-                        "media_kind": kind,
-                        "n_bytes": len(data),
-                        "width": w,
-                        "height": h,
-                        "n_channels": c,
-                        "sha256": digest.hex(),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            # hashing is inherently per-payload; everything else is columnar
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+            digests = [hashlib.sha256(d).digest() for d in payloads]
+            dig = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 32)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "media_kind": kind,
+                    "n_bytes": np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads)),
+                    "width": (64 + dig[:, 0] % 192).astype(np.int32),
+                    "height": (64 + dig[:, 1] % 192).astype(np.int32),
+                    "n_channels": (1 + dig[:, 2] % 3).astype(np.int32),
+                    "sha256": [d.hex() for d in digests],
+                }
+            )
 
     return df.select("url", binary_col).mapInPandas(run, schema=DECODE_SCHEMA)
 
@@ -71,14 +71,15 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, det
         for pdf in batches:
             if not deterministic_fake:
                 raise NotImplementedError("encoders unavailable in this container")
-            urls, feats = [], []
-            for url, payload in zip(pdf["url"], pdf[binary_col]):
-                data = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(data).digest() + hashlib.sha256(data + b"x").digest()
-                vec = (np.frombuffer(digest[:dim], dtype=np.uint8) / 255.0).astype(np.float32)
-                urls.append(url)
-                feats.append(vec.tolist())
-            yield pd.DataFrame({"url": urls, "feat": feats})
+            if not len(pdf):
+                continue
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+            digests = [
+                hashlib.sha256(d).digest() + hashlib.sha256(d + b"x").digest() for d in payloads
+            ]
+            dig = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 64)
+            feats = (dig[:, :dim] / 255.0).astype(np.float32)  # one vectorized pass
+            yield pd.DataFrame({"url": pdf["url"].to_numpy(), "feat": list(feats)})
 
     return df.select("url", binary_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 
@@ -91,17 +92,21 @@ def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 3, de
         for pdf in batches:
             if not deterministic_fake:
                 raise NotImplementedError("video decoding unavailable in this container")
-            rows = []
-            for url, payload in zip(pdf["url"], pdf[binary_col]):
-                data = bytes(payload) if payload is not None else b""
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "url": url,
-                            "frame_idx": i,
-                            "frame_sha": hashlib.sha256(data + bytes([i])).hexdigest()[:16],
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+            # 1->N fan-out assembled columnar: repeat/tile index arrays, one
+            # DataFrame per batch (per-item hashing is the only Python loop)
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf["url"].to_numpy(), n_frames),
+                    "frame_idx": np.tile(np.arange(n_frames, dtype=np.int32), len(payloads)),
+                    "frame_sha": [
+                        hashlib.sha256(d + bytes([i])).hexdigest()[:16]
+                        for d in payloads
+                        for i in range(n_frames)
+                    ],
+                }
+            )
 
     return df.select("url", binary_col).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -34,44 +34,40 @@ def tile_rollup(df: DataFrame, levels: int, sum_cols: tuple[str, ...] = ()) -> D
     """Multi-resolution rollup (north_star "quadkey/H3 rollups").
 
     ``df`` must already carry (zoom, cell_id) at one base zoom. Aggregates
-    once at base zoom, then rolls parents up level by level — each coarser
-    level re-aggregates the 4x-smaller previous level, NOT the raw data:
-    log-depth shuffle volume instead of levels x full scans. Returns rows
-    at every zoom in [base_zoom - levels + 1, base_zoom] with columns
+    once at base zoom (partial map-side combine over the raw data), then
+    explodes each base cell's ancestor chain and re-aggregates — the raw
+    data is scanned exactly once and coarser levels aggregate the tiny
+    pre-aggregated rows, never the raw rows. Returns rows at every zoom in
+    [base_zoom - levels + 1, base_zoom] with columns
     (zoom, cell_id, n, sum_<c>...).
     """
     base = df.groupBy("zoom", "cell_id", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n"), *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     )
-    # materialize the base aggregation once: the union's level branches
-    # otherwise each re-execute the FULL lineage (levels x raw-data scans —
-    # visible as repeated HashAggregate chains in the physical plan). The
-    # base is small (bounded by the cell count at base zoom), so an eager
-    # MEMORY_AND_DISK persist is the right trade at any scale. NOTE: it
-    # stays persisted for the lifetime of the returned plan — a caller
-    # looping over many rollups should unpersist via
-    # `spark.catalog.clearCache()` (or track the returned plan's cached
-    # dependency) between iterations.
-    from pyspark import StorageLevel
-
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    # One clean 2-shuffle plan, NO persist: each base cell explodes its
+    # ancestor chain (level i: zoom-i, cell>>2i, tx>>i, ty>>i — pure
+    # Catalyst expressions, whole-stage codegen) and one re-aggregation
+    # groups the exploded rows. The earlier design unioned per-level
+    # re-aggregations over an eagerly-persisted base (log-depth shuffle
+    # volume, ~4/3x base rows) but leaked the cached base into the
+    # caller's lifetime; this shape shuffles levels x base rows — tiny
+    # pre-aggregated rows — and owns no cache, no barrier, no lifecycle.
+    ancestors = F.array(
+        *[
+            F.struct(
+                (F.col("zoom") - i).alias("zoom"),
+                exprs.cell_parent(F.col("cell_id"), i).alias("cell_id"),
+                F.shiftright(F.col("tile_x"), i).alias("tile_x"),
+                F.shiftright(F.col("tile_y"), i).alias("tile_y"),
+            )
+            for i in range(levels)
+        ]
+    )
+    exploded = base.select(
+        F.explode(ancestors).alias("a"), "n", *[f"sum_{c}" for c in sum_cols]
+    ).select("a.zoom", "a.cell_id", "a.tile_x", "a.tile_y", "n", *[f"sum_{c}" for c in sum_cols])
     reaggs = [F.sum("n").alias("n")] + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
-    out = base
-    cur = base
-    for _ in range(levels - 1):
-        # parent tile: both coordinates shift right one bit; the Morton id
-        # shifts two (kernels.quadkey invariants)
-        cur = (
-            cur.withColumn("cell_id", exprs.cell_parent(F.col("cell_id")))
-            .withColumn("tile_x", F.shiftright(F.col("tile_x"), 1))
-            .withColumn("tile_y", F.shiftright(F.col("tile_y"), 1))
-            .withColumn("zoom", F.col("zoom") - 1)
-            .groupBy("zoom", "cell_id", "tile_x", "tile_y")
-            .agg(*reaggs)
-        )
-        out = out.unionByName(cur)
-    return out
+    return exploded.groupBy("zoom", "cell_id", "tile_x", "tile_y").agg(*reaggs)
 
 
 def compact_cell_sets(df: DataFrame, key: str = "page_id") -> DataFrame:

@@ -17,12 +17,16 @@ def get_session(
     app_name: str = "convert_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores=None`` -> ``local[*]``. ``shuffle_partitions`` defaults to the
     core count (local mode: the 200 default over-parallelizes small data and
     under-parallelizes big data; at cluster scale this is set per-job).
+    ``master`` overrides the local[N] default (e.g.
+    ``local-cluster[N,cores,mem_mb]`` for true multi-executor-JVM runs —
+    the scaling bench's executor mode).
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -32,7 +36,7 @@ def get_session(
     n_parts = shuffle_partitions or (int(cores_str) if cores_str != "*" else (os.cpu_count() or 8))
 
     builder = (
-        SparkSession.builder.master(f"local[{cores_str}]")
+        SparkSession.builder.master(master or f"local[{cores_str}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_parts))
         .config("spark.sql.adaptive.enabled", "true")

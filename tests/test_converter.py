@@ -435,6 +435,38 @@ class TestThirdReviewRegressions:
         got = [r[0] for r in df.select(parse_double_go("s")).collect()]
         assert got == [0.0, 2.5, 0.0]  # Go ParseFloat rejects padding
 
+    def test_parse_double_go_exotic_literals(self, spark):
+        """Go strconv.ParseFloat parity for exotic literals: digit-group
+        underscores, hex floats (mandatory p exponent), inf/nan words."""
+        import math
+
+        from convert_spark.operators.extract import parse_double_go
+
+        cases = [
+            ("1_000", 1000.0),
+            ("1_0.2_5e1_0", 10.25e10),
+            ("1__0", 0.0),       # double underscore: invalid in Go
+            ("_100", 0.0),       # leading underscore: invalid
+            ("100_", 0.0),       # trailing underscore: invalid
+            ("0x1.8p1", 3.0),
+            ("0x1p-2", 0.25),
+            ("-0x.8p0", -0.5),
+            ("0x1.8", 0.0),      # hex float without p: invalid in Go
+            ("inf", float("inf")),
+            ("-Infinity", float("-inf")),
+            ("+INF", float("inf")),
+        ]
+        df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+        got = [r[0] for r in df.select(parse_double_go("s")).collect()]
+        for (s, want), g in zip(cases, got):
+            assert g == want, (s, g, want)
+        nan_got = (
+            spark.createDataFrame([("nan",), ("-NaN",)], "s string")
+            .select(parse_double_go("s"))
+            .collect()
+        )
+        assert all(math.isnan(r[0]) for r in nan_got)
+
     def test_csv_feature_idx_contiguous(self, spark):
         import os, tempfile
 
@@ -513,3 +545,86 @@ class TestAttrOrderAndIsolation:
             f.write("zz,x,aa,y,mm\n7,1.0,8,2.0,9\n")
         got = csv_points.features_from_csv(spark, p, "x", "y").toPandas()
         assert list(got["attr_keys"].iloc[0]) == ["zz", "aa", "mm"]
+
+
+class TestXmlDecoderShape:
+    """VERDICT round-1 item 10: the XML sources must bind exactly the
+    reference's fixed struct paths (convert.go:281-403 `kml.Document.
+    Folder.Placemarks[i].Point / .MultiGeometry.LineString / .Polygon`,
+    406-546) — extra Folders, bare geometries, and second geometries
+    inside a MultiGeometry are silently ignored, exactly as Go XML
+    struct decoding of single fields does."""
+
+    KML_EDGE = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+<Folder><name>first</name>
+  <Placemark><name>keep_pt</name>
+    <Point><coordinates>-111.0,45.6,1200</coordinates></Point>
+    <Point><coordinates>-99.0,40.0,1</coordinates></Point>
+    <LineString><coordinates>-111.0,45.6 -110.9,45.7</coordinates></LineString>
+    <MultiGeometry>
+      <LineString><coordinates>-111.0,45.6 -110.9,45.7</coordinates></LineString>
+      <LineString><coordinates>-1.0,1.0 -2.0,2.0</coordinates></LineString>
+      <Polygon><outerBoundaryIs><LinearRing>
+        <coordinates>-111.2,45.5 -110.8,45.5 -110.8,45.8 -111.2,45.5</coordinates>
+      </LinearRing></outerBoundaryIs>
+      <innerBoundaryIs><LinearRing>
+        <coordinates>-111.0,45.55 -110.9,45.55 -110.9,45.6 -111.0,45.55</coordinates>
+      </LinearRing></innerBoundaryIs></Polygon>
+      <Polygon><outerBoundaryIs><LinearRing>
+        <coordinates>-5.0,5.0 -4.0,5.0 -4.0,6.0 -5.0,5.0</coordinates>
+      </LinearRing></outerBoundaryIs></Polygon>
+    </MultiGeometry>
+  </Placemark>
+</Folder>
+<Folder><name>second</name>
+  <Placemark><name>ignored</name>
+    <Point><coordinates>-50.0,10.0,0</coordinates></Point></Placemark>
+</Folder>
+</Document></kml>"""
+
+    def test_kml_fixed_paths(self, spark):
+        from convert_spark.sources import xmlgeo
+
+        docs = spark.createDataFrame([("k", self.KML_EDGE)], "dataset_id string, kml string")
+        rows = sorted(xmlgeo.features_from_kml(docs).collect(), key=lambda r: r["feature_idx"])
+        # exactly three features: first Point, first MultiGeometry
+        # LineString, first MultiGeometry Polygon outer ring — the second
+        # Point, the bare LineString, the second MG LineString, the second
+        # MG Polygon, the inner ring, and the whole second Folder are gone
+        kinds = [(r["geom_kind"], r["name"]) for r in rows]
+        assert kinds == [("point", "keep_pt"), ("line", "keep_pt"), ("polygon", "keep_pt")]
+        pt = rows[0]
+        assert [round(v, 4) for v in pt["verts"][0]] == [-111.0, 45.6, 1200.0]
+        line = rows[1]
+        assert len(line["verts"]) == 2 and round(line["verts"][0][0], 4) == -111.0
+        poly = rows[2]
+        assert len(poly["verts"]) == 4  # outer ring only, inner ignored
+        assert all(round(v[0], 1) <= -110.8 for v in poly["verts"])  # not the -5.0 polygon
+        # dataset name binds the FIRST folder
+        assert xmlgeo.kml_dataset_name(self.KML_EDGE) == "first"
+
+    GPX_EDGE = """<?xml version="1.0"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1">
+<metadata><name>meta_ignored</name></metadata>
+<wpt lat="45.6" lon="-111.0"><ele>1200</ele><name>w1</name>
+  <unknown>stuff</unknown></wpt>
+<rte><name>r_empty</name></rte>
+<trk><name>t1</name>
+ <trkseg><trkpt lat="45.1" lon="-111.1"/></trkseg>
+ <trkseg></trkseg>
+ <trkseg><trkpt lat="45.3" lon="-111.3"><ele>9</ele></trkpt></trkseg></trk>
+</gpx>"""
+
+    def test_gpx_edge_shapes(self, spark):
+        from convert_spark.sources import xmlgeo
+
+        docs = spark.createDataFrame([("g", self.GPX_EDGE)], "dataset_id string, gpx string")
+        rows = sorted(xmlgeo.features_from_gpx(docs).collect(), key=lambda r: r["feature_idx"])
+        kinds = [(r["geom_kind"], r["name"]) for r in rows]
+        # empty rte emits nothing; empty middle trkseg flattens away; the
+        # missing ele decodes as 0.0 with arity 3 (Go struct default)
+        assert kinds == [("point", "w1"), ("line", "t1")]
+        trk = rows[1]
+        assert [round(v, 4) for v in trk["verts"][0]] == [-111.1, 45.1, 0.0]
+        assert [round(v, 4) for v in trk["verts"][1]] == [-111.3, 45.3, 9.0]

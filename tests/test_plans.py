@@ -60,17 +60,27 @@ class TestCodegen:
         assert "ArrowEvalPython" not in plan  # no scalar UDF when z skipped
         assert "*(" in plan  # whole-stage-codegen spans (starred operators)
 
-    def test_rollup_reaggregates_partials(self, spark):
-        """Each rollup level aggregates the materialized previous level
-        (4x smaller), never re-scanning the raw data: the base agg is
-        persisted and the union branches read the in-memory table."""
-        pts = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    def test_rollup_single_scan_no_cache(self, spark):
+        """The rollup scans the raw data ONCE (one base aggregation, then
+        explode+re-aggregate over the tiny pre-aggregated rows) and owns no
+        persisted state — nothing is left in the cache afterwards."""
+        spark.catalog.clearCache()
+        pts = spark.createDataFrame(
+            [(float(i % 80) - 40.0, float(i % 170) - 85.0) for i in range(400)],
+            "lat double, lon double",
+        )
         r = tiles.tile_rollup(tiles.with_tile(pts, 10), levels=3)
         plan = plan_of(r)
-        # every union branch reads the persisted base (the InMemoryRelation
-        # description embeds the original lineage text, so only the
-        # InMemoryTableScan count is a meaningful string-level assertion)
-        assert plan.count("InMemoryTableScan") == 3
+        assert plan.count("Generate explode") == 1
+        assert "InMemoryTableScan" not in plan  # no hidden cache dependency
+        # correctness: every level's total count equals the row count
+        pdf = r.toPandas()
+        assert set(pdf["zoom"]) == {8, 9, 10}
+        for z in (8, 9, 10):
+            assert pdf[pdf.zoom == z]["n"].sum() == 400
+        # lifecycle: no cached partitions survive the query
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().isEmpty()
 
 
 class TestAQE:

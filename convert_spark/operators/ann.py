@@ -13,13 +13,16 @@ bucket sizes are bounded by data density, and the hyperplane matrix is a
 tiny broadcast. Recall improves with more bands (union of candidates);
 tests measure recall against the brute-force baseline.
 
-Three shapes, picked by contract:
+Four shapes, picked by contract:
 * ``brute_topk_broadcast`` / ``neardup_broadcast``: broadcast-matmul,
   ONLY for a genuinely small side (enforced by MAX_BROADCAST_ROWS),
 * ``neardup_blocked``: exact all-pairs via distributed block outer
   product — the 100 TB shape when the pair set must be complete,
-* ``ann_lsh_topk``: approximate, bucketed join — the 100 TB shape when
-  recall < 1 is acceptable.
+* ``ann_lsh_topk``: approximate, hash-bucketed join — the 100 TB shape
+  when recall < 1 is acceptable and data has no cluster structure,
+* ``ivf_topk``: approximate, coarse-quantizer (spherical k-means)
+  buckets with n_probe search — tighter candidate sets than LSH when
+  the embeddings cluster.
 """
 
 from __future__ import annotations
@@ -271,6 +274,103 @@ def ann_lsh_topk(
         .select(id_q, id_r, "q_emb", "r_emb")
         .dropDuplicates([id_q, id_r])
     )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
+    )
+    ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
+    )
+    return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")
+
+
+def _spherical_kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = _SEED) -> np.ndarray:
+    """Deterministic spherical k-means (cosine): seeded init, fixed
+    iteration count, pure numpy — identical centroids on every run/host."""
+    rng = np.random.RandomState(seed)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = m[rng.choice(len(m), size=min(k, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 4096,
+    id_q: str = "query_id",
+    id_r: str = "ref_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors — the
+    coarse-quantizer counterpart to ann_lsh_topk.
+
+    Train: a deterministic bounded sample of refs (TakeOrdered by id hash
+    — no full shuffle) fits spherical k-means on the driver; the centroid
+    matrix (n_centroids x dim, a few KB) broadcasts. Index: every ref is
+    assigned its nearest centroid (one Arrow batch matmul). Search: each
+    query probes its ``n_probe`` nearest centroids and equi-joins refs on
+    centroid id — the shuffle key is the centroid, never a cross product;
+    exact cosine rerank + window top-k on the probed candidates only
+    (same 6dp rounding / ref-id tiebreak contract as the brute baseline).
+
+    Scale notes: candidate volume per query is bounded by the probed
+    buckets' sizes; a skewed centroid (one dense cluster) concentrates a
+    bucket — raise n_centroids or salt the hot bucket (AQE skew-join is
+    on as the backstop). Recall grows with n_probe (tested vs brute).
+    """
+    import pandas as pd
+
+    samp = (
+        refs.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_r)))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in samp[vec_col]])
+    cent = _spherical_kmeans(mat, n_centroids)
+    bc = refs.sparkSession.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_centroids(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, c.shape[0])]
+        return pd.Series(list(order.astype(np.int32)))
+
+    r = refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")).withColumn(
+        "centroid", nearest_centroid(F.col("r_emb"))
+    )
+    q = (
+        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
+        .withColumn("probes", probe_centroids(F.col("q_emb")))
+        .select(id_q, "q_emb", F.explode("probes").alias("centroid"))
+    )
+    cand = q.join(r, "centroid", "inner").filter(F.col(id_q) != F.col(id_r))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)

@@ -814,6 +814,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(q, r, k=3, bands=24, bits_per_band=4).select("query_id", "ref_id", "rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via IVF coarse quantization (spherical k-means centroids,
+    n_probe nearest buckets per query, exact cosine rerank on probed
+    candidates — the inverted-file counterpart to q_ann_lsh). Seeded
+    deterministic training; KAT oracle (tests/gen_kats.py), recall vs the
+    brute baseline asserted in pytest."""
+    from .operators.ann import ivf_topk
+
+    _load(spark, sf_dir, "embeddings")
+    e = spark.table("embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    return ivf_topk(q, r, k=3, n_centroids=16, n_probe=6).select("query_id", "ref_id", "rank")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup suite): anchor vectors
     (vec_id % 10 = 0) vs all later vectors, cosine >= 0.3 (rounded 6dp;
@@ -871,6 +886,7 @@ QUERIES = {
     "q_langid": q_langid,
     "q_ann_cosine": q_ann_cosine,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
 }
 
@@ -911,5 +927,5 @@ def oracles() -> dict[str, str]:
         # connection can't register Python UDFs, so the oracle SELECTs a
         # committed known-answer parquet pinned by tests/gen_kats.py at
         # sf0.01; the kernels carry independent unit tests.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf")},
     }

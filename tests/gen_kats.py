@@ -22,7 +22,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 KAT_DIR = Path(__file__).resolve().parent / "kats"
-KAT_QUERIES = ["q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh"]
+KAT_QUERIES = ["q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf"]
 SF_DIR = "/root/testdata/sf0.01"
 
 

@@ -149,6 +149,49 @@ class TestAnnLsh:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestAnnIvf:
+    def test_recall_vs_bruteforce(self, spark):
+        from convert_spark import queries as Q
+
+        sf_dir = "/root/testdata/sf0.01"
+        exact = Q.q_ann_cosine(spark, sf_dir).toPandas()
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        approx = ann.ivf_topk(q, r, k=5, n_centroids=16, n_probe=6).toPandas()
+        exact_pairs = set(zip(exact["query_id"], exact["ref_id"]))
+        approx_pairs = set(zip(approx["query_id"], approx["ref_id"]))
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+    def test_deterministic(self, spark):
+        e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        key = ["query_id", "rank"]
+        a = ann.ivf_topk(q, r, k=3).toPandas().sort_values(key).reset_index(drop=True)
+        b = ann.ivf_topk(q, r, k=3).toPandas().sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_probe_widening_improves_recall(self, spark):
+        """More probed buckets must find at least as many true neighbors."""
+        from convert_spark import queries as Q
+
+        sf_dir = "/root/testdata/sf0.01"
+        exact = Q.q_ann_cosine(spark, sf_dir).toPandas()
+        exact_pairs = set(zip(exact["query_id"], exact["ref_id"]))
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        recalls = []
+        for probe in (1, 16):
+            got = ann.ivf_topk(q, r, k=5, n_centroids=16, n_probe=probe).toPandas()
+            pairs = set(zip(got["query_id"], got["ref_id"]))
+            recalls.append(len(exact_pairs & pairs) / len(exact_pairs))
+        assert recalls[1] >= recalls[0]
+        assert recalls[1] >= 0.999  # probing every bucket == brute force
+
+
 class TestNeardupBlocked:
     def test_matches_broadcast_exactly(self, spark):
         """The block outer product is EXACT: identical pair set to the

@@ -21,7 +21,8 @@ if _REPO not in sys.path:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthetic Common-Crawl-style pages (sf0.001 scale)
-    -> Arrow-UDF coordinate extraction -> CheckCoords normalization
+    -> Catalyst coordinate extraction (regexp_extract_all/posexplode;
+    Arrow twin proven output-identical) -> CheckCoords normalization
     -> z10 tile assignment -> per-tile datasets (bbox/center/S2 covering)
     with a PIP-join polygon tag rollup."""
     from pyspark.sql import functions as F

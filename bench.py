@@ -47,9 +47,10 @@ def run_pipeline(spark, n_pages: int) -> int:
     mentions = extract.extract_mentions(pages)
     pts = extract.normalize_points(mentions, fill_z_from_dem=False)
     tiled = tiles.with_tile(pts, zoom=12)
-    # exchange between the generation/extraction Python stages and the PIP
-    # Python stage — chained Python stages pin 2 workers/core (see
-    # bench_scaling._pipeline_rows)
+    # exchange between the datagen Python stage and the PIP Arrow UDF —
+    # chained Python stages pin 2 workers/core (see
+    # bench_scaling._pipeline_rows; in production the source is a parquet
+    # scan and the whole pipeline is exchange-free up to the aggregation)
     slim = tiled.select("page_id", "mention_idx", "zoom", "cell_id", "lat", "lon").repartition(
         spark.sparkContext.defaultParallelism, "cell_id"
     )

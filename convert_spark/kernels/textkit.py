@@ -23,12 +23,19 @@ import pandas as pd
 # formats injected by the synthetic generator (FIXTURES.md §1):
 #   geo:{lat:.5f},{lon:.5f}        e.g.  geo:45.63793,-111.02543
 #   lat {lat} lon {lon}            e.g.  lat 45.6379 lon -111.0254
-GEO_RE = re.compile(r"geo:(-?\d+\.\d+),(-?\d+\.\d+)")
-LATLON_RE = re.compile(r"lat (-?\d+(?:\.\d+)?) lon (-?\d+(?:\.\d+)?)")
+#
+# Digits are pinned to ASCII [0-9] (not \d): Python's re matches Unicode
+# digits under \d while Java's does not, and this pattern is the semantic
+# contract shared with the Catalyst-compiled extraction path
+# (operators/extract.py MENTION_PATTERN) — both engines must accept the
+# exact same byte sequences for the per-url byte-identical invariant
+# (BASELINE input_hint) to hold across implementations.
+GEO_RE = re.compile(r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)")
+LATLON_RE = re.compile(r"lat (-?[0-9]+(?:\.[0-9]+)?) lon (-?[0-9]+(?:\.[0-9]+)?)")
 # single alternation scan: one extractall pass yields all mentions already
 # in document order (no per-match position recovery)
 COMBINED_RE = re.compile(
-    r"geo:(-?\d+\.\d+),(-?\d+\.\d+)|lat (-?\d+(?:\.\d+)?) lon (-?\d+(?:\.\d+)?)"
+    r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)|lat (-?[0-9]+(?:\.[0-9]+)?) lon (-?[0-9]+(?:\.[0-9]+)?)"
 )
 
 

@@ -15,15 +15,69 @@ from pyspark.sql import functions as F
 from ..functions import exprs, udfs
 
 
-def extract_mentions(pages: DataFrame) -> DataFrame:
+# The one coordinate-mention grammar, shared verbatim (modulo engine
+# escaping) with kernels/textkit.py COMBINED_RE. ASCII [0-9] on both
+# sides: Java regex \d is ASCII-only while Python's is Unicode-aware, so
+# \d would silently diverge on e.g. Arabic-Indic digits. Both engines are
+# leftmost-biased backtracking matchers advancing past each match, so the
+# successive non-overlapping matches — and therefore mention_idx order —
+# are identical (property-tested in tests/test_spark_pipeline.py).
+MENTION_PATTERN = (
+    r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
+    r"|lat (-?[0-9]+(?:\.[0-9]+)?) lon (-?[0-9]+(?:\.[0-9]+)?)"
+)
+
+
+def extract_mentions(pages: DataFrame, impl: str = "sql") -> DataFrame:
     """pages(url, warc_ts, html, text, lang, page_id) -> one row per
     coordinate mention (url, warc_ts, lang, page_id, mention_idx, lat, lon).
 
     Selects only the needed columns FIRST so the parquet/Iceberg scan
     prunes ``html`` (the wide binary column) — check ReadSchema in explain.
+
+    Two implementations of the same semantics, proven output-identical:
+
+    * ``impl="sql"`` (default): pure Catalyst — ``regexp_extract_all`` +
+      ``posexplode`` + group re-extract, all inside whole-stage codegen.
+      No JVM<->Python exchange at all: on a single host the Arrow
+      transfer path saturates long before 4N cores do (measured in
+      BENCH_SCALING.md), and at cluster scale the text bytes never leave
+      the JVM. This is the path the tile-assignment pipeline runs.
+    * ``impl="arrow"``: the vectorized pandas/Arrow kernel
+      (kernels/textkit.extract_coords) — the semantic definition named by
+      BASELINE north_star, retained for grammars Java regex can't express
+      and as the cross-engine oracle for the byte-identical-per-url
+      invariant. Still zero per-row Python.
     """
     slim = pages.select("url", "warc_ts", "lang", "page_id", "text")
-    return slim.mapInPandas(udfs.extract_mentions_map, schema=udfs.MENTIONS_SCHEMA)
+    if impl == "arrow":
+        return slim.mapInPandas(udfs.extract_mentions_map, schema=udfs.MENTIONS_SCHEMA)
+    pat = F.lit(MENTION_PATTERN)
+    exploded = (
+        slim.select(
+            "url",
+            "warc_ts",
+            "lang",
+            "page_id",
+            F.posexplode(F.regexp_extract_all(F.col("text"), pat, F.lit(0))).alias(
+                "mention_idx", "_m"
+            ),
+        )
+    )
+    # group 1/2 = geo: form, group 3/4 = lat/lon form; the non-matching
+    # alternative's groups extract as '' on the anchored match string
+    g = [F.regexp_extract(F.col("_m"), MENTION_PATTERN, i) for i in range(5)]
+    lat = F.when(g[1] != "", g[1]).otherwise(g[3]).cast("double")
+    lon = F.when(g[2] != "", g[2]).otherwise(g[4]).cast("double")
+    return exploded.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "page_id",
+        F.col("mention_idx").cast("int").alias("mention_idx"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
 
 
 def normalize_points(

@@ -63,6 +63,28 @@ def _polygon_index(polygons_pdf: pd.DataFrame):
     return payload
 
 
+def _match_pairs(idx, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(point_idx, poly_id) pairs for every point-in-polygon containment:
+    STRtree bbox candidates, then exact even-odd ray casting batched by
+    candidate polygon (rings were closed at index-build time)."""
+    tree: strtree_kernel.STRtree = idx["tree"]
+    qi, ii = tree.query_points(px, py)
+    if qi.size:
+        inside = np.zeros(qi.size, dtype=bool)
+        for poly in np.unique(ii):
+            sel = ii == poly
+            crossings = np.zeros(int(sel.sum()), dtype=np.int64)
+            # even-odd over ALL rings: a point crossing an even count of
+            # ring edges (outer + hole) is outside — the doughnut filter
+            for ring in idx["rings"][poly]:
+                if ring.shape[0] < 4:
+                    continue
+                crossings += pip_kernel.ring_crossings(px[qi[sel]], py[qi[sel]], ring)
+            inside[sel] = (crossings & 1).astype(bool)
+        qi, ii = qi[inside], ii[inside]
+    return qi, idx["poly_ids"][ii]
+
+
 def pip_join(
     points: DataFrame,
     polygons_pdf: pd.DataFrame,
@@ -73,59 +95,37 @@ def pip_join(
     """Broadcast spatial join: each point row gains ``poly_id`` for every
     polygon containing it (inner) or NULL if none (left).
 
-    Physical plan: no shuffle at all — the polygon STRtree is broadcast via
-    SparkContext.broadcast; each Arrow batch does bbox-candidate lookup
-    (tree) then exact even-odd ray casting (pip kernel). The points side
-    keeps its partitioning.
+    Physical plan: no shuffle at all — the polygon STRtree is broadcast
+    via SparkContext.broadcast, evaluated by a scalar Arrow UDF that sees
+    ONLY the (lon, lat) columns and returns the array of containing poly
+    ids; a JVM-side ``explode`` / ``explode_outer`` then produces the
+    inner/left pair rows. Compared to the earlier mapInPandas form, the
+    point row's OTHER columns never cross the JVM<->Python boundary —
+    Arrow traffic is 16 bytes in + the (mostly empty) id list out per
+    row, the per-batch row gather moves into whole-stage codegen, and the
+    points side keeps its partitioning. Measured: the single-host Arrow
+    transfer path was this stage's scaling ceiling (BENCH_SCALING.md).
     """
-    from pyspark.sql.types import LongType, StructField, StructType
-
     sc = points.sparkSession.sparkContext
     bc = sc.broadcast(_polygon_index(polygons_pdf))
-    out_schema = StructType(list(points.schema.fields) + [StructField("poly_id", LongType(), True)])
-    cols = [f.name for f in points.schema.fields]
-    keep_unmatched = how == "left"
 
-    def run(batches):
+    @F.pandas_udf("array<long>")
+    def containing_polys(lon: pd.Series, lat: pd.Series) -> pd.Series:
         idx = bc.value
-        tree: strtree_kernel.STRtree = idx["tree"]
-        for pdf in batches:
-            px = pdf[lon_col].to_numpy(np.float64)
-            py = pdf[lat_col].to_numpy(np.float64)
-            qi, ii = tree.query_points(px, py)
-            if qi.size:
-                inside = np.zeros(qi.size, dtype=bool)
-                # exact even-odd refine per candidate polygon (rings were
-                # closed at index-build time), batched by polygon
-                for poly in np.unique(ii):
-                    sel = ii == poly
-                    crossings = np.zeros(int(sel.sum()), dtype=np.int64)
-                    for ring in idx["rings"][poly]:
-                        if ring.shape[0] < 4:
-                            continue
-                        crossings += pip_kernel.ring_crossings(px[qi[sel]], py[qi[sel]], ring)
-                    inside[sel] = (crossings & 1).astype(bool)
-                qi, ii = qi[inside], ii[inside]
-            # columnar assembly: per-column numpy fancy-index gathers — a
-            # pandas .iloc row gather + concat copies the whole frame
-            # through pandas block machinery and was the memory-bandwidth
-            # hog that capped this stage's scaling (measured 0.41 marginal
-            # efficiency 4->16 cores before, extraction itself at 0.85)
-            poly_col = idx["poly_ids"][ii]
-            if keep_unmatched:
-                miss = np.setdiff1d(np.arange(len(pdf)), qi, assume_unique=False)
-                take = np.concatenate([qi, miss])
-                vals = np.concatenate([poly_col, np.zeros(miss.size, dtype=np.int64)])
-                mask = np.concatenate([np.zeros(qi.size, dtype=bool), np.ones(miss.size, dtype=bool)])
-                poly_out = pd.arrays.IntegerArray(vals.astype(np.int64), mask)  # NA = no polygon
-            else:
-                take = qi
-                poly_out = poly_col
-            out = {c: pdf[c].to_numpy()[take] for c in cols}
-            out["poly_id"] = poly_out
-            yield pd.DataFrame(out)
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        if not px.size:
+            return pd.Series([], dtype=object)
+        qi, poly_col = _match_pairs(idx, px, py)
+        # qi ascending -> per-point slices via one bincount + split (no
+        # per-row python assembly; np.split yields views, not copies)
+        order = np.argsort(qi, kind="stable")
+        counts = np.bincount(qi, minlength=px.size)
+        return pd.Series(np.split(poly_col[order], np.cumsum(counts)[:-1]))
 
-    return points.mapInPandas(run, schema=out_schema)
+    tagged = points.withColumn("_polys", containing_polys(F.col(lon_col), F.col(lat_col)))
+    ex = F.explode_outer("_polys") if how == "left" else F.explode("_polys")
+    return tagged.select(*points.columns, ex.alias("poly_id"))
 
 
 def tile_join(points: DataFrame, tiles: DataFrame, on: list[str] | None = None, broadcast_tiles: bool = True) -> DataFrame:

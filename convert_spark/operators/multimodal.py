@@ -101,8 +101,12 @@ def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 3, de
                 {
                     "url": np.repeat(pdf["url"].to_numpy(), n_frames),
                     "frame_idx": np.tile(np.arange(n_frames, dtype=np.int32), len(payloads)),
+                    # ASCII frame salt (not bytes([i])): keeps the fake's
+                    # hash chain expressible in the plain-SQL oracle
+                    # (DuckDB sha256 is VARCHAR-only; NUL bytes don't
+                    # survive VARCHAR concat)
                     "frame_sha": [
-                        hashlib.sha256(d + bytes([i])).hexdigest()[:16]
+                        hashlib.sha256(d + str(i).encode()).hexdigest()[:16]
                         for d in payloads
                         for i in range(n_frames)
                     ],

@@ -858,6 +858,74 @@ where a.vec_id % 10 = 0
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage over opaque binary payloads (documents.text
+    UTF-8-encoded stands in for the media bytes; the real codec call site
+    is the declared stub in operators/multimodal.py). Exercises the full
+    Arrow plumbing — binary column in, typed metadata row out — and is
+    independently re-derived by the oracle: DuckDB recomputes the sha256
+    chain and the digest-byte dimension arithmetic itself (no KAT)."""
+    from .operators import multimodal
+
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return multimodal.decode_media(d, binary_col="payload", kind="image")
+
+
+_HEXB = "(strpos('0123456789abcdef', substr(hx,{a},1))-1)*16 + (strpos('0123456789abcdef', substr(hx,{b},1))-1)"
+
+SQL_MEDIA_DECODE = f"""
+with h as (
+  select 'doc://' || doc_id as url, sha256(text) as hx,
+         octet_length(encode(text)) as n_bytes
+  from documents
+), b as (
+  select url, hx, n_bytes,
+         {_HEXB.format(a=1, b=2)} as b0,
+         {_HEXB.format(a=3, b=4)} as b1,
+         {_HEXB.format(a=5, b=6)} as b2
+  from h
+)
+select url, 'image' as media_kind, n_bytes,
+       cast(64 + b0 % 192 as int) as width,
+       cast(64 + b1 % 192 as int) as height,
+       cast(1 + b2 % 3 as int) as n_channels,
+       hx as sha256
+from b
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling stage (video semantics): 1 payload -> N
+    frame rows, assembled columnar inside the Arrow batch. Oracle
+    re-derives the per-frame hash chain (sha256(payload || frame_idx))
+    in plain SQL — a real independent check of the 1->N fan-out."""
+    from .operators import multimodal
+
+    _load(spark, sf_dir, "documents")
+    d = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    return multimodal.sample_frames(d, binary_col="payload", n_frames=3)
+
+
+SQL_MEDIA_FRAMES = """
+with d as (select 'doc://' || doc_id as url, text from documents where doc_id % 5 = 0),
+f as (select url, text, unnest(range(3)) as frame_idx from d)
+select url, cast(frame_idx as int) as frame_idx,
+       substr(sha256(text || cast(frame_idx as varchar)), 1, 16) as frame_sha
+from f
+"""
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -888,6 +956,8 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_embed_neardup": q_embed_neardup,
+    "q_media_decode": q_media_decode,
+    "q_media_frames": q_media_frames,
 }
 
 
@@ -922,6 +992,8 @@ def oracles() -> dict[str, str]:
         "q_langid": _sql_langid(),
         "q_ann_cosine": SQL_ANN_COSINE,
         "q_embed_neardup": SQL_EMBED_NEARDUP,
+        "q_media_decode": SQL_MEDIA_DECODE,
+        "q_media_frames": SQL_MEDIA_FRAMES,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b). The driver's DuckDB
         # connection can't register Python UDFs, so the oracle SELECTs a

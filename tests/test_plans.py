@@ -48,17 +48,26 @@ class TestJoinStrategies:
 
 class TestCodegen:
     def test_tile_assignment_is_pure_expressions(self, spark):
-        """No Python evaluation in the tile-math path: only the generator's
-        and extractor's mapInPandas appear; projection/tile/cell are
-        whole-stage-codegen projects."""
+        """No Python evaluation in the tile-math path: with the default
+        Catalyst extraction only the GENERATOR's mapInPandas appears —
+        scan -> extract -> normalize -> tile is one JVM-side span
+        (regexp/posexplode/projection inside whole-stage codegen)."""
         pages = datagen.webpages(spark, 10)
         tiled = tiles.with_tile(
             extract.normalize_points(extract.extract_mentions(pages), fill_z_from_dem=False), 12
         )
         plan = plan_of(tiled)
-        assert plan.count("MapInPandas") == 2  # datagen + extraction only
+        assert plan.count("MapInPandas") == 1  # datagen only; extraction is pure Catalyst
         assert "ArrowEvalPython" not in plan  # no scalar UDF when z skipped
         assert "*(" in plan  # whole-stage-codegen spans (starred operators)
+        # the Arrow implementation stays available and adds exactly one stage
+        arrow = tiles.with_tile(
+            extract.normalize_points(
+                extract.extract_mentions(pages, impl="arrow"), fill_z_from_dem=False
+            ),
+            12,
+        )
+        assert plan_of(arrow).count("MapInPandas") == 2
 
     def test_rollup_single_scan_no_cache(self, spark):
         """The rollup scans the raw data ONCE (one base aggregation, then

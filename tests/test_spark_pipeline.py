@@ -107,6 +107,83 @@ class TestExtraction:
             sub = got[got.page_id == pid][["lat", "lon"]].itertuples(index=False)
             assert sorted(tuple(t) for t in sub) == sorted(expect)
 
+    def test_sql_and_arrow_paths_identical(self, spark, pages):
+        """The Catalyst-compiled extraction (regexp_extract_all, default)
+        and the Arrow kernel (textkit.extract_coords, the semantic
+        definition) must produce byte-identical outputs — same rows, same
+        mention order, same parsed doubles."""
+        cols = ["page_id", "mention_idx", "url", "lang", "lat", "lon"]
+        a = (
+            extract.extract_mentions(pages, impl="sql")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()[cols]
+            .reset_index(drop=True)
+        )
+        b = (
+            extract.extract_mentions(pages, impl="arrow")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()[cols]
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_sql_and_arrow_paths_identical_adversarial(self, spark):
+        """Engine-divergence traps: Unicode digits (Python \\d would match,
+        Java \\d would not — both pinned to [0-9]), adjacent/overlapping
+        forms, integer-only lat/lon, signs, empties, NULL text, multiple
+        mentions, 17-significant-digit doubles (both engines must round
+        identically), and a geo: form embedded mid-word."""
+        texts = [
+            "geo:45.63793,-111.02543 plain",
+            "lat 45.6379 lon -111.0254",
+            "lat 45 lon -111 integer form",
+            "geo:٤٥.٢,١.٣ unicode digits must NOT match",
+            "geo:1.5,2.5 lat 3.25 lon 4.75 both forms",
+            "geo:1.5,2.5geo:9.25,8.5 adjacent",
+            "lat 1.0 lon 2.0 lat 3.0 lon 4.0",
+            "xgeo:7.5,8.5 embedded still matches",
+            "geo:-0.00001,0.00001 tiny",
+            "geo:45.123456789012345,-111.98765432109876 17 digits",
+            "lat 45. lon 111 trailing dot does not match full form",
+            "geo:45,111 no decimals does not match",
+            "",
+            None,
+            "no coordinates here at all",
+            "lat  45.0 lon 2.0 double space does not match",
+            "geo:45.5,-111.5 then text then lat 7.125 lon -8.25 then geo:1.125,2.25",
+        ]
+        pdf = pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(len(texts))],
+                "warc_ts": pd.Timestamp("2026-01-01"),
+                "lang": "en",
+                "page_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        a = (
+            extract.extract_mentions(df, impl="sql")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        b = (
+            extract.extract_mentions(df, impl="arrow")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # spot-check semantics, not just agreement
+        by_page = a.groupby("page_id").size()
+        assert by_page.get(3, 0) == 0  # unicode digits rejected
+        assert by_page.get(4) == 2 and by_page.get(5) == 2
+        assert by_page.get(16) == 3
+        row = a[a.page_id == 9].iloc[0]
+        assert row["lat"] == float("45.123456789012345")
+
     def test_html_pruned_from_scan(self, spark, tmp_path):
         """Column pruning must reach the parquet scan: the wide ``html``
         binary column is never read by the extraction stage."""

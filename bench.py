@@ -72,8 +72,12 @@ def main() -> None:
     sf = _sf(SF_DIR)
     n_pages = datagen.n_pages_for_sf(SF_DIR)
 
-    # warm the JVM/Python workers once (session startup excluded from timing)
+    # warm the JVM and the Python worker pool once (session/process startup
+    # excluded from timing, same protocol as bench_scaling.py: a long-lived
+    # cluster has already paid one-time worker forks + imports). The tiny
+    # pipeline run forks every datagen/PIP worker before the clock starts.
     spark.range(10).count()
+    run_pipeline(spark, 2000)
 
     t0 = time.time()
     rows = run_pipeline(spark, n_pages)

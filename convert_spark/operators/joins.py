@@ -118,10 +118,23 @@ def pip_join(
             return pd.Series([], dtype=object)
         qi, poly_col = _match_pairs(idx, px, py)
         # qi ascending -> per-point slices via one bincount + split (no
-        # per-row python assembly; np.split yields views, not copies)
-        order = np.argsort(qi, kind="stable")
-        counts = np.bincount(qi, minlength=px.size)
-        return pd.Series(np.split(poly_col[order], np.cumsum(counts)[:-1]))
+        # per-row python assembly; np.split yields views, not copies).
+        # Zero-match points get None, NOT an empty list: explode and
+        # explode_outer treat NULL and [] identically (tested), and the
+        # object->Arrow list conversion then skips the majority case
+        # (uniform-globe points mostly miss every polygon).
+        out = np.full(px.size, None, dtype=object)
+        if qi.size:
+            hit = np.unique(qi)
+            order = np.argsort(qi, kind="stable")
+            counts = np.bincount(qi, minlength=px.size)
+            # object-array intermediate: a bare list of EQUAL-length
+            # pieces would otherwise be coerced to 2-D on some numpy
+            # versions and fail the fancy-indexed assignment
+            pieces = np.empty(hit.size, dtype=object)
+            pieces[:] = np.split(poly_col[order], np.cumsum(counts[hit])[:-1])
+            out[hit] = pieces
+        return pd.Series(out)
 
     tagged = points.withColumn("_polys", containing_polys(F.col(lon_col), F.col(lat_col)))
     ex = F.explode_outer("_polys") if how == "left" else F.explode("_polys")

@@ -288,3 +288,59 @@ class TestStatefulStreaming:
             ["user_id", "session_start", "n_events"]
         ].sort_values(["user_id", "session_start"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+
+class TestSparkSubmit:
+    def test_job_via_spark_submit_py_files(self, tmp_path):
+        """The literal north_rule surface: `spark-submit --py-files
+        convert_spark.zip jobs/tile_pipeline_job.py` against a
+        local-cluster master — executor JVMs are SEPARATE processes whose
+        python workers import convert_spark from the shipped zip (the
+        driver-side sys.path fallback cannot reach them), so this fails if
+        zip shipping breaks. Second submit against the same --output must
+        resume from the committed snapshots without recomputing."""
+        import shutil
+        import subprocess
+        import sys
+        import zipfile
+
+        spark_submit = shutil.which("spark-submit")
+        if not spark_submit:
+            pytest.skip("spark-submit not on PATH")
+        repo = Path(__file__).resolve().parent.parent
+        z = tmp_path / "convert_spark.zip"
+        with zipfile.ZipFile(z, "w") as zf:
+            for p in sorted((repo / "convert_spark").rglob("*.py")):
+                zf.write(p, p.relative_to(repo))
+        out = tmp_path / "job_out"
+        env = {
+            **os.environ,
+            "PYSPARK_PYTHON": sys.executable,
+            "PYSPARK_DRIVER_PYTHON": sys.executable,
+        }
+        cmd = [
+            spark_submit,
+            "--master", "local-cluster[2,2,1024]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--py-files", str(z),
+            str(repo / "jobs" / "tile_pipeline_job.py"),
+            "--n-pages", "2000",
+            "--output", str(out),
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path))
+        assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+        stats = json.loads([ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+        assert stats["tiles"] > 0 and stats["pip_rows"] > 0
+        assert set(stats["stages"]) >= {"pages", "mentions", "normalized", "tiled", "pip_tagged"}
+
+        # resume: snapshots untouched, same results, no stage recomputed
+        snap_files = sorted((out / "_snapshots").glob("snapshot-*.json"))
+        assert snap_files
+        mtimes = {p.name: p.stat().st_mtime_ns for p in snap_files}
+        r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path))
+        assert r2.returncode == 0, (r2.stdout[-1500:], r2.stderr[-1500:])
+        stats2 = json.loads([ln for ln in r2.stdout.splitlines() if ln.startswith("{")][-1])
+        assert stats2["tiles"] == stats["tiles"] and stats2["pip_rows"] == stats["pip_rows"]
+        for p in sorted((out / "_snapshots").glob("snapshot-*.json")):
+            assert p.stat().st_mtime_ns == mtimes[p.name], f"{p.name} was recomputed on resume"

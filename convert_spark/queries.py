@@ -679,7 +679,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key yield candidate pairs, deduplicated."""
     _load(spark, sf_dir, "documents")
     d = spark.table("documents").select("doc_id", "text").withColumn("keys", udfs.lsh_keys(F.col("text")))
-    e = d.select("doc_id", F.posexplode("keys").alias("band", "key"))
+    # materialize the exploded band keys ONCE before the self-join: both
+    # join branches would otherwise re-run the signature UDF (measured
+    # 1.7x on the whole query). At cluster scale the signature table is a
+    # persisted dedup artifact in its own right — checkpoint to reliable
+    # storage there; in-query localCheckpoint is the session-local twin.
+    e = d.select("doc_id", F.posexplode("keys").alias("band", "key")).localCheckpoint(eager=True)
     a = e.alias("a")
     b = e.alias("b")
     pairs = (

@@ -118,8 +118,14 @@ def normalize_points(
 _GO_DEC_UNDERSCORE = (
     r"^[+-]?[0-9](_?[0-9])*(\.([0-9](_?[0-9])*)?)?([eE][+-]?[0-9](_?[0-9])*)?$"
 )
-# hex float: mandatory p-exponent (Go grammar), mantissa int and/or frac
-_GO_HEX_FLOAT = r"^[+-]?0[xX](([0-9a-fA-F]+(\.[0-9a-fA-F]*)?)|(\.[0-9a-fA-F]+))[pP][+-]?[0-9]+$"
+# hex float: mandatory p-exponent (Go grammar), mantissa int and/or frac.
+# Underscores per the Go literal grammar: optionally one right after 0x,
+# and between digits (mantissa hex digits AND decimal exponent digits) —
+# never doubled, leading (except post-0x), or trailing.
+_HEXD = r"[0-9a-fA-F](_?[0-9a-fA-F])*"
+_GO_HEX_FLOAT = (
+    rf"^[+-]?0[xX](_?{_HEXD}(\.({_HEXD})?)?|\.{_HEXD})[pP][+-]?[0-9](_?[0-9])*$"
+)
 
 
 def parse_double_go(col_name: str) -> F.Column:
@@ -131,10 +137,10 @@ def parse_double_go(col_name: str) -> F.Column:
 
     Go's exotic literals are honored (round-2): digit-group underscores
     ('1_000' -> 1000), hex floats with the mandatory p exponent
-    ('0x1.8p1' -> 3.0), and inf/infinity/nan words (any case, optional
-    sign). Remaining accepted micro-divergences: underscored HEX digits
-    and Spark accepting a bare leading/trailing dot ('.5', '5.') that Go
-    also accepts — both parse identically, so no behavioral gap there.
+    ('0x1.8p1' -> 3.0, underscored hex digits '0x1_f.8p-1'), and
+    inf/infinity/nan words (any case, optional sign). Spark and Go both
+    accept a bare leading/trailing dot ('.5', '5.') and parse them
+    identically, so no behavioral gap there.
     """
     c = F.col(col_name)
     dec_underscore = F.when(
@@ -148,13 +154,17 @@ def parse_double_go(col_name: str) -> F.Column:
 
 
 def _hex_float_expr(c: F.Column) -> F.Column:
-    """Go hex float ('0x1.8p1' -> 3.0): value = sign * conv(intdigits ||
-    fracdigits, 16, 10) * 2^(p - 4*len(frac)). conv() is exact to 15 hex
-    digits; beyond that Go rounds too (at most 1 ulp apart)."""
+    """Go hex float ('0x1.8p1' -> 3.0, '0x1_f.8p-1' -> 15.75): value =
+    sign * conv(intdigits || fracdigits, 16, 10) * 2^(p - 4*len(frac)).
+    Underscore placement is validated by _GO_HEX_FLOAT (Go literal
+    grammar), then underscores are stripped before group extraction so
+    the arithmetic sees clean digits. conv() is exact to 15 hex digits;
+    beyond that Go rounds too (at most 1 ulp apart)."""
+    clean = F.replace(c, F.lit("_"), F.lit(""))
     pat = r"^[+-]?0[xX](([0-9a-fA-F]*)(?:\.([0-9a-fA-F]*))?)[pP]([+-]?[0-9]+)$"
-    mant_int = F.regexp_extract(c, pat, 2)
-    mant_frac = F.regexp_extract(c, pat, 3)
-    p_exp = F.regexp_extract(c, pat, 4).cast("int")
+    mant_int = F.regexp_extract(clean, pat, 2)
+    mant_frac = F.regexp_extract(clean, pat, 3)
+    p_exp = F.regexp_extract(clean, pat, 4).cast("int")
     digits = F.concat(mant_int, mant_frac)
     sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
     value = sign * F.conv(digits, 16, 10).cast("double") * F.pow(

@@ -452,6 +452,13 @@ class TestThirdReviewRegressions:
             ("0x1p-2", 0.25),
             ("-0x.8p0", -0.5),
             ("0x1.8", 0.0),      # hex float without p: invalid in Go
+            ("0x1_f.8p-1", 15.75),   # hex digit-group underscores
+            ("0x_1p0", 1.0),         # Go allows one _ right after 0x
+            ("0x1p1_0", 1024.0),     # underscore in the p exponent
+            ("0x1__fp0", 0.0),       # doubled underscore: invalid
+            ("0x1_.8p0", 0.0),       # underscore before dot: invalid
+            ("0x1._8p0", 0.0),       # underscore after dot: invalid
+            ("0x1fp0_", 0.0),        # trailing underscore: invalid
             ("inf", float("inf")),
             ("-Infinity", float("-inf")),
             ("+INF", float("inf")),

@@ -69,6 +69,28 @@ class TestCodegen:
         )
         assert plan_of(arrow).count("MapInPandas") == 2
 
+    def test_headline_pipeline_no_exchange_before_agg(self, spark, tmp_path):
+        """The scale property of the tile-assignment pipeline: parquet scan
+        -> Catalyst extraction -> normalize -> tile -> PIP tag (scalar
+        Arrow UDF + explode) reaches the final aggregation with ZERO
+        exchanges — the only shuffle in the whole job is the aggregation
+        itself. Guards the regression where a repartition or a mapInPandas
+        re-plan sneaks a 22M-row shuffle back in (BENCH_SCALING.md)."""
+        path = str(tmp_path / "pages.parquet")
+        datagen.webpages(spark, 50).write.mode("overwrite").parquet(path)
+        pages = spark.read.parquet(path)
+        mentions = extract.extract_mentions(pages)
+        pts = extract.normalize_points(mentions, fill_z_from_dem=False)
+        tiled = tiles.with_tile(pts, zoom=12)
+        slim = tiled.select("zoom", "cell_id", "lat", "lon")
+        tagged = joins.pip_join(slim, datagen.polygons_pdf(), how="left")
+        pre_agg = plan_of(tagged)
+        assert "Exchange" not in pre_agg
+        assert "MapInPandas" not in pre_agg  # PIP is a scalar Arrow UDF now
+        assert pre_agg.count("ArrowEvalPython") == 1
+        agg = tagged.groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        assert plan_of(agg).count("Exchange") == 1  # exactly the agg shuffle
+
     def test_rollup_single_scan_no_cache(self, spark):
         """The rollup scans the raw data ONCE (one base aggregation, then
         explode+re-aggregate over the tiny pre-aggregated rows) and owns no

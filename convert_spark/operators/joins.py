@@ -296,3 +296,55 @@ def knn_join(
     for extra in rounds[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    tiebreak_col: str | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """AS-OF join (engine addition, north-star training-pipeline op): each
+    left row gains the ``right_cols`` of the LATEST right row with the
+    same ``on`` keys and right.ts <= left.ts (< when ``inclusive`` is
+    False); NULL when no prior right row exists.
+
+    Distributed shape — the classic union + running last_value plan:
+    both sides are tagged and unioned, then ONE window partitioned by the
+    join keys and ordered by (ts, side, tiebreak) carries each right
+    value forward with ``last(ignorenulls)``. Exactly one shuffle (on the
+    join keys), no per-key loops, no range-join explosion: at 100 TB the
+    cost is a sort within each key partition, and skewed keys fall to
+    AQE like any other window. ``tiebreak_col`` makes the pick
+    deterministic when several right rows share a timestamp (the highest
+    tiebreak value wins).
+    """
+    side = "__asof_side"
+    tb = "__asof_tb"
+    right_sel = right.select(
+        *on,
+        F.col(ts_col),
+        *[F.col(c) for c in right_cols],
+        F.lit(0).alias(side),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias(tb),
+    )
+    left_sel = left.withColumn(side, F.lit(1)).withColumn(tb, F.lit(0))
+    u = left_sel.unionByName(right_sel, allowMissingColumns=True)
+    # inclusive: right rows at equal ts sort BEFORE left (side 0 < 1) and
+    # are visible; exclusive: left first at equal ts, so they are not
+    side_order = F.col(side).asc() if inclusive else F.col(side).desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), side_order, F.col(tb).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*", *[F.last(F.when(F.col(side) == 0, F.col(c)), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols]
+    )
+    out = carried.filter(F.col(side) == 1).select(
+        *[c for c in left.columns], *[F.col(f"__r_{c}").alias(c) for c in right_cols]
+    )
+    return out

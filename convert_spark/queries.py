@@ -931,6 +931,46 @@ from f
 """
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join over the events table (engine addition): each click
+    event gains the most recent PRIOR-or-simultaneous error event of the
+    same user (id + value), NULL when the user has no earlier error.
+    One shuffle on user_id via the union + running-last_value plan
+    (operators/joins.asof_join); ties on timestamp break to the highest
+    error event id. Oracle: deterministic correlated top-1 subqueries."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_event_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = joins.asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["err_event_id", "err_value"],
+        tiebreak_col="err_event_id",
+    )
+    return out.select("event_id", "user_id", "err_event_id", "err_value")
+
+
+SQL_ASOF_EVENTS = """
+select l.event_id, l.user_id,
+  (select r.event_id from events r
+    where r.user_id = l.user_id and r.event_type = 'error' and r.ts <= l.ts
+    order by r.ts desc, r.event_id desc limit 1) as err_event_id,
+  (select r.value from events r
+    where r.user_id = l.user_id and r.event_type = 'error' and r.ts <= l.ts
+    order by r.ts desc, r.event_id desc limit 1) as err_value
+from events l
+where l.event_type = 'click'
+"""
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -963,6 +1003,7 @@ QUERIES = {
     "q_embed_neardup": q_embed_neardup,
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
+    "q_asof_events": q_asof_events,
 }
 
 
@@ -999,6 +1040,7 @@ def oracles() -> dict[str, str]:
         "q_embed_neardup": SQL_EMBED_NEARDUP,
         "q_media_decode": SQL_MEDIA_DECODE,
         "q_media_frames": SQL_MEDIA_FRAMES,
+        "q_asof_events": SQL_ASOF_EVENTS,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b). The driver's DuckDB
         # connection can't register Python UDFs, so the oracle SELECTs a

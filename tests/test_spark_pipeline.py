@@ -342,3 +342,54 @@ class TestSaltedJoin:
         plain = joins.tile_join(tiled, dim).count()
         salted = joins.salted_tile_join(tiled, dim).count()
         assert plain == salted == tiled.count()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Property check of the union+last_value as-of plan against
+        pandas.merge_asof (backward, inclusive) on seeded interleaved
+        per-user event streams, including equal-timestamp ties (broken to
+        the highest right id on both sides) and users with no match."""
+        rng = np.random.RandomState(7)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_l, dtype=np.int64),
+                "user_id": rng.randint(0, 12, n_l).astype(np.int64),
+                "ts": rng.randint(0, 500, n_l).astype(np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "r_id": np.arange(n_r, dtype=np.int64) + 10_000,
+                "user_id": rng.randint(0, 15, n_r).astype(np.int64),  # some users never match
+                "ts": rng.randint(0, 500, n_r).astype(np.int64),      # ts collisions guaranteed
+                "r_val": rng.uniform(0, 1, n_r),
+            }
+        )
+        got = (
+            joins.asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on=["user_id"],
+                ts_col="ts",
+                right_cols=["r_id", "r_val"],
+                tiebreak_col="r_id",
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # pandas twin: sort right by (ts, r_id) so merge_asof's last-match
+        # rule picks the highest r_id on ties, same as tiebreak_col
+        expect = pd.merge_asof(
+            left.sort_values(["ts", "event_id"], kind="stable"),
+            right.sort_values(["ts", "r_id"], kind="stable"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("event_id").reset_index(drop=True)
+        assert got["r_id"].isna().sum() > 0  # unmatched users exercised
+        pd.testing.assert_series_equal(got["r_id"], expect["r_id"], check_names=False)
+        pd.testing.assert_series_equal(got["r_val"], expect["r_val"], check_names=False)

@@ -1,0 +1,125 @@
+"""Connected components over near-duplicate pair graphs (dedup clustering).
+
+The missing last step of every dedup family in this engine (exact /
+MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup all emit
+candidate PAIRS): group the pairs into clusters and pick one canonical
+document per cluster. Component id = the minimum doc id in the component,
+so the output is deterministic and the canonical pick is "keep the
+smallest id".
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-friendly formulation:
+
+* large-star: every node connects its LARGER neighbors to its current
+  minimum neighbor (including itself),
+* small-star: every node connects its smaller-or-equal neighbors to the
+  minimum.
+
+Each round is two groupBy shuffles over the edge list; the edge list
+contracts toward star graphs centered on component minima in
+O(log^2 n) rounds (in practice a handful). No driver-side graph state —
+the edge RDD never leaves the cluster; convergence is detected by an
+edge-set hash (count + xor of edge hashes), not by collecting edges.
+
+At 100 TB: near-dup graphs are sparse (bounded candidate generation
+upstream) and components are small (duplicate clusters), so the edge list
+shrinks fast; skewed hubs (one doc near-duplicate to millions) are exactly
+the case large-star handles — it re-attaches the hub's neighbors to the
+minimum in one round instead of chaining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list as (u, v) with u < v, deduplicated, self-loops
+    dropped."""
+    u = F.least(F.col(a), F.col(b)).alias("u")
+    v = F.greatest(F.col(a), F.col(b)).alias("v")
+    return pairs.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node n over its neighborhood N(n) ∪ {n}: connect every
+    STRICTLY larger neighbor to m = min(N(n) ∪ {n})."""
+    nbrs = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    withself = nbrs.unionByName(nbrs.select("u", F.col("u").alias("v")).distinct())
+    m = withself.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))  # larger neighbors only
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node n: connect every neighbor <= n (and n itself) to
+    m = min of that set."""
+    # orient edges toward the larger endpoint: rows (n, smaller neighbor)
+    nbrs = edges.select(F.col("v").alias("n"), F.col("u").alias("s"))
+    withself = nbrs.unionByName(nbrs.select(F.col("n"), F.col("n").alias("s")).distinct())
+    m = withself.groupBy("n").agg(F.min("s").alias("m"))
+    out = (
+        withself.join(m, "n")
+        .select(F.col("m").alias("u"), F.col("s").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor of per-edge hashes): order-independent convergence
+    check in one aggregation job — no edge collect."""
+    row = (
+        edges.select(F.xxhash64("u", "v").alias("eh"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(eh)").alias("h"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_rounds: int = 20
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = min node id of the connected component.
+
+    Alternates large-star/small-star until the edge set is stable (a
+    star graph is a fixed point of both). Each round eagerly
+    localCheckpoints the new edge list — lineage would otherwise double
+    per round. Returns the star edges as the membership table, plus the
+    root rows themselves.
+    """
+    edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp2 = _edge_fingerprint(edges2)
+        edges = edges2
+        if fp2 == fp:
+            break
+        fp = fp2
+    members = edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return members.unionByName(roots)
+
+
+def dedup_canonical(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", a: str = "a_id", b: str = "b_id") -> DataFrame:
+    """Dedup decision table: every doc in ``docs`` with its cluster id and
+    keep flag (keep = not in any cluster, or the cluster's minimum id)."""
+    comp = connected_components(pairs, a, b)
+    out = docs.join(comp, docs[doc_id] == comp["node"], "left").select(
+        docs[doc_id],
+        F.coalesce(F.col("component"), docs[doc_id]).alias("cluster_id"),
+    )
+    return out.withColumn("keep", (F.col(doc_id) == F.col("cluster_id")).cast("boolean"))

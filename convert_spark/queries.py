@@ -931,6 +931,48 @@ from f
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering (the last step of every dedup family): embedding
+    near-dup pairs -> connected components (alternating large-star /
+    small-star, no driver-side graph state) -> per-doc decision table
+    (cluster id = component minimum, keep = is the minimum). Oracle:
+    DuckDB recursive-CTE transitive closure over the same pair SQL."""
+    from .operators import components
+    from .operators.ann import neardup_blocked
+
+    _load(spark, sf_dir, "embeddings")
+    e = spark.table("embeddings")
+    a = e.filter(F.col("vec_id") % 10 == 0).select(F.col("vec_id").alias("a_id"), "embedding")
+    b = e.select(F.col("vec_id").alias("b_id"), "embedding")
+    pairs = neardup_blocked(a, b, threshold=0.3).select("a_id", "b_id")
+    docs = e.select(F.col("vec_id").alias("doc_id"))
+    out = components.dedup_canonical(pairs, docs)
+    return out.select("doc_id", "cluster_id", F.col("keep").cast("int").alias("keep"))
+
+
+SQL_DEDUP_CLUSTERS = """
+with recursive e as (select vec_id, cast(embedding as double[]) as emb from embeddings),
+pairs as (
+  select a.vec_id as a_id, b.vec_id as b_id
+  from e a join e b on a.vec_id < b.vec_id
+  where a.vec_id % 10 = 0
+    and round(list_dot_product(a.emb, b.emb) /
+          (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+),
+und as (select a_id as u, b_id as v from pairs union select b_id, a_id from pairs),
+reach(u, v) as (
+  select u, v from und
+  union
+  select r.u, e2.v from reach r join und e2 on r.v = e2.u
+),
+comp as (select u as node, least(min(v), u) as component from reach group by u)
+select emb.vec_id as doc_id,
+       coalesce(c.component, emb.vec_id) as cluster_id,
+       cast(coalesce(c.component, emb.vec_id) = emb.vec_id as int) as keep
+from e emb left join comp c on c.node = emb.vec_id
+"""
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join over the events table (engine addition): each click
     event gains the most recent PRIOR-or-simultaneous error event of the
@@ -1004,6 +1046,7 @@ QUERIES = {
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
     "q_asof_events": q_asof_events,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -1041,6 +1084,7 @@ def oracles() -> dict[str, str]:
         "q_media_decode": SQL_MEDIA_DECODE,
         "q_media_frames": SQL_MEDIA_FRAMES,
         "q_asof_events": SQL_ASOF_EVENTS,
+        "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b). The driver's DuckDB
         # connection can't register Python UDFs, so the oracle SELECTs a

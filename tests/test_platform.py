@@ -344,3 +344,62 @@ class TestSparkSubmit:
         assert stats2["tiles"] == stats["tiles"] and stats2["pip_rows"] == stats["pip_rows"]
         for p in sorted((out / "_snapshots").glob("snapshot-*.json")):
             assert p.stat().st_mtime_ns == mtimes[p.name], f"{p.name} was recomputed on resume"
+
+
+class TestConnectedComponents:
+    def test_known_graphs(self, spark):
+        """Chains, a hub (the skew shape large-star exists for), a cycle,
+        an isolated pair, and a singleton-free graph — component = min id."""
+        from convert_spark.operators import components
+
+        pairs = [
+            (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+            (10, 11), (10, 12), (10, 13), (13, 14),  # hub + tail -> comp 10
+            (20, 21), (21, 22), (22, 20),    # cycle -> comp 20
+            (30, 31),                         # pair -> comp 30
+        ]
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {
+            int(r["node"]): int(r["component"])
+            for r in components.connected_components(df).collect()
+        }
+        expect = {1: 1, 2: 1, 3: 1, 4: 1,
+                  10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                  20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+        assert got == expect
+
+    def test_random_graph_matches_networkx_free_union_find(self, spark):
+        """200-node random sparse graph vs a plain python union-find."""
+        from convert_spark.operators import components
+
+        rng = np.random.RandomState(3)
+        edges = [(int(a), int(b)) for a, b in rng.randint(0, 200, (150, 2)) if a != b]
+        parent = list(range(200))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted({n for e in edges for n in e})
+        expect = {n: find(n) for n in nodes}
+        df = spark.createDataFrame(edges, "a_id long, b_id long")
+        got = {
+            int(r["node"]): int(r["component"])
+            for r in components.connected_components(df).collect()
+        }
+        assert got == expect
+
+    def test_dedup_canonical_keep_flags(self, spark):
+        from convert_spark.operators import components
+
+        pairs = spark.createDataFrame([(5, 9), (9, 7)], "a_id long, b_id long")
+        docs = spark.createDataFrame([(i,) for i in (1, 5, 7, 9)], "doc_id long")
+        got = components.dedup_canonical(pairs, docs).orderBy("doc_id").collect()
+        rows = [(int(r["doc_id"]), int(r["cluster_id"]), bool(r["keep"])) for r in got]
+        assert rows == [(1, 1, True), (5, 5, True), (7, 5, False), (9, 5, False)]

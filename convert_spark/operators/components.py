@@ -100,6 +100,10 @@ def connected_components(
     per round. Returns the star edges as the membership table, plus the
     root rows themselves.
     """
+    # EAGER localCheckpoint each round: truncates the per-round lineage
+    # doubling. (A lazy checkpoint materialized by the fingerprint action
+    # was measured 5x SLOWER end-to-end — the un-materialized plan is
+    # re-optimized/re-planned by every round built on top of it.)
     edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
     fp = _edge_fingerprint(edges)
     for _ in range(max_rounds):

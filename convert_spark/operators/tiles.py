@@ -155,3 +155,22 @@ def assemble_dataset_json(points: DataFrame, summary: DataFrame, keys: list[str]
         F.col("n_points"),
     )
     return doc
+
+
+def range_partition_cells(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit RANGE repartitioning on (zoom, cell_id) — the north_star's
+    "salted and range-repartitioned explicitly" output layout.
+
+    Why range, not hash, for tile outputs: Morton cell ids are a
+    space-filling curve, so contiguous cell-id ranges are spatially
+    coherent — each output partition/file covers a compact region, and a
+    downstream bbox query prunes whole files by cell-range metadata
+    (parquet min/max on cell_id) instead of touching every file.
+    ``repartitionByRange`` samples the data to pick boundaries, so a
+    dense city (hot cell range) is SPLIT across several partitions by
+    observed density rather than hashed wholesale into one — the
+    range-side complement to ``joins.salted_tile_join`` on the join side.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    return df.repartitionByRange(n, F.col("zoom"), F.col("cell_id"))

@@ -92,7 +92,10 @@ def main() -> None:
         spark,
         log,
         "tile_datasets",
-        lambda: tiles.tile_datasets(tiled),
+        # range-repartition the final tile output on (zoom, cell_id):
+        # spatially coherent files whose cell-id min/max prune downstream
+        # bbox reads (north_rule "range-repartitioned explicitly")
+        lambda: tiles.range_partition_cells(tiles.tile_datasets(tiled)),
         inputs=["tiled"],
         params=p,
     )

@@ -211,3 +211,33 @@ class TestSimilarityJoinShapes:
         plan = plan_of(df)
         assert "MapInPandas" in plan
         assert "collect_list" in plan  # packed blocks, not toPandas
+
+
+class TestRangePartition:
+    def test_range_partition_cells_contiguous(self, spark):
+        """Explicit range repartitioning (north_rule): partitions hold
+        NON-OVERLAPPING contiguous (zoom, cell_id) ranges — the property
+        that makes per-file min/max metadata prunable for bbox reads —
+        and the physical plan shows a RangePartitioning exchange, not
+        hash."""
+        pts = spark.createDataFrame(
+            [(float((i * 37) % 160) - 80.0, float((i * 91) % 340) - 170.0) for i in range(4000)],
+            "lat double, lon double",
+        )
+        t = tiles.with_tile(pts, 9)
+        r = tiles.range_partition_cells(t, num_partitions=8)
+        plan = plan_of(r)
+        assert "rangepartitioning" in plan.lower()
+        got = (
+            r.select("zoom", "cell_id", F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg(F.min("cell_id").alias("lo"), F.max("cell_id").alias("hi"), F.count(F.lit(1)).alias("n"))
+            .orderBy("lo")
+            .collect()
+        )
+        assert len(got) > 1  # actually spread over partitions
+        for prev, cur in zip(got, got[1:]):
+            assert prev["hi"] <= cur["lo"], "partition cell ranges overlap"
+        # sampled boundaries balance row counts within a loose factor
+        counts = [r2["n"] for r2 in got]
+        assert max(counts) <= 6 * max(1, min(counts))

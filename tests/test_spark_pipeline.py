@@ -393,3 +393,55 @@ class TestAsofJoin:
         assert got["r_id"].isna().sum() > 0  # unmatched users exercised
         pd.testing.assert_series_equal(got["r_id"], expect["r_id"], check_names=False)
         pd.testing.assert_series_equal(got["r_val"], expect["r_val"], check_names=False)
+
+
+class TestExtractionRandomCorpus:
+    def test_sql_and_arrow_identical_on_random_corpus(self, spark):
+        """Seeded random corpus: printable noise with coordinate mentions
+        injected at random offsets (valid and near-miss malformed ones) —
+        the Catalyst and Arrow paths must agree row-for-row on all of it."""
+        rng = np.random.RandomState(42)
+        alphabet = list("abc XYZ.,:-_0123456789é中\t")
+        texts = []
+        for i in range(300):
+            chars = rng.choice(alphabet, size=rng.randint(0, 120))
+            t = "".join(chars)
+            for _ in range(rng.randint(0, 4)):
+                la = rng.uniform(-90, 90)
+                lo = rng.uniform(-180, 180)
+                form = rng.randint(0, 4)
+                if form == 0:
+                    frag = f"geo:{la:.5f},{lo:.5f}"
+                elif form == 1:
+                    frag = f"lat {la:.4f} lon {lo:.4f}"
+                elif form == 2:
+                    frag = f"geo:{la:.1f},{lo}"  # repr() lon: may lack '.'
+                else:
+                    frag = f"lat {int(la)} lon {lo:.2f}"
+                pos = rng.randint(0, len(t) + 1)
+                t = t[:pos] + frag + t[pos:]
+            texts.append(t)
+        pdf = pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(len(texts))],
+                "warc_ts": pd.Timestamp("2026-01-01"),
+                "lang": "en",
+                "page_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(8)
+        a = (
+            extract.extract_mentions(df, impl="sql")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        b = (
+            extract.extract_mentions(df, impl="arrow")
+            .orderBy("page_id", "mention_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert len(a) > 200  # corpus really contains mentions
+        pd.testing.assert_frame_equal(a, b)

@@ -128,7 +128,7 @@ def worker(cores: int, n_exec: int | None = None, exec_cores: int = 4) -> None:
 
 def _run_level(cores: int) -> dict:
     cmd = [sys.executable, __file__, "worker", str(cores)]
-    if shutil.which("taskset"):
+    if shutil.which("taskset") and cores <= _NCPU:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), check=True)
     line = out.stdout.strip().splitlines()[-1]
@@ -136,27 +136,50 @@ def _run_level(cores: int) -> dict:
     return json.loads(line)
 
 
-# Driver infrastructure cores, DISJOINT from every executor-core range.
-# On a real cluster the driver is a separate machine: its CPUs don't
-# donate capacity to executors. An earlier protocol pinned "4N exec + 2
-# driver" cores as ONE shared set; the driver's idle cycles then inflated
-# the small-N level by up to (4+2)/4 = 1.5x but the large-N level by only
+# Driver infrastructure cores, DISJOINT from every executor-core range:
+# the host's top 4 CPUs (executors always pin from core 0 upward). On a
+# real cluster the driver is a separate machine: its CPUs don't donate
+# capacity to executors. An earlier protocol pinned "4N exec + 2 driver"
+# cores as ONE shared set; the driver's idle cycles then inflated the
+# small-N level by up to (4+2)/4 = 1.5x but the large-N level by only
 # 18/16 = 1.125x — mechanically depressing measured efficiency by ~0.75x.
-# Now executor JVMs (and the python workers they fork) are re-pinned to
-# exactly 4N cores and the driver to this constant disjoint set.
-DRIVER_CORES = "28-31"
+_NCPU = os.cpu_count() or 8
+DRIVER_CORES = f"{max(0, _NCPU - 4)}-{_NCPU - 1}"
+
+
+def _descendant_pids() -> set[str]:
+    """PIDs in this process's subtree (ps ancestry walk) — pinning must
+    never touch unrelated Spark sessions on a shared host."""
+    ps = subprocess.run(["ps", "-eo", "pid,ppid"], capture_output=True, text=True).stdout
+    children: dict[str, list[str]] = {}
+    for line in ps.splitlines()[1:]:
+        parts = line.split()
+        if len(parts) == 2:
+            children.setdefault(parts[1], []).append(parts[0])
+    out, stack = set(), [str(os.getpid())]
+    while stack:
+        p = stack.pop()
+        if p in out:
+            continue
+        out.add(p)
+        stack.extend(children.get(p, []))
+    return out
 
 
 def _pin_exec_topology(n_exec: int, exec_cores: int) -> None:
     """taskset executor JVMs + their python daemons to cores 0..C*N-1 and
-    the driver JVM + this python process to DRIVER_CORES."""
+    the driver JVM + this python process to DRIVER_CORES. Only processes
+    descending from THIS benchmark process are touched."""
     if not shutil.which("taskset"):
         return
+    if exec_cores * n_exec > max(0, _NCPU - 4):
+        return  # host too small for a disjoint driver set; leave unpinned
     exec_set = f"0-{exec_cores * n_exec - 1}"
+    mine = _descendant_pids()
     ps = subprocess.run(["ps", "-eo", "pid,cmd"], capture_output=True, text=True).stdout
     for line in ps.splitlines():
         parts = line.strip().split(None, 1)
-        if len(parts) != 2:
+        if len(parts) != 2 or parts[0] not in mine:
             continue
         pid, cmd = parts
         if "CoarseGrainedExecutorBackend" in cmd or "pyspark.daemon" in cmd or "deploy.worker.Worker" in cmd:
@@ -168,9 +191,10 @@ def _pin_exec_topology(n_exec: int, exec_cores: int) -> None:
 
 def _run_exec_level(n_exec: int, exec_cores: int) -> dict:
     # launch over the union of exec + driver cores; _pin_exec_topology
-    # then separates executors (0..C*N-1) from the driver (DRIVER_CORES)
+    # then separates executors (0..C*N-1) from the driver (DRIVER_CORES).
+    # On hosts too small for a disjoint driver set, run unpinned.
     cmd = [sys.executable, __file__, "worker_exec", str(n_exec), str(exec_cores)]
-    if shutil.which("taskset"):
+    if shutil.which("taskset") and exec_cores * n_exec <= max(0, _NCPU - 4):
         cmd = ["taskset", "-c", f"0-{exec_cores * n_exec - 1},{DRIVER_CORES}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), check=True)
     line = out.stdout.strip().splitlines()[-1]

@@ -104,18 +104,37 @@ def connected_components(
     # doubling. (A lazy checkpoint materialized by the fingerprint action
     # was measured 5x SLOWER end-to-end — the un-materialized plan is
     # re-optimized/re-planned by every round built on top of it.)
+    all_nodes = (
+        pairs.select(F.col(a).alias("node")).unionByName(pairs.select(F.col(b).alias("node"))).distinct()
+    )
     edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
     fp = _edge_fingerprint(edges)
+    converged = False
     for _ in range(max_rounds):
         edges2 = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         fp2 = _edge_fingerprint(edges2)
         edges = edges2
         if fp2 == fp:
+            converged = True
             break
         fp = fp2
+    if not converged:
+        # an unconverged edge set yields DUPLICATE node rows with
+        # conflicting components — corrupt output; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({fp[0]} edges remain); raise max_rounds"
+        )
     members = edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = edges.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
-    return members.unionByName(roots)
+    found = members.unionByName(roots)
+    # nodes appearing ONLY in self-pairs (a == b) have no surviving edge;
+    # they are their own singleton components — the documented contract is
+    # one row for EVERY node appearing in ``pairs``
+    singletons = all_nodes.join(found.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return found.unionByName(singletons)
 
 
 def dedup_canonical(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", a: str = "a_id", b: str = "b_id") -> DataFrame:

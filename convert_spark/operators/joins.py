@@ -314,20 +314,31 @@ def asof_join(
 
     Distributed shape — the classic union + running last_value plan:
     both sides are tagged and unioned, then ONE window partitioned by the
-    join keys and ordered by (ts, side, tiebreak) carries each right
-    value forward with ``last(ignorenulls)``. Exactly one shuffle (on the
-    join keys), no per-key loops, no range-join explosion: at 100 TB the
-    cost is a sort within each key partition, and skewed keys fall to
-    AQE like any other window. ``tiebreak_col`` makes the pick
+    join keys and ordered by (ts, side, tiebreak) carries the right row
+    forward with ``last(ignorenulls)``. The right columns travel as ONE
+    struct, not independently: a right row whose ``right_cols`` contain
+    NULLs must still win as a whole (per-column carry would mix fields
+    from DIFFERENT right rows — the struct itself is non-null for every
+    right row, so ignorenulls skips only left rows). Exactly one shuffle
+    (on the join keys), no per-key loops, no range-join explosion: at
+    100 TB the cost is a sort within each key partition, and skewed keys
+    fall to AQE like any other window. ``tiebreak_col`` makes the pick
     deterministic when several right rows share a timestamp (the highest
     tiebreak value wins).
     """
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join right_cols {sorted(clash)} collide with left columns; "
+            "rename one side before joining"
+        )
     side = "__asof_side"
     tb = "__asof_tb"
+    rstruct = "__asof_r"
     right_sel = right.select(
         *on,
         F.col(ts_col),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias(rstruct),
         F.lit(0).alias(side),
         (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias(tb),
     )
@@ -341,10 +352,8 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), side_order, F.col(tb).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*", *[F.last(F.when(F.col(side) == 0, F.col(c)), ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols]
-    )
+    carried = u.select("*", F.last(F.col(rstruct), ignorenulls=True).over(w).alias("__r"))
     out = carried.filter(F.col(side) == 1).select(
-        *[c for c in left.columns], *[F.col(f"__r_{c}").alias(c) for c in right_cols]
+        *[c for c in left.columns], *[F.col(f"__r.{c}").alias(c) for c in right_cols]
     )
     return out

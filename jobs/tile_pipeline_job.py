@@ -94,8 +94,14 @@ def main() -> None:
         "tile_datasets",
         # range-repartition the final tile output on (zoom, cell_id):
         # spatially coherent files whose cell-id min/max prune downstream
-        # bbox reads (north_rule "range-repartitioned explicitly")
-        lambda: tiles.range_partition_cells(tiles.tile_datasets(tiled)),
+        # bbox reads (north_rule "range-repartitioned explicitly").
+        # localCheckpoint first: repartitionByRange runs a SAMPLING job
+        # over its child to pick boundaries — without the checkpoint the
+        # whole tile_datasets aggregation (incl. its pandas UDFs) would
+        # execute twice, once for sampling and once for the real shuffle.
+        lambda: tiles.range_partition_cells(
+            tiles.tile_datasets(tiled).localCheckpoint(eager=True)
+        ),
         inputs=["tiled"],
         params=p,
     )

@@ -403,3 +403,20 @@ class TestConnectedComponents:
         got = components.dedup_canonical(pairs, docs).orderBy("doc_id").collect()
         rows = [(int(r["doc_id"]), int(r["cluster_id"]), bool(r["keep"])) for r in got]
         assert rows == [(1, 1, True), (5, 5, True), (7, 5, False), (9, 5, False)]
+
+
+class TestConnectedComponentsEdges:
+    def test_unconverged_raises_instead_of_corrupting(self, spark):
+        from convert_spark.operators import components
+
+        chain = [(i, i + 1) for i in range(0, 40)]
+        df = spark.createDataFrame(chain, "a_id long, b_id long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            components.connected_components(df, max_rounds=1)
+
+    def test_self_pairs_become_singletons(self, spark):
+        from convert_spark.operators import components
+
+        df = spark.createDataFrame([(5, 5), (1, 2)], "a_id long, b_id long")
+        got = {int(r["node"]): int(r["component"]) for r in components.connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 5: 5}

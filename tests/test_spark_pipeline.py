@@ -445,3 +445,26 @@ class TestExtractionRandomCorpus:
         )
         assert len(a) > 200  # corpus really contains mentions
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestAsofJoinEdgeCases:
+    def test_null_right_value_not_mixed_across_rows(self, spark):
+        """A right row with a NULL value column must win AS A WHOLE: the
+        carried columns must never mix fields from different right rows
+        (the per-column ignorenulls bug)."""
+        left = spark.createDataFrame([(1, 100, 10)], "event_id long, user_id long, ts long")
+        right = spark.createDataFrame(
+            [(100, 3, 7, 2.5), (100, 5, 9, None)],
+            "user_id long, ts long, r_id long, r_val double",
+        )
+        got = joins.asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["r_id", "r_val"], tiebreak_col="r_id",
+        ).collect()[0]
+        assert got["r_id"] == 9 and got["r_val"] is None
+
+    def test_right_col_name_collision_rejected(self, spark):
+        left = spark.createDataFrame([(1, 2)], "user_id long, value long")
+        right = spark.createDataFrame([(1, 1, 5)], "user_id long, ts long, value long")
+        with pytest.raises(ValueError, match="collide"):
+            joins.asof_join(left.withColumn("ts", F.lit(1)), right, on=["user_id"], ts_col="ts", right_cols=["value"])

@@ -635,3 +635,39 @@ class TestXmlDecoderShape:
         trk = rows[1]
         assert [round(v, 4) for v in trk["verts"][0]] == [-111.1, 45.1, 0.0]
         assert [round(v, 4) for v in trk["verts"][1]] == [-111.3, 45.3, 9.0]
+
+
+class TestCorpusReader:
+    def test_directory_of_documents(self, spark, tmp_path):
+        """binaryFile corpus ingestion: a directory of geojson documents
+        converts in one distributed call; dataset_id = file stem; a
+        malformed document is isolated, not fatal."""
+        from convert_spark.sources import corpus
+
+        good = '{"type":"FeatureCollection","features":[{"type":"Feature","properties":{"name":"p"},"geometry":{"type":"Point","coordinates":[10.0,20.0]}}]}'
+        (tmp_path / "alpha.geojson").write_text(good)
+        (tmp_path / "beta.geojson").write_text(good.replace("10.0", "11.0"))
+        (tmp_path / "broken.geojson").write_text("{not valid json")
+        (tmp_path / "ignored.txt").write_text("not a geo document")
+        feats = corpus.features_from_dir(spark, str(tmp_path), "geojson").toPandas()
+        assert set(feats["dataset_id"]) == {"alpha", "beta"}
+        assert len(feats) == 2
+        docs = corpus.read_document_dir(spark, str(tmp_path), "geojson").toPandas()
+        assert set(docs["dataset_id"]) == {"alpha", "beta", "broken"}
+
+    def test_gpx_and_kml_dirs(self, spark, tmp_path):
+        from convert_spark.sources import corpus
+
+        (tmp_path / "trk.gpx").write_text(
+            '<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+            '<wpt lat="1.5" lon="2.5"><name>w</name></wpt></gpx>'
+        )
+        (tmp_path / "doc.kml").write_text(
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder><name>f</name>'
+            "<Placemark><name>a</name><Point><coordinates>3,4</coordinates></Point></Placemark>"
+            "</Folder></Document></kml>"
+        )
+        g = corpus.features_from_dir(spark, str(tmp_path), "gpx").toPandas()
+        k = corpus.features_from_dir(spark, str(tmp_path), "kml").toPandas()
+        assert len(g) == 1 and g["dataset_id"].iloc[0] == "trk"
+        assert len(k) == 1 and k["dataset_id"].iloc[0] == "doc"

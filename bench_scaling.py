@@ -128,12 +128,15 @@ def worker(cores: int, n_exec: int | None = None, exec_cores: int = 4) -> None:
 
 def _run_level(cores: int) -> dict:
     cmd = [sys.executable, __file__, "worker", str(cores)]
-    if shutil.which("taskset") and cores <= _NCPU:
+    pinned = bool(shutil.which("taskset")) and cores <= _NCPU
+    if pinned:
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), check=True)
     line = out.stdout.strip().splitlines()[-1]
     print(line)
-    return json.loads(line)
+    r = json.loads(line)
+    r["pinned"] = pinned  # reported per level: a small host runs unpinned
+    return r
 
 
 # Driver infrastructure cores, DISJOINT from every executor-core range:
@@ -194,12 +197,15 @@ def _run_exec_level(n_exec: int, exec_cores: int) -> dict:
     # then separates executors (0..C*N-1) from the driver (DRIVER_CORES).
     # On hosts too small for a disjoint driver set, run unpinned.
     cmd = [sys.executable, __file__, "worker_exec", str(n_exec), str(exec_cores)]
-    if shutil.which("taskset") and exec_cores * n_exec <= max(0, _NCPU - 4):
+    pinned = bool(shutil.which("taskset")) and exec_cores * n_exec <= max(0, _NCPU - 4)
+    if pinned:
         cmd = ["taskset", "-c", f"0-{exec_cores * n_exec - 1},{DRIVER_CORES}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO), check=True)
     line = out.stdout.strip().splitlines()[-1]
     print(line)
-    return json.loads(line)
+    r = json.loads(line)
+    r["pinned"] = pinned
+    return r
 
 
 def main() -> None:
@@ -247,15 +253,27 @@ def main() -> None:
         # mode is reported as topology evidence with its measured Amdahl
         # term (see BENCH_SCALING.md analysis)
         "pass": e_primary >= 0.8,
+        # false when ANY level ran unpinned (host smaller than the lane
+        # count) — the efficiency numbers then mix protocols
+        "all_pinned": all(r.get("pinned") for r in results.values())
+        and all(r.get("pinned") for r in ex_results.values()),
     }
     print(json.dumps(summary))
 
     ex_tbl = "\n".join(
-        f"| local-cluster[{n},{c}] = {n} executor JVM(s) x {c} cores (exec pinned to {c*n} CPUs; driver pinned to disjoint {DRIVER_CORES}) | {r['wall_s']} | {r['rows']:,} | {r['rows_per_sec']:,.0f} |"
+        f"| local-cluster[{n},{c}] = {n} executor JVM(s) x {c} cores "
+        + (
+            f"(exec pinned to {c*n} CPUs; driver pinned to disjoint {DRIVER_CORES})"
+            if r.get("pinned")
+            else "(UNPINNED — host too small for a disjoint driver set)"
+        )
+        + f" | {r['wall_s']} | {r['rows']:,} | {r['rows_per_sec']:,.0f} |"
         for (c, n), r in ex_results.items()
     )
     rows_tbl = "\n".join(
-        f"| local[{c}] (pinned {c} CPUs) | {r['wall_s']} | {r['rows']:,} | {r['rows_per_sec']:,.0f} |"
+        f"| local[{c}] "
+        + (f"(pinned {c} CPUs)" if r.get("pinned") else "(UNPINNED — fewer host CPUs than lanes)")
+        + f" | {r['wall_s']} | {r['rows']:,} | {r['rows_per_sec']:,.0f} |"
         for c, r in results.items()
     )
     ex_lines = "\n".join(

@@ -40,7 +40,12 @@ def _canon_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     dropped."""
     u = F.least(F.col(a), F.col(b)).alias("u")
     v = F.greatest(F.col(a), F.col(b)).alias("v")
-    return pairs.select(u, v).filter(F.col("u") != F.col("v")).distinct()
+    return (
+        pairs.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+        .select(u, v)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -104,8 +109,18 @@ def connected_components(
     # doubling. (A lazy checkpoint materialized by the fingerprint action
     # was measured 5x SLOWER end-to-end — the un-materialized plan is
     # re-optimized/re-planned by every round built on top of it.)
+    # checkpoint the node set alongside the edges: ``pairs`` is typically
+    # the expensive upstream candidate join — without this, the singleton
+    # anti-join in the returned plan would re-execute that whole lineage
+    # on every downstream action (and could diverge from the edge
+    # snapshot if the upstream were nondeterministic). NULL ids carry no
+    # edge semantics and are dropped on both paths.
     all_nodes = (
-        pairs.select(F.col(a).alias("node")).unionByName(pairs.select(F.col(b).alias("node"))).distinct()
+        pairs.select(F.col(a).alias("node"))
+        .unionByName(pairs.select(F.col(b).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
     fp = _edge_fingerprint(edges)

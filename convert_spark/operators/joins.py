@@ -335,7 +335,10 @@ def asof_join(
     side = "__asof_side"
     tb = "__asof_tb"
     rstruct = "__asof_r"
-    right_sel = right.select(
+    # a right row with NULL ts can never satisfy right.ts <= left.ts —
+    # drop it up front (Spark's asc sort is NULLS FIRST, so an unfiltered
+    # NULL-ts right row would otherwise be carried to EVERY left row)
+    right_sel = right.filter(F.col(ts_col).isNotNull()).select(
         *on,
         F.col(ts_col),
         F.struct(*[F.col(c) for c in right_cols]).alias(rstruct),

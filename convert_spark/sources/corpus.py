@@ -25,27 +25,43 @@ _PAYLOAD_COL = {"geojson": "geojson", "kml": "kml", "gpx": "gpx"}
 _GLOBS = {"geojson": "*.geojson", "kml": "*.kml", "gpx": "*.gpx"}
 
 
-def read_document_dir(spark: SparkSession, path: str, fmt: str, glob: str | None = None) -> DataFrame:
-    """Directory/glob of documents -> (dataset_id, <fmt> string) rows."""
+def read_document_dir(
+    spark: SparkSession, path: str, fmt: str, glob: str | None = None, id_from: str = "stem"
+) -> DataFrame:
+    """Directory/glob of documents -> (dataset_id, <fmt> string) rows.
+
+    ``id_from="stem"`` (default) names each dataset by the file stem —
+    the reference's one-file-one-dataset model. Two files with the SAME
+    stem in different directories would then silently merge into one
+    dataset, so for nested/recursive corpora pass ``id_from="path"``
+    (full URI minus extension, slashes kept — collision-proof).
+    """
     if fmt not in _PAYLOAD_COL:
         raise ValueError(f"fmt must be one of {sorted(_PAYLOAD_COL)}, got {fmt!r}")
+    if id_from not in ("stem", "path"):
+        raise ValueError(f"id_from must be 'stem' or 'path', got {id_from!r}")
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob or _GLOBS[fmt])
         .load(path)
     )
-    stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]*)?$", 1)
+    if id_from == "stem":
+        did = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]*)?$", 1)
+    else:
+        did = F.regexp_replace(F.col("path"), r"\.[^./]*$", "")
     return raw.select(
-        stem.alias("dataset_id"),
+        did.alias("dataset_id"),
         F.decode(F.col("content"), "UTF-8").alias(_PAYLOAD_COL[fmt]),
     )
 
 
-def features_from_dir(spark: SparkSession, path: str, fmt: str, glob: str | None = None) -> DataFrame:
+def features_from_dir(
+    spark: SparkSession, path: str, fmt: str, glob: str | None = None, id_from: str = "stem"
+) -> DataFrame:
     """One-call distributed corpus conversion: directory -> features
     DataFrame (same schema as the single-document sources; per-document
     parse errors are isolated by the underlying source, not fatal)."""
-    docs = read_document_dir(spark, path, fmt, glob)
+    docs = read_document_dir(spark, path, fmt, glob, id_from)
     if fmt == "geojson":
         from .geojson import features_from_geojson
 

@@ -95,12 +95,16 @@ def main() -> None:
         # range-repartition the final tile output on (zoom, cell_id):
         # spatially coherent files whose cell-id min/max prune downstream
         # bbox reads (north_rule "range-repartitioned explicitly").
-        # localCheckpoint first: repartitionByRange runs a SAMPLING job
-        # over its child to pick boundaries — without the checkpoint the
-        # whole tile_datasets aggregation (incl. its pandas UDFs) would
-        # execute twice, once for sampling and once for the real shuffle.
+        # persist first: repartitionByRange runs a SAMPLING job over its
+        # child to pick boundaries — without it the whole tile_datasets
+        # aggregation (incl. its pandas UDFs) would execute twice, once
+        # for sampling and once for the real shuffle. persist (NOT
+        # localCheckpoint) keeps lineage: on a 250-executor cluster a
+        # lost executor between sampling and shuffle recomputes its
+        # blocks instead of failing the stage. The cache lives only
+        # until the job exits right after this stage.
         lambda: tiles.range_partition_cells(
-            tiles.tile_datasets(tiled).localCheckpoint(eager=True)
+            tiles.tile_datasets(tiled).persist()
         ),
         inputs=["tiled"],
         params=p,

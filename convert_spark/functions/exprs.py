@@ -142,3 +142,15 @@ def sql_to3857_y(x: str, y: str) -> str:
     deg = f"(abs({x}) <= 180.0 and abs({y}) <= 180.0)"
     my = f"({R_EARTH} * ln(tan(pi()/4.0 + radians({y})/2.0)))"
     return sql_round_half_away(f"(case when {deg} then {my} else {y} end)", 2)
+
+
+def sql_to4326_lon(x: str, y: str) -> str:
+    deg = f"(abs({x}) <= 180.0 and abs({y}) <= 180.0)"
+    lon = sql_round_half_away(f"degrees({x} / {R_EARTH})", 4)
+    return f"(case when {deg} then {x} else {lon} end)"
+
+
+def sql_to4326_lat(x: str, y: str) -> str:
+    deg = f"(abs({x}) <= 180.0 and abs({y}) <= 180.0)"
+    lat = sql_round_half_away(f"degrees(2.0 * atan(exp({y} / {R_EARTH})) - pi()/2.0)", 4)
+    return f"(case when {deg} then {y} else {lat} end)"

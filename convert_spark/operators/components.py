@@ -82,15 +82,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """(count, xor of per-edge hashes): order-independent convergence
-    check in one aggregation job — no edge collect."""
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int, int, int]:
+    """(count, xor, salted xor, wrapped sum) of per-edge hashes:
+    order-independent convergence check in one aggregation job — no edge
+    collect. Two independent hash streams (plain / salted xxhash64) plus
+    the additive sum make a silent collision (two distinct edge sets with
+    equal fingerprint declaring convergence early and emitting corrupt
+    duplicate memberships) require simultaneous collisions in three
+    decorrelated 64-bit channels."""
     row = (
-        edges.select(F.xxhash64("u", "v").alias("eh"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(eh)").alias("h"))
+        edges.select(
+            F.xxhash64("u", "v").alias("eh"),
+            F.xxhash64(F.lit(0x5A17), "u", "v").alias("eh2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(eh)").alias("h"),
+            F.expr("bit_xor(eh2)").alias("h2"),
+            # additive channel folded to 30 bits per term: a raw bigint sum
+            # would overflow (an ERROR under Spark 4 ANSI mode) — n*2^30
+            # stays in int64 for any plausible edge count
+            F.sum(F.pmod(F.col("eh"), F.lit(1 << 30))).alias("hs"),
+        )
         .collect()[0]
     )
-    return int(row["n"]), int(row["h"] or 0)
+    return int(row["n"]), int(row["h"] or 0), int(row["h2"] or 0), int(row["hs"] or 0)
 
 
 def connected_components(

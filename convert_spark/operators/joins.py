@@ -136,8 +136,13 @@ def pip_join(
             out[hit] = pieces
         return pd.Series(out)
 
-    tagged = points.withColumn("_polys", containing_polys(F.col(lon_col), F.col(lat_col)))
-    ex = F.explode_outer("_polys") if how == "left" else F.explode("_polys")
+    # collision-proof temp name: a points column literally named "_polys"
+    # would otherwise be silently overwritten and returned corrupted
+    tmp = "_polys"
+    while tmp in points.columns:
+        tmp += "_"
+    tagged = points.withColumn(tmp, containing_polys(F.col(lon_col), F.col(lat_col)))
+    ex = F.explode_outer(tmp) if how == "left" else F.explode(tmp)
     return tagged.select(*points.columns, ex.alias("poly_id"))
 
 
@@ -337,8 +342,14 @@ def asof_join(
     rstruct = "__asof_r"
     # a right row with NULL ts can never satisfy right.ts <= left.ts —
     # drop it up front (Spark's asc sort is NULLS FIRST, so an unfiltered
-    # NULL-ts right row would otherwise be carried to EVERY left row)
-    right_sel = right.filter(F.col(ts_col).isNotNull()).select(
+    # NULL-ts right row would otherwise be carried to EVERY left row).
+    # NULL join keys likewise: Window.partitionBy groups NULLs together,
+    # so an unfiltered NULL-keyed right row would match NULL-keyed left
+    # rows — SQL equi-join semantics (and the oracle) never match NULL.
+    right_keep = F.col(ts_col).isNotNull()
+    for key in on:
+        right_keep = right_keep & F.col(key).isNotNull()
+    right_sel = right.filter(right_keep).select(
         *on,
         F.col(ts_col),
         F.struct(*[F.col(c) for c in right_cols]).alias(rstruct),

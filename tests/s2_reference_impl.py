@@ -297,3 +297,222 @@ def covering_level(raw_corners) -> tuple:
     """(level, cap_center): level < 0 means the 6 face cells."""
     center, radius = loop_cap(raw_corners)
     return min_width_max_level(radius) - 1, center
+
+
+# --- scalar cell ids / tokens / vertex neighbors -----------------------------
+#
+# Independent re-derivation of the S2 cell-id machinery for the KAT twin
+# (tests/gen_kats.py): unlike the production kernel's 4-bit Hilbert lookup
+# tables (kernels/s2.py), this walks the published 2-bit-per-level Hilbert
+# recursion directly from the canonical posToIJ / posToOrientation tables
+# (s2geometry.io, "S2 Cell Hierarchy") — a structurally different
+# formulation of the same public algorithm.
+
+MAX_LEVEL = 30
+MAX_SIZE = 1 << MAX_LEVEL
+_SWAP, _INVERT = 1, 2
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT = (_SWAP, 0, 0, _INVERT | _SWAP)
+# inverse: _IJ_TO_POS[orient][ij] = pos  with  _POS_TO_IJ[orient][pos] = ij
+_IJ_TO_POS = tuple(
+    tuple(row.index(ij) for ij in range(4)) for row in _POS_TO_IJ
+)
+
+_FACE_UVW = (
+    # face -> xyz of (u-axis component mapping): xyz(u, v) per face
+    lambda u, v: (1.0, u, v),
+    lambda u, v: (-u, 1.0, v),
+    lambda u, v: (-u, -v, 1.0),
+    lambda u, v: (-1.0, -v, -u),
+    lambda u, v: (v, -1.0, -u),
+    lambda u, v: (v, u, -1.0),
+)
+
+
+def face_uv_to_xyz_s(face: int, u: float, v: float):
+    return _FACE_UVW[face](u, v)
+
+
+def xyz_to_face_uv_s(p) -> tuple:
+    x, y, z = p
+    ax, ay, az = abs(x), abs(y), abs(z)
+    axis = 0 if (ax >= ay and ax >= az) else (1 if ay >= az else 2)
+    face = axis + (3 if (x, y, z)[axis] < 0 else 0)
+    if face == 0:
+        u, v = y / x, z / x
+    elif face == 1:
+        u, v = -x / y, z / y
+    elif face == 2:
+        u, v = -x / z, -y / z
+    elif face == 3:
+        u, v = z / x, y / x
+    elif face == 4:
+        u, v = z / y, -x / y
+    else:
+        u, v = -y / z, -x / z
+    return face, u, v
+
+
+def uv_to_st_s(u: float) -> float:
+    if u >= 0:
+        return 0.5 * math.sqrt(1.0 + 3.0 * u)
+    return 1.0 - 0.5 * math.sqrt(abs(1.0 - 3.0 * u))
+
+
+def st_to_ij_s(s: float) -> int:
+    return max(0, min(MAX_SIZE - 1, math.floor(MAX_SIZE * s)))
+
+
+def leaf_from_face_ij(face: int, i: int, j: int) -> int:
+    """Leaf cell id via the direct per-level Hilbert walk (MSB first)."""
+    orient = face & _SWAP
+    pos = 0
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        p = _IJ_TO_POS[orient][ij]
+        pos = (pos << 2) | p
+        orient ^= _POS_TO_ORIENT[p]
+    return (face << (2 * MAX_LEVEL + 1)) | (pos << 1) | 1
+
+
+def face_ij_from_leaf(cid: int) -> tuple:
+    face = cid >> (2 * MAX_LEVEL + 1)
+    pos = (cid >> 1) & ((1 << (2 * MAX_LEVEL)) - 1)
+    orient = face & _SWAP
+    i = j = 0
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        p = (pos >> (2 * k)) & 3
+        ij = _POS_TO_IJ[orient][p]
+        i |= (ij >> 1) << k
+        j |= (ij & 1) << k
+        orient ^= _POS_TO_ORIENT[p]
+    return face, i, j
+
+
+def leaf_from_point(p) -> int:
+    face, u, v = xyz_to_face_uv_s(p)
+    return leaf_from_face_ij(face, st_to_ij_s(uv_to_st_s(u)), st_to_ij_s(uv_to_st_s(v)))
+
+
+def parent_at_s(cid: int, level: int) -> int:
+    new_lsb = 1 << (2 * (MAX_LEVEL - level))
+    return (cid & ~(new_lsb - 1)) | new_lsb
+
+
+def _leaf_from_face_ij_wrap(face: int, i: int, j: int) -> int:
+    """Cross-face neighbor resolution (public FromFaceIJWrap): clamp to
+    one-past-the-edge, project the LINEAR-st leaf center to xyz, resolve
+    on the new face."""
+    i = max(-1, min(MAX_SIZE, i))
+    j = max(-1, min(MAX_SIZE, j))
+    scale = 1.0 / MAX_SIZE
+    limit = math.nextafter(1.0, 2.0)
+    u = max(-limit, min(limit, scale * ((i << 1) + 1 - MAX_SIZE)))
+    v = max(-limit, min(limit, scale * ((j << 1) + 1 - MAX_SIZE)))
+    nf, nu, nv = xyz_to_face_uv_s(face_uv_to_xyz_s(face, u, v))
+    # linear st on re-entry (0.5*(u+1)) — published wrap quirk
+    ni = max(0, min(MAX_SIZE - 1, math.floor(MAX_SIZE * 0.5 * (nu + 1.0))))
+    nj = max(0, min(MAX_SIZE - 1, math.floor(MAX_SIZE * 0.5 * (nv + 1.0))))
+    return leaf_from_face_ij(nf, ni, nj)
+
+
+def _leaf_same(face: int, i: int, j: int, same_face: bool) -> int:
+    if same_face:
+        return leaf_from_face_ij(face, i, j)
+    return _leaf_from_face_ij_wrap(face, i, j)
+
+
+def vertex_neighbors_s(cid: int, level: int) -> list:
+    """The 3-4 cells at ``level`` sharing the leaf's closest vertex
+    (public VertexNeighbors), in the canonical emit order."""
+    half = 1 << (MAX_LEVEL - (level + 1))
+    size = half << 1
+    f, i, j = face_ij_from_leaf(cid)
+    if i & half:
+        ioff, isame = size, (i + size) < MAX_SIZE
+    else:
+        ioff, isame = -size, (i - size) >= 0
+    if j & half:
+        joff, jsame = size, (j + size) < MAX_SIZE
+    else:
+        joff, jsame = -size, (j - size) >= 0
+    res = [
+        parent_at_s(cid, level),
+        parent_at_s(_leaf_same(f, i + ioff, j, isame), level),
+        parent_at_s(_leaf_same(f, i, j + joff, jsame), level),
+    ]
+    if isame or jsame:
+        res.append(parent_at_s(_leaf_same(f, i + ioff, j + joff, isame and jsame), level))
+    return res
+
+
+def token_s(cid: int) -> str:
+    s = f"{cid:016x}".rstrip("0")
+    return s if s else "X"
+
+
+# --- scalar GetElev twin (deterministic DEM fixture, FIXTURES.md §5) ---------
+
+_R_EARTH = 6378137.0
+_DLAT = _DLON = 0.25
+_LAT0, _LON0 = -90.0, -180.0
+_NLAT, _NLON = 721, 1441
+
+
+def _round_half_away_s(v: float, decimals: int) -> float:
+    scale = 10.0 ** decimals
+    a = abs(v) * scale
+    f = math.floor(a)
+    r = f + (1.0 if a - f >= 0.5 else 0.0)
+    return math.copysign(1.0, v) * r / scale if v != 0 else 0.0
+
+
+def to4326_s(x: float, y: float) -> tuple:
+    if abs(x) <= 180.0 and abs(y) <= 180.0:
+        return x, y
+    lon = math.degrees(x / _R_EARTH)
+    lat = math.degrees(2.0 * math.atan(math.exp(y / _R_EARTH)) - math.pi / 2.0)
+    return _round_half_away_s(lon, 4), _round_half_away_s(lat, 4)
+
+
+def _dem_value(i: int, j: int) -> float:
+    lat = _LAT0 + _DLAT * i
+    lon = _LON0 + _DLON * j
+    return 500.0 + 300.0 * math.sin(lat / 10.0) * math.cos(lon / 10.0)
+
+
+def get_elev_s(x3857: float, y3857: float) -> float:
+    lon, lat = to4326_s(x3857, y3857)
+    fi = (lat - _LAT0) / _DLAT
+    fj = (lon - _LON0) / _DLON
+    if not (0 <= fi <= _NLAT - 1 and 0 <= fj <= _NLON - 1):
+        return float("nan")
+    i0 = min(int(math.floor(fi)), _NLAT - 2)
+    j0 = min(int(math.floor(fj)), _NLON - 2)
+    di, dj = fi - i0, fj - j0
+    return (
+        _dem_value(i0, j0) * (1 - di) * (1 - dj)
+        + _dem_value(i0 + 1, j0) * di * (1 - dj)
+        + _dem_value(i0, j0 + 1) * (1 - di) * dj
+        + _dem_value(i0 + 1, j0 + 1) * di * dj
+    )
+
+
+def covering_tokens_s(lx: float, ly: float, rx: float, uy: float) -> list:
+    """Full scalar twin of the reference's quirky bbox covering
+    (convert.go:1151-1192): 3857 bbox -> 8-char tokens, no dedup."""
+    if not all(map(math.isfinite, (lx, ly, rx, uy))):
+        return []
+    cz = get_elev_s(rx, uy)
+    if math.isnan(cz):
+        return []
+    rx4, uy4 = to4326_s(rx, uy)
+    lx4, ly4 = to4326_s(lx, ly)
+    # quirk: PointFromCoords(lon, lat, cz) — raw R^3 corner vectors
+    corners = [(rx4, uy4, cz), (lx4, uy4, cz), (lx4, ly4, cz), (rx4, ly4, cz)]
+    level, center = covering_level(corners)
+    if level < 0:
+        cells = [(f << (2 * MAX_LEVEL + 1)) | (1 << (2 * MAX_LEVEL)) for f in range(6)]
+    else:
+        cells = vertex_neighbors_s(leaf_from_point(center), level)
+    return [token_s(c)[:8] for c in cells]

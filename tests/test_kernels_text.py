@@ -122,3 +122,84 @@ class TestSimHash:
 
     def test_empty(self):
         assert sketches.simhash64(pd.Series([""]))[0] == 0
+
+
+class TestTwinAgreement:
+    """The vectorized production kernels must agree with the scalar twin
+    implementations (tests/sketch_reference_impl.py) that derive the KAT
+    oracles — random-input property tests, so KAT agreement isn't vacuous."""
+
+    def _random_texts(self, n=60, seed=5):
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(40)] + ["é", "中文", "x-y", "9.5"]
+        out = []
+        for _ in range(n):
+            k = rng.randint(0, 30)
+            out.append(" ".join(rng.choice(vocab, size=k)))
+        out += ["", "   ", "one", "one two"]
+        return out
+
+    def test_minhash_signatures(self):
+        import sketch_reference_impl as skref
+
+        texts = self._random_texts()
+        batch = sketches.minhash_signatures(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert [int(v) for v in batch[i]] == skref.minhash_signature_s(t), t
+
+    def test_band_keys(self):
+        import sketch_reference_impl as skref
+
+        for t in self._random_texts(20, seed=6):
+            sig = sketches.minhash_signature(t)
+            assert sketches.lsh_band_keys(sig) == skref.lsh_band_keys_s([int(v) for v in sig])
+
+    def test_simhash(self):
+        import sketch_reference_impl as skref
+
+        texts = self._random_texts(seed=7)
+        got = sketches.simhash64(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert int(got[i]) == skref.simhash64_s(t), t
+
+    def test_fingerprint(self):
+        import sketch_reference_impl as skref
+
+        texts = self._random_texts(seed=8)
+        got = textkit.fingerprint64(pd.Series(texts))
+        for i, t in enumerate(texts):
+            assert int(got[i]) == skref.fingerprint64_s(t), t
+
+    def test_hyperplane_lsh_keys(self):
+        import sketch_reference_impl as skref
+        from convert_spark.operators.ann import _hyperplanes
+
+        rng = np.random.RandomState(9)
+        mat = rng.normal(size=(50, 64))
+        bands, bits = 8, 8
+        planes = _hyperplanes(64, bands * bits)
+        # production key math (the with_lsh_keys udf body, numpy form)
+        b = (mat @ planes.T) > 0
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        ks = b.reshape(len(mat), bands, bits) @ weights
+        ks = ks + (np.arange(bands, dtype=np.int64) << 32)[None, :]
+        planes_s = [[float(v) for v in row] for row in planes]
+        for i in range(len(mat)):
+            twin = skref.lsh_vec_keys_s([float(v) for v in mat[i]], planes_s, bands, bits)
+            assert [int(v) for v in ks[i]] == twin
+
+    def test_spherical_kmeans_assignments(self):
+        """Centroid coordinates may differ in the last ulp (pairwise vs
+        sequential summation) but the ASSIGNMENTS — the discrete output
+        the IVF KAT depends on — must agree."""
+        import sketch_reference_impl as skref
+        from convert_spark.operators.ann import _spherical_kmeans
+
+        rng = np.random.RandomState(10)
+        mat = rng.normal(size=(200, 16))
+        cent_p = _spherical_kmeans(mat, 8)
+        cent_s = skref.spherical_kmeans_s([list(map(float, r)) for r in mat], 8)
+        m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign_p = (m @ cent_p.T).argmax(axis=1)
+        assign_s = [skref._argmax_dot(skref._normalize_s(list(map(float, r))), cent_s) for r in mat]
+        assert list(assign_p) == assign_s

@@ -462,3 +462,18 @@ class TestConnectedComponentsEdges:
         df = spark.createDataFrame([(5, 5), (1, 2)], "a_id long, b_id long")
         got = {int(r["node"]): int(r["component"]) for r in components.connected_components(df).collect()}
         assert got == {1: 1, 2: 1, 5: 5}
+
+
+class TestXxh64Twin:
+    def test_matches_spark_xxhash64(self, spark):
+        """The scalar XXH64 twin (which fixes the IVF KAT's sample order)
+        must match Spark's xxhash64(bigint) exactly, signed output and
+        all."""
+        import sketch_reference_impl as skref
+
+        rows = spark.sql(
+            "select id, xxhash64(id) as h from "
+            "(select cast(id * 987654321 - 444444444 as long) as id from range(0, 64))"
+        ).collect()
+        for r in rows:
+            assert skref.xxh64_long_s(r["id"]) == r["h"], r["id"]

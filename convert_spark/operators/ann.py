@@ -244,6 +244,46 @@ def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, band
     ).drop("lsh_keys")
 
 
+def salt_hot_keys(
+    q: DataFrame,
+    r: DataFrame,
+    keys: list[str],
+    cap: int,
+    id_r: str,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Explicit hot-bucket handling for bucketed similarity joins: any
+    join-key group holding more than ``cap`` ref rows is split into
+    ceil(count/cap) salt shards (deterministic per-ref salt from the ref
+    id), and the query side replicates across exactly that bucket's
+    shards. The candidate set is UNCHANGED — every query still meets
+    every ref of its bucket — but per-reducer group size is bounded by
+    ~cap, so one dense cluster (an urban tile, a boilerplate near-dup
+    blob) can no longer pin a single task. Only the HOT buckets enter the
+    (broadcast) shard table — at most |refs|/cap rows by construction.
+    Returns (q', r', join keys + salt)."""
+    cnt = r.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    hot = cnt.filter(F.col("__cnt") > cap).select(
+        *keys, F.ceil(F.col("__cnt") / F.lit(cap)).cast("int").alias("__g")
+    )
+    r2 = (
+        r.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_r)), F.coalesce(F.col("__g"), F.lit(1))).cast("int"),
+        )
+        .drop("__g")
+    )
+    q2 = (
+        q.join(F.broadcast(hot), keys, "left")
+        .withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("__g"), F.lit(1)) - 1)),
+        )
+        .drop("__g")
+    )
+    return q2, r2, keys + ["__salt"]
+
+
 def _cosine_expr(a: str, b: str):
     def dot(x, y):
         return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
@@ -261,6 +301,7 @@ def neardup_lsh(
     dim: int = 64,
     bands: int = 16,
     bits_per_band: int = 8,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """BUCKETED near-duplicate pair generation — the 100 TB dedup default:
     LSH band self-join for candidates, exact JVM-side cosine rerank at
@@ -286,8 +327,11 @@ def neardup_lsh(
     ).persist()  # one signature pass shared by both self-join branches
     a = keyed.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), "band", "bucket")
     b = keyed.select(F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), "band", "bucket")
+    join_keys = ["band", "bucket"]
+    if bucket_cap:
+        a, b, join_keys = salt_hot_keys(a, b, join_keys, bucket_cap, "b_id")
     cand = (
-        a.join(b, ["band", "bucket"], "inner")
+        a.join(b, join_keys, "inner")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", "a_v", "b_v")
         .dropDuplicates(["a_id", "b_id"])
@@ -310,12 +354,15 @@ def ann_lsh_topk(
     id_q: str = "query_id",
     id_r: str = "ref_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k cosine neighbors.
 
     Join on (band, bucket), dedupe candidate pairs, exact cosine rerank,
     window top-k. Same rounding/tie rules as the brute-force baseline
-    (queries.q_ann_cosine) so results are comparable."""
+    (queries.q_ann_cosine) so results are comparable. Hot buckets (one
+    dense cluster sharing a band key) are salted into <= bucket_cap
+    shards (salt_hot_keys) — identical candidates, bounded reducers."""
     q = with_lsh_keys(
         queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")),
         "q_emb", dim, bands, bits_per_band,
@@ -324,8 +371,11 @@ def ann_lsh_topk(
         refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")),
         "r_emb", dim, bands, bits_per_band,
     )
+    join_keys = ["band", "bucket"]
+    if bucket_cap:
+        q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = (
-        q.join(r, ["band", "bucket"], "inner")
+        q.join(r, join_keys, "inner")
         .filter(F.col(id_q) != F.col(id_r))
         .select(id_q, id_r, "q_emb", "r_emb")
         .dropDuplicates([id_q, id_r])
@@ -372,6 +422,7 @@ def ivf_topk(
     id_q: str = "query_id",
     id_r: str = "ref_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors — the
     coarse-quantizer counterpart to ann_lsh_topk.
@@ -386,9 +437,11 @@ def ivf_topk(
     (same 6dp rounding / ref-id tiebreak contract as the brute baseline).
 
     Scale notes: candidate volume per query is bounded by the probed
-    buckets' sizes; a skewed centroid (one dense cluster) concentrates a
-    bucket — raise n_centroids or salt the hot bucket (AQE skew-join is
-    on as the backstop). Recall grows with n_probe (tested vs brute).
+    buckets' sizes; a skewed centroid (one dense cluster) concentrating a
+    bucket is salted explicitly into <= bucket_cap shards
+    (salt_hot_keys — identical candidates, bounded reducers), with AQE
+    skew-join as the backstop. Recall grows with n_probe (tested vs
+    brute).
     """
     import pandas as pd
 
@@ -426,7 +479,10 @@ def ivf_topk(
         .withColumn("probes", probe_centroids(F.col("q_emb")))
         .select(id_q, "q_emb", F.explode("probes").alias("centroid"))
     )
-    cand = q.join(r, "centroid", "inner").filter(F.col(id_q) != F.col(id_r))
+    join_keys = ["centroid"]
+    if bucket_cap:
+        q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
+    cand = q.join(r, join_keys, "inner").filter(F.col(id_q) != F.col(id_r))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)

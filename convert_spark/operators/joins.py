@@ -269,8 +269,6 @@ def knn_join(
             query_id, ref_id, F.col("dist").alias("dist2"), F.col("rn").alias("rank")
         )
 
-    from pyspark import StorageLevel
-
     remaining = q
     rounds: list[DataFrame] = []
     cur = ring
@@ -279,22 +277,36 @@ def knn_join(
         if cur >= max_ring:
             rounds.append(ranked_topk(cand))  # last round: rank whatever exists
             break
-        # Each non-final round materializes its candidate join EXACTLY ONCE:
-        # the big candidate set is persisted only for the two jobs below
-        # (top-k of satisfied queries; straggler set), both of which are
-        # tiny (<= k x n_queries and <= n_queries rows) and eagerly
-        # localCheckpoint-ed — lineage truncated, so the final collect and
-        # the next round never re-execute this round's join — then the
-        # cache is dropped deterministically before the next iteration.
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-        counts = cand.groupBy(query_id).agg(F.count(F.lit(1)).alias("__n"))
-        sat = counts.filter(F.col("__n") >= k).select(query_id)
-        rounds.append(
-            ranked_topk(cand.join(sat, query_id, "left_semi")).localCheckpoint(eager=True)
+        # Each non-final round runs the big candidate join EXACTLY ONCE, in
+        # ONE job: rank AND per-query candidate count share the same window
+        # shuffle (same partition key — one exchange, one sort), and only
+        # the <= k x n_queries result rows are eagerly localCheckpoint-ed.
+        # Satisfied queries' rows ARE this round's output; stragglers'
+        # rows are discarded (the doubled ring re-ranks a superset). The
+        # loop is driven off the straggler count — a second, tiny job over
+        # the checkpointed rows + an anti-join, never re-touching the join.
+        dlat = F.col("q_lat") - F.col("r_lat")
+        dlon = F.col("q_lon") - F.col("r_lon")
+        w_rank = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())
+        w_cnt = Window.partitionBy(query_id)
+        topk = (
+            cand.withColumn("dist", dlat * dlat + dlon * dlon)
+            .withColumn("rn", F.row_number().over(w_rank))
+            .withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+            .filter(F.col("rn") <= k)
+            .select(
+                query_id,
+                ref_id,
+                F.col("dist").alias("dist2"),
+                F.col("rn").alias("rank"),
+                (F.col("__n") >= k).alias("__sat"),
+            )
+            .localCheckpoint(eager=True)
         )
-        remaining = remaining.join(sat, query_id, "left_anti").localCheckpoint(eager=True)
-        cand.unpersist()
-        if remaining.isEmpty():
+        rounds.append(topk.filter(F.col("__sat")).drop("__sat"))
+        sat = topk.filter(F.col("__sat")).select(query_id).distinct()
+        remaining = remaining.join(sat, query_id, "left_anti")
+        if remaining.count() == 0:
             break
         cur = min(cur * 2, max_ring)
     out = rounds[0]

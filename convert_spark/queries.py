@@ -329,6 +329,41 @@ select query_id, ref_id, rank from (
 """
 
 
+def q_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join at a FIXED ring = max_ring (no doubling): the widest-ring
+    baseline the doubling schedule is measured against in bench.py (the
+    doubling run must stay within ~1.5x of this on the same VM)."""
+    _load(spark, sf_dir, "customer", "orders")
+    q = spark.sql(_QPTS_SQL)
+    r = spark.sql(_RPTS_SQL)
+    out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_MAX_RING, max_ring=_KNN_MAX_RING)
+    return out.select("query_id", "ref_id", "rank")
+
+
+SQL_KNN_FIXED = f"""
+with q as (
+  select query_id, lat as q_lat, lon as q_lon,
+         {exprs.sql_tile_x('lon', _KNN_ZOOM)} as q_tx, {exprs.sql_tile_y('lat', _KNN_ZOOM)} as q_ty
+  from ({_QPTS_SQL})
+), r as (
+  select ref_id, lat as r_lat, lon as r_lon,
+         {exprs.sql_tile_x('lon', _KNN_ZOOM)} as r_tx, {exprs.sql_tile_y('lat', _KNN_ZOOM)} as r_ty
+  from ({_RPTS_SQL})
+), cand as (
+  select q.query_id, r.ref_id,
+         (q.q_lat - r.r_lat) * (q.q_lat - r.r_lat) + (q.q_lon - r.r_lon) * (q.q_lon - r.r_lon) as d2
+  from q join r on abs(q.q_ty - r.r_ty) <= {_KNN_MAX_RING}
+    and least((q.q_tx - r.r_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM},
+              (r.r_tx - q.q_tx + {1 << _KNN_ZOOM}) % {1 << _KNN_ZOOM}) <= {_KNN_MAX_RING}
+)
+select query_id, ref_id, rank from (
+  select query_id, ref_id,
+         row_number() over (partition by query_id order by d2 asc, ref_id asc) as rank
+  from cand
+) where rank <= {_KNN_K}
+"""
+
+
 def _rect_polys_pdf():
     """Axis-aligned polygon layer for the oracle-checkable PIP join:
     12 rects + 1 doughnut, edges on 0.25-degree lines (points sit at
@@ -1198,6 +1233,7 @@ QUERIES = {
     "q_tile_rollup": q_tile_rollup,
     "q_tile_join": q_tile_join,
     "q_knn": q_knn,
+    "q_knn_fixed": q_knn_fixed,
     "q_pip_join": q_pip_join,
     "q_bbox_center": q_bbox_center,
     "q_s2_covering": q_s2_covering,
@@ -1245,6 +1281,7 @@ def oracles() -> dict[str, str]:
         "q_tile_rollup": SQL_TILE_ROLLUP,
         "q_tile_join": SQL_TILE_JOIN,
         "q_knn": SQL_KNN,
+        "q_knn_fixed": SQL_KNN_FIXED,
         "q_pip_join": _sql_pip_join(),
         "q_bbox_center": SQL_BBOX_CENTER,
         "q_attr_clean": SQL_ATTR_CLEAN,

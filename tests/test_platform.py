@@ -477,3 +477,65 @@ class TestXxh64Twin:
         ).collect()
         for r in rows:
             assert skref.xxh64_long_s(r["id"]) == r["h"], r["id"]
+
+
+class TestHotBucketSalting:
+    """One dense synthetic cluster concentrates every LSH band bucket /
+    IVF centroid: salting must bound per-reducer group size without
+    changing any result."""
+
+    def _dense_cluster(self, spark, n=300, nq=20):
+        rng = np.random.RandomState(21)
+        base = rng.normal(size=64)
+        mat = base[None, :] + 0.01 * rng.normal(size=(n, 64))
+        pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+        df = spark.createDataFrame(pdf)
+        q = df.filter(F.col("vec_id") < nq).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = df.select(F.col("vec_id").alias("ref_id"), "embedding")
+        return q, r
+
+    def test_salted_groups_bounded(self, spark):
+        q, r = self._dense_cluster(spark)
+        keyed_r = ann.with_lsh_keys(
+            r.select("ref_id", F.col("embedding").cast("array<double>").alias("r_emb")),
+            "r_emb", 64, 8, 8,
+        )
+        # unsalted: the dense cluster pins whole buckets
+        unsalted_max = (
+            keyed_r.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert unsalted_max >= 250
+        keyed_q = ann.with_lsh_keys(
+            q.select("query_id", F.col("embedding").cast("array<double>").alias("q_emb")),
+            "q_emb", 64, 8, 8,
+        )
+        q2, r2, keys = ann.salt_hot_keys(keyed_q, keyed_r, ["band", "bucket"], 32, "ref_id")
+        salted_max = r2.groupBy(*keys).count().agg(F.max("count")).collect()[0][0]
+        assert salted_max <= 2 * 32, salted_max  # hash-salt variance bound
+        # candidate pairs identical
+        pairs0 = (
+            keyed_q.join(keyed_r, ["band", "bucket"]).select("query_id", "ref_id").distinct()
+        )
+        pairs1 = q2.join(r2, keys).select("query_id", "ref_id").distinct()
+        assert pairs0.exceptAll(pairs1).count() == 0
+        assert pairs1.exceptAll(pairs0).count() == 0
+
+    def test_lsh_topk_unchanged_by_salting(self, spark):
+        q, r = self._dense_cluster(spark)
+        a = ann.ann_lsh_topk(q, r, k=3, bucket_cap=32).toPandas()
+        b = ann.ann_lsh_topk(q, r, k=3, bucket_cap=None).toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_ivf_topk_unchanged_by_salting(self, spark):
+        q, r = self._dense_cluster(spark)
+        a = ann.ivf_topk(q, r, k=3, n_centroids=4, n_probe=2, bucket_cap=32).toPandas()
+        b = ann.ivf_topk(q, r, k=3, n_centroids=4, n_probe=2, bucket_cap=None).toPandas()
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )

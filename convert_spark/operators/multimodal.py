@@ -2,18 +2,26 @@
 
 Task-brief requirement: treat image/audio/video as opaque ``binary``
 columns; implement decode / feature-extract / resize / frame-sample as
-Arrow-batched ``mapInPandas`` stages. The actual media codecs are NOT in
-this container, so the decode step is STUBBED (clearly marked): with
-``deterministic_fake=True`` it produces a seeded, content-hash-derived
-fake decode so the Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested; with
-``deterministic_fake=False`` it raises NotImplementedError where a codec
-(Pillow/ffmpeg/...) would be invoked on a real cluster.
+Arrow-batched ``mapInPandas`` stages. Two decode paths:
+
+* ``deterministic_fake=True`` (default for the oracle-checked queries):
+  a seeded, content-hash-derived fake decode, so the Spark-side plumbing
+  — schema, partitioning, UDF signature, Arrow batch shape — is real and
+  tested with an independent DuckDB oracle.
+* ``deterministic_fake=False``: REAL header decode for the formats the
+  Python stdlib can parse — PNG (IHDR width/height + color-type channel
+  count), JPEG (SOF marker scan), WAV (the ``wave`` module; width =
+  frames per channel, height = sample rate) — and NotImplementedError
+  for every other format, where a full codec (Pillow/ffmpeg/pyav) would
+  be invoked on a real cluster. Pixel/sample DECODING (resize, frame
+  raster extraction) remains stubbed for the same reason.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pandas as pd
@@ -34,15 +42,89 @@ def _fake_dims(digest: bytes) -> tuple[int, int, int]:
     return w, h, c
 
 
+# PNG color type -> channel count (PNG spec, IHDR)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers that carry frame dimensions (not DHT/DAC/RST/...)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _decode_png(data: bytes) -> tuple[str, int, int, int]:
+    if len(data) < 26 or data[12:16] != b"IHDR":
+        raise NotImplementedError("malformed PNG: no IHDR at canonical offset")
+    w, h = struct.unpack(">II", data[16:24])
+    color_type = data[25]
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+    return "png", w, h, _PNG_CHANNELS[color_type]
+
+
+def _decode_jpeg(data: bytes) -> tuple[str, int, int, int]:
+    pos = 2  # past SOI
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers, no length
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            n_comp = data[pos + 9]
+            return "jpeg", w, h, n_comp
+        pos += 2 + seg_len
+    raise NotImplementedError("malformed JPEG: no SOF marker found")
+
+
+def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        # audio mapping onto the image-shaped schema (documented):
+        # width = frames per channel, height = sample rate
+        return "wav", wf.getnframes(), wf.getframerate(), wf.getnchannels()
+
+
+def decode_real(data: bytes) -> tuple[str, int, int, int]:
+    """Sniff + header-decode one payload via stdlib: (kind, width, height,
+    n_channels). NotImplementedError for formats needing a real codec."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return _decode_wav(data)
+    # STUB: full codec call site (Pillow / soundfile / pyav) for formats
+    # the stdlib cannot parse
+    raise NotImplementedError("media codec unavailable in this container for this format")
+
+
 def decode_media(df: DataFrame, binary_col: str = "html", kind: str = "image", deterministic_fake: bool = True) -> DataFrame:
-    """Decode stage: binary -> typed metadata row per payload."""
+    """Decode stage: binary -> typed metadata row per payload. With
+    ``deterministic_fake=False``, PNG/JPEG/WAV headers are decoded for
+    real (stdlib; media_kind reports the sniffed format) and other
+    formats raise NotImplementedError."""
 
     def run(batches):
         for pdf in batches:
-            if not deterministic_fake:
-                # STUB: real codec call site (Pillow / soundfile / pyav)
-                raise NotImplementedError("media codecs unavailable in this container")
             if not len(pdf):
+                continue
+            if not deterministic_fake:
+                payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+                decoded = [decode_real(d) for d in payloads]  # per-payload by nature
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"].to_numpy(),
+                        "media_kind": [d[0] for d in decoded],
+                        "n_bytes": np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads)),
+                        "width": np.fromiter((d[1] for d in decoded), dtype=np.int32, count=len(decoded)),
+                        "height": np.fromiter((d[2] for d in decoded), dtype=np.int32, count=len(decoded)),
+                        "n_channels": np.fromiter((d[3] for d in decoded), dtype=np.int32, count=len(decoded)),
+                        "sha256": [hashlib.sha256(d).hexdigest() for d in payloads],
+                    }
+                )
                 continue
             # hashing is inherently per-payload; everything else is columnar
             payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]

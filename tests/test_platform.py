@@ -539,3 +539,82 @@ class TestHotBucketSalting:
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestRealCodecs:
+    """Stdlib header decode for PNG/JPEG/WAV payloads via
+    deterministic_fake=False; everything else still raises."""
+
+    @staticmethod
+    def _png_bytes(w=17, h=9, color_type=2):
+        import struct as st
+        import zlib
+
+        def chunk(tag, body):
+            return (
+                st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    @staticmethod
+    def _jpeg_bytes(w=33, h=21, n_comp=3):
+        import struct as st
+
+        app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = b"\xff\xc0" + st.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+        sof0 += b"".join(st.pack("BBB", i + 1, 0x11, 0) for i in range(n_comp))
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    @staticmethod
+    def _wav_bytes(n_frames=440, rate=8000, channels=2):
+        import io as _io
+        import wave
+
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(b"\x00\x00" * channels * n_frames)
+        return buf.getvalue()
+
+    def test_decode_real_formats(self, spark):
+        rows = [
+            ("png://1", self._png_bytes()),
+            ("jpg://1", self._jpeg_bytes()),
+            ("wav://1", self._wav_bytes()),
+        ]
+        df = spark.createDataFrame(rows, "url string, payload binary")
+        got = (
+            multimodal.decode_media(df, binary_col="payload", deterministic_fake=False)
+            .toPandas()
+            .set_index("url")
+        )
+        png = got.loc["png://1"]
+        assert (png["media_kind"], png["width"], png["height"], png["n_channels"]) == ("png", 17, 9, 3)
+        jpg = got.loc["jpg://1"]
+        assert (jpg["media_kind"], jpg["width"], jpg["height"], jpg["n_channels"]) == ("jpeg", 33, 21, 3)
+        wav = got.loc["wav://1"]
+        assert (wav["media_kind"], wav["width"], wav["height"], wav["n_channels"]) == ("wav", 440, 8000, 2)
+
+    def test_scalar_decode_real(self):
+        assert multimodal.decode_real(self._png_bytes(300, 200, 6)) == ("png", 300, 200, 4)
+        assert multimodal.decode_real(self._jpeg_bytes(64, 48, 1)) == ("jpeg", 64, 48, 1)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real(b"GIF89a not supported")
+
+    def test_progressive_jpeg_sof2(self):
+        import struct as st
+
+        sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 7, 5, 1) + st.pack("BBB", 1, 0x11, 0)
+        data = b"\xff\xd8" + sof2 + b"\xff\xd9"
+        assert multimodal.decode_real(data) == ("jpeg", 5, 7, 1)

@@ -235,7 +235,12 @@ def run_stage_partitioned(
 def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -> dict:
     """The full tile-assignment pipeline as checkpointed stages; returns
     the snapshot summaries. Re-running with the same root resumes — only
-    uncommitted stages execute."""
+    uncommitted stages execute, and the extraction stage resumes at
+    PER-PARTITION granularity on ``lang``: because the pages stage writes
+    ``partitionBy("lang")``, each missing group's build filters become
+    PartitionFilters at the pages scan — a crash-resume reads ONLY the
+    missing partitions' input, never a full rescan per group
+    (tests/test_plans.py::TestPerPartitionResume)."""
     from pyspark.sql import functions as F
 
     from .. import datagen
@@ -244,9 +249,14 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
     log = SnapshotLog(root)
     p = {"n_pages": n_pages, "zoom": zoom}
 
-    pages = run_stage(spark, log, "pages", lambda: datagen.webpages(spark, n_pages), inputs=[], params=p)
-    mentions = run_stage(
-        spark, log, "mentions", lambda: extract.extract_mentions(pages), inputs=["pages"], params=p
+    pages = run_stage(
+        spark, log, "pages", lambda: datagen.webpages(spark, n_pages),
+        inputs=[], partition_by=["lang"], params=p,
+    )
+    mentions = run_stage_partitioned(
+        spark, log, "mentions", lambda: extract.extract_mentions(pages),
+        partition_col="lang", inputs=["pages"], params=p,
+        chunk_size=1,  # one commit per lang — the partition count is tiny
     )
     pts = run_stage(
         spark,
@@ -254,6 +264,7 @@ def run_pipeline(spark: SparkSession, root: str, n_pages: int, zoom: int = 12) -
         "normalized",
         lambda: extract.normalize_points(mentions, fill_z_from_dem=False),
         inputs=["mentions"],
+        partition_by=["lang"],
         params=p,
     )
     tiled = run_stage(

@@ -106,6 +106,37 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
     return F.shiftright(cell, 2 * steps)
 
 
+def _compress_bits16(c: Column) -> Column:
+    """Inverse of _spread_bits16: gather bits at even positions into a
+    compact 16-bit value — four shift/or/mask rounds."""
+    c = c.bitwiseAND(F.lit(0x55555555))
+    c = c.bitwiseOR(F.shiftright(c, 1)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftright(c, 2)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftright(c, 4)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftright(c, 8)).bitwiseAND(F.lit(0x0000FFFF))
+    return c
+
+
+def cell_zoom(cell: Column) -> Column:
+    """Zoom of a (possibly multi-zoom) Morton cell id — EXACT bit length
+    via the binary string, no float log: cell = 4^z + morton with
+    morton < 4^z, so floor(log2(cell)) = 2z."""
+    return ((F.length(F.conv(cell, 10, 2)) - F.lit(1)) / F.lit(2)).cast("int")
+
+
+def _cell_morton(cell: Column) -> Column:
+    marker = F.pow(F.lit(2.0), (cell_zoom(cell) * 2).cast("double")).cast("long")
+    return cell - marker
+
+
+def cell_tx(cell: Column) -> Column:
+    return _compress_bits16(_cell_morton(cell)).cast("long")
+
+
+def cell_ty(cell: Column) -> Column:
+    return _compress_bits16(F.shiftright(_cell_morton(cell), 1)).cast("long")
+
+
 # --- ANSI-SQL restatements for the DuckDB oracle -----------------------------
 
 

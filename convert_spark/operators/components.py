@@ -125,20 +125,21 @@ def connected_components(
     # doubling. (A lazy checkpoint materialized by the fingerprint action
     # was measured 5x SLOWER end-to-end — the un-materialized plan is
     # re-optimized/re-planned by every round built on top of it.)
-    # checkpoint the node set alongside the edges: ``pairs`` is typically
-    # the expensive upstream candidate join — without this, the singleton
-    # anti-join in the returned plan would re-execute that whole lineage
-    # on every downstream action (and could diverge from the edge
-    # snapshot if the upstream were nondeterministic). NULL ids carry no
-    # edge semantics and are dropped on both paths.
+    # Checkpoint ``pairs`` ONCE up front: it is typically the expensive
+    # upstream candidate join, and both the node set and the edge list
+    # derive from it — the previous shape materialized that lineage twice
+    # (and the singleton anti-join would re-execute it on every downstream
+    # action; a nondeterministic upstream could even diverge from the edge
+    # snapshot). NULL ids carry no edge semantics and are dropped on both
+    # paths.
+    pairs_c = pairs.select(F.col(a), F.col(b)).localCheckpoint(eager=True)
     all_nodes = (
-        pairs.select(F.col(a).alias("node"))
-        .unionByName(pairs.select(F.col(b).alias("node")))
+        pairs_c.select(F.col(a).alias("node"))
+        .unionByName(pairs_c.select(F.col(b).alias("node")))
         .filter(F.col("node").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    edges = _canon_edges(pairs, a, b).localCheckpoint(eager=True)
+    edges = _canon_edges(pairs_c, a, b).localCheckpoint(eager=True)
     fp = _edge_fingerprint(edges)
     converged = False
     for _ in range(max_rounds):

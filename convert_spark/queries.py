@@ -279,6 +279,55 @@ group by 1
 """
 
 
+_COMPACT_ZOOM = 6
+
+
+def q_compact_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style compacted cell sets per key (north_star "H3 (compacted
+    cell sets)"): distinct z6 cells per key, complete sibling quads
+    replaced by parents recursively (operators.tiles.compact_cell_sets
+    over kernels.quadkey.compact), decoded back to (zoom, tile_x, tile_y)
+    with exact Catalyst bit expressions. Oracle: the compaction recursion
+    unrolled level-by-level in SQL (group children by parent, promote on
+    count = 4, emit cells whose parent was not promoted)."""
+    pts = _points(spark, sf_dir).withColumn("key", F.col("rowid") % 40)
+    t = tiles.with_tile(pts, _COMPACT_ZOOM)
+    per = tiles.compact_cell_sets(t, key="key")
+    ex = per.select("key", F.explode("cells").alias("cell_id"))
+    return ex.select(
+        "key",
+        exprs.cell_zoom(F.col("cell_id")).alias("zoom"),
+        exprs.cell_tx(F.col("cell_id")).alias("tile_x"),
+        exprs.cell_ty(F.col("cell_id")).alias("tile_y"),
+    )
+
+
+def _sql_compact_cells() -> str:
+    z = _COMPACT_ZOOM
+    parts = [
+        f"pts as ({_PTS_SQL})",
+        (
+            f"c{z} as (select distinct rowid % 40 as key, "
+            f"{exprs.sql_tile_x('lon', z)} as tx, {exprs.sql_tile_y('lat', z)} as ty from pts)"
+        ),
+    ]
+    for lvl in range(z, 0, -1):
+        parts.append(
+            f"c{lvl - 1} as (select key, tx // 2 as tx, ty // 2 as ty from c{lvl} "
+            f"group by key, tx // 2, ty // 2 having count(*) = 4)"
+        )
+    sels = []
+    for lvl in range(z, -1, -1):
+        if lvl == 0:
+            sels.append("select key, 0 as zoom, tx as tile_x, ty as tile_y from c0")
+        else:
+            sels.append(
+                f"select key, {lvl} as zoom, c.tx as tile_x, c.ty as tile_y from c{lvl} c "
+                f"anti join c{lvl - 1} p on p.key = c.key and p.tx = c.tx // 2 and p.ty = c.ty // 2"
+            )
+    return "with " + ", ".join(parts) + " " + " union all ".join(sels)
+
+
 _KNN_ZOOM, _KNN_RING, _KNN_K = 6, 2, 3
 _KNN_MAX_RING = 8  # doubling schedule: 2 -> 4 -> 8
 
@@ -1232,6 +1281,7 @@ QUERIES = {
     "q_tile_assign": q_tile_assign,
     "q_tile_rollup": q_tile_rollup,
     "q_tile_join": q_tile_join,
+    "q_compact_cells": q_compact_cells,
     "q_knn": q_knn,
     "q_knn_fixed": q_knn_fixed,
     "q_pip_join": q_pip_join,
@@ -1280,6 +1330,7 @@ def oracles() -> dict[str, str]:
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_rollup": SQL_TILE_ROLLUP,
         "q_tile_join": SQL_TILE_JOIN,
+        "q_compact_cells": _sql_compact_cells(),
         "q_knn": SQL_KNN,
         "q_knn_fixed": SQL_KNN_FIXED,
         "q_pip_join": _sql_pip_join(),

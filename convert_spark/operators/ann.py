@@ -284,12 +284,21 @@ def salt_hot_keys(
     return q2, r2, keys + ["__salt"]
 
 
-def _cosine_expr(a: str, b: str):
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
+def _dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
 
-    return dot(F.col(a), F.col(b)) / (
-        F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
+
+def _norm_expr(v):
+    """sqrt(dot(v, v)) — precompute ONCE per vector before a candidate
+    join: evaluating it per candidate pair triples the rerank's JVM work
+    (the dominant cost of the bucketed paths at scale). The value is
+    bit-identical to the inline form, so sims don't move."""
+    return F.sqrt(_dot_expr(v, v))
+
+
+def _cosine_expr(a: str, b: str):
+    return _dot_expr(F.col(a), F.col(b)) / (
+        _norm_expr(F.col(a)) * _norm_expr(F.col(b))
     )
 
 
@@ -319,24 +328,32 @@ def neardup_lsh(
     use ``neardup_blocked`` (exact, all-pairs) there and accept the
     quadratic cost, because that's what the semantics cost.
     """
-    keyed = with_lsh_keys(
-        vectors.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        ),
-        "__v", dim, bands, bits_per_band,
-    ).persist()  # one signature pass shared by both self-join branches
-    a = keyed.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), "band", "bucket")
-    b = keyed.select(F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), "band", "bucket")
+    keyed = (
+        with_lsh_keys(
+            vectors.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+            ),
+            "__v", dim, bands, bits_per_band,
+        )
+        .withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
+        .persist()  # one signature pass shared by both self-join branches
+    )
+    a = keyed.select(
+        F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n"), "band", "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), F.col("__n").alias("b_n"), "band", "bucket"
+    )
     join_keys = ["band", "bucket"]
     if bucket_cap:
         a, b, join_keys = salt_hot_keys(a, b, join_keys, bucket_cap, "b_id")
     cand = (
         a.join(b, join_keys, "inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v")
+        .select("a_id", "b_id", "a_v", "b_v", "a_n", "b_n")
         .dropDuplicates(["a_id", "b_id"])
     )
-    sim = _cosine_expr("a_v", "b_v")
+    sim = _dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
     return (
         cand.withColumn("sim_r", F.round(sim, 6))
         .filter(F.col("sim_r") >= threshold)
@@ -364,11 +381,13 @@ def ann_lsh_topk(
     dense cluster sharing a band key) are salted into <= bucket_cap
     shards (salt_hot_keys) — identical candidates, bounded reducers."""
     q = with_lsh_keys(
-        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")),
+        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
+        .withColumn("q_n", _norm_expr(F.col("q_emb"))),  # norm once per vector
         "q_emb", dim, bands, bits_per_band,
     )
     r = with_lsh_keys(
-        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")),
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+        .withColumn("r_n", _norm_expr(F.col("r_emb"))),
         "r_emb", dim, bands, bits_per_band,
     )
     join_keys = ["band", "bucket"]
@@ -377,16 +396,10 @@ def ann_lsh_topk(
     cand = (
         q.join(r, join_keys, "inner")
         .filter(F.col(id_q) != F.col(id_r))
-        .select(id_q, id_r, "q_emb", "r_emb")
+        .select(id_q, id_r, "q_emb", "r_emb", "q_n", "r_n")
         .dropDuplicates([id_q, id_r])
     )
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
-    )
+    sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
     ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
         "rank",
         F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
@@ -471,25 +484,22 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, c.shape[0])]
         return pd.Series(list(order.astype(np.int32)))
 
-    r = refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")).withColumn(
-        "centroid", nearest_centroid(F.col("r_emb"))
+    r = (
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+        .withColumn("centroid", nearest_centroid(F.col("r_emb")))
+        .withColumn("r_n", _norm_expr(F.col("r_emb")))  # norm once per vector
     )
     q = (
         queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
         .withColumn("probes", probe_centroids(F.col("q_emb")))
-        .select(id_q, "q_emb", F.explode("probes").alias("centroid"))
+        .withColumn("q_n", _norm_expr(F.col("q_emb")))
+        .select(id_q, "q_emb", "q_n", F.explode("probes").alias("centroid"))
     )
     join_keys = ["centroid"]
     if bucket_cap:
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = q.join(r, join_keys, "inner").filter(F.col(id_q) != F.col(id_r))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-
-    sim = dot(F.col("q_emb"), F.col("r_emb")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))) * F.sqrt(dot(F.col("r_emb"), F.col("r_emb")))
-    )
+    sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
     ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
         "rank",
         F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),

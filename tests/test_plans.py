@@ -320,3 +320,41 @@ class TestPartitionPrunedResume:
         for p, mtime in pages_files.items():
             assert Path(p).stat().st_mtime_ns == mtime, f"rebuilt pages {p}"
         assert out2["tile_counts"]["rows"] == out1["tile_counts"]["rows"]
+
+
+class TestBucketedJoin:
+    """north_rule "bucketing for co-located joins": two tables bucketed
+    identically on cell_id must SortMergeJoin with ZERO Exchange."""
+
+    def test_cobucketed_join_has_no_exchange(self, spark, tmp_path):
+        from convert_spark.plans import bucketing
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        try:
+            pts = spark.createDataFrame(
+                [(float((i * 37) % 160) - 80.0, float((i * 91) % 340) - 170.0) for i in range(4000)],
+                "lat double, lon double",
+            )
+            tiled = tiles.with_tile(pts, 8)
+            counts = tiled.groupBy("cell_id").count()
+            dims = tiled.select("cell_id").distinct().withColumn("tag", F.col("cell_id") % 7)
+            bucketing.write_bucketed(counts, "bj_counts", 8, path=str(tmp_path / "a"))
+            bucketing.write_bucketed(dims, "bj_dims", 8, path=str(tmp_path / "b"))
+            j = bucketing.cobucketed_join(spark, "bj_counts", "bj_dims", on=("cell_id",))
+            plan = plan_of(j)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            # (a per-bucket Sort may remain: Spark only trusts the write-time
+            # sortBy when each bucket is a single file — the Exchange
+            # elimination is the property that matters at scale)
+            # correctness: equals the plain (shuffled) join
+            expected = counts.join(dims, "cell_id").count()
+            assert j.count() == expected
+            # and a groupBy on the bucket key is shuffle-free too
+            agg_plan = plan_of(spark.table("bj_counts").groupBy("cell_id").agg(F.sum("count")))
+            assert "Exchange" not in agg_plan, agg_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("drop table if exists bj_counts")
+            spark.sql("drop table if exists bj_dims")

@@ -13,16 +13,23 @@ bucket sizes are bounded by data density, and the hyperplane matrix is a
 tiny broadcast. Recall improves with more bands (union of candidates);
 tests measure recall against the brute-force baseline.
 
-Four shapes, picked by contract:
+Five shapes, picked by contract:
 * ``brute_topk_broadcast`` / ``neardup_broadcast``: broadcast-matmul,
   ONLY for a genuinely small side (enforced by MAX_BROADCAST_ROWS),
 * ``neardup_blocked``: exact all-pairs via distributed block outer
-  product — the 100 TB shape when the pair set must be complete,
-* ``ann_lsh_topk``: approximate, hash-bucketed join — the 100 TB shape
-  when recall < 1 is acceptable and data has no cluster structure,
+  product — the shape when the pair set must be complete at a loose
+  threshold (where bucketing is mathematically non-selective),
+* ``neardup_lsh``: BUCKETED near-dup pair generation + exact rerank —
+  the 100 TB dedup default in the realistic near-duplicate regime,
+* ``ann_lsh_topk``: approximate top-k, hash-bucketed join — the 100 TB
+  shape when recall < 1 is acceptable and data has no cluster structure,
 * ``ivf_topk``: approximate, coarse-quantizer (spherical k-means)
   buckets with n_probe search — tighter candidate sets than LSH when
   the embeddings cluster.
+
+Hot buckets (one dense cluster concentrating a band bucket or centroid)
+are salted into bounded shards by ``salt_hot_keys`` in every bucketed
+path — identical candidates, bounded per-reducer group size.
 """
 
 from __future__ import annotations

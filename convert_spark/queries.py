@@ -328,6 +328,43 @@ def _sql_compact_cells() -> str:
     return "with " + ", ".join(parts) + " " + " union all ".join(sels)
 
 
+def q_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact -> uncompact round trip: expanding the minimal multi-zoom
+    cover back to uniform z6 must reproduce EXACTLY the original distinct
+    cell set per key — so the oracle is simply the distinct (key, tx, ty)
+    at z6, making this a full independent check of both kernels
+    (quadkey.compact + quadkey.uncompact) at once."""
+    import numpy as np
+    import pandas as pd
+
+    from .kernels import quadkey as qk
+
+    pts = _points(spark, sf_dir).withColumn("key", F.col("rowid") % 40)
+    t = tiles.with_tile(pts, _COMPACT_ZOOM)
+    per = tiles.compact_cell_sets(t, key="key")
+
+    @F.pandas_udf("array<long>")
+    def uncompact_udf(cells):
+        return pd.Series(
+            [qk.uncompact(np.asarray(c, dtype=np.int64), _COMPACT_ZOOM).tolist() for c in cells]
+        )
+
+    ex = per.select("key", F.explode(uncompact_udf(F.col("cells"))).alias("cell_id"))
+    return ex.select(
+        "key",
+        exprs.cell_tx(F.col("cell_id")).alias("tile_x"),
+        exprs.cell_ty(F.col("cell_id")).alias("tile_y"),
+    )
+
+
+SQL_UNCOMPACT_ROUNDTRIP = f"""
+select distinct rowid % 40 as key,
+       {exprs.sql_tile_x('lon', _COMPACT_ZOOM)} as tile_x,
+       {exprs.sql_tile_y('lat', _COMPACT_ZOOM)} as tile_y
+from ({_PTS_SQL})
+"""
+
+
 _KNN_ZOOM, _KNN_RING, _KNN_K = 6, 2, 3
 _KNN_MAX_RING = 8  # doubling schedule: 2 -> 4 -> 8
 
@@ -1282,6 +1319,7 @@ QUERIES = {
     "q_tile_rollup": q_tile_rollup,
     "q_tile_join": q_tile_join,
     "q_compact_cells": q_compact_cells,
+    "q_uncompact_roundtrip": q_uncompact_roundtrip,
     "q_knn": q_knn,
     "q_knn_fixed": q_knn_fixed,
     "q_pip_join": q_pip_join,
@@ -1331,6 +1369,7 @@ def oracles() -> dict[str, str]:
         "q_tile_rollup": SQL_TILE_ROLLUP,
         "q_tile_join": SQL_TILE_JOIN,
         "q_compact_cells": _sql_compact_cells(),
+        "q_uncompact_roundtrip": SQL_UNCOMPACT_ROUNDTRIP,
         "q_knn": SQL_KNN,
         "q_knn_fixed": SQL_KNN_FIXED,
         "q_pip_join": _sql_pip_join(),

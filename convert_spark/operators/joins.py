@@ -315,6 +315,52 @@ def knn_join(
     return out
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_size: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """RANGE (interval) join via binning (engine addition, task-brief
+    "operators Spark lacks"): inner-join every point row to every
+    interval row with lo <= value <= hi (optionally also matching ``on``
+    equi-keys).
+
+    Spark plans the naive ``v between lo and hi`` theta-join as a
+    BroadcastNestedLoopJoin / CartesianProduct — O(|points| x
+    |intervals|) comparisons. Here both sides bin by value:
+    points get bin = floor(v / bin_size); each interval replicates into
+    ONLY the ceil(len/bin_size)+1 bins it overlaps (a JVM ``sequence`` +
+    ``explode``, no UDF); the join is an equi-join on (keys..., bin) and
+    the exact between refines the matches. The shuffle key is the bin:
+    at 100 TB pick bin_size near the median interval length so the
+    replication factor stays ~2 and hot bins fall to AQE skew-split.
+    Inner semantics only; intervals with hi < lo are dropped (they can
+    match nothing, and Spark's ``sequence`` would enumerate DESCENDING
+    for them, silently binning garbage).
+    """
+    tmp = "__bin"
+    while tmp in points.columns or tmp in intervals.columns:
+        tmp += "_"
+    v = F.col(value_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    p = points.withColumn(tmp, F.floor(v / F.lit(bin_size)).cast("long"))
+    i = intervals.filter(hi >= lo).withColumn(
+        tmp,
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(bin_size)).cast("long"),
+                F.floor(hi / F.lit(bin_size)).cast("long"),
+            )
+        ),
+    )
+    keys = (on or []) + [tmp]
+    return p.join(i, keys, "inner").filter((v >= lo) & (v <= hi)).drop(tmp)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

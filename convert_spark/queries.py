@@ -1268,6 +1268,43 @@ from corpus cp left join comp c on c.node = cp.id
 """
 
 
+# deterministic interval table for the RANGE join: doubles built with the
+# same integer-arithmetic expressions on both engines
+_RJ_PTS_SQL = (
+    "select l_orderkey * 10 + l_linenumber as pid, "
+    "((l_partkey * 7) % 10000) / 1e2 as v from lineitem "
+    "where l_linenumber = 1"  # one point per order (~1/4 of lineitem)
+)
+_RJ_IV_SQL = (
+    "select s_suppkey as interval_id, "
+    "((s_suppkey * 13) % 9000) / 1e2 as lo, "
+    "((s_suppkey * 13) % 9000) / 1e2 + 5e-1 + (s_suppkey % 40) / 1e1 as hi "
+    "from supplier"
+)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval) join via binning (joins.range_join): points join
+    intervals on lo <= v <= hi through a (bin) equi-join + exact refine —
+    never the BroadcastNestedLoopJoin Spark would plan for the raw
+    between (plan-asserted in tests). Oracle: the naive between join."""
+    _load(spark, sf_dir, "lineitem", "supplier")
+    pts = spark.sql(_RJ_PTS_SQL)
+    iv = spark.sql(_RJ_IV_SQL)
+    j = joins.range_join(pts, iv, value_col="v", lo_col="lo", hi_col="hi", bin_size=2.0)
+    return j.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_points"), F.min("pid").alias("min_pid")
+    )
+
+
+SQL_RANGE_JOIN = f"""
+with pts as ({_RJ_PTS_SQL}), iv as ({_RJ_IV_SQL})
+select interval_id, count(*) as n_points, min(pid) as min_pid
+from iv join pts on pts.v >= iv.lo and pts.v <= iv.hi
+group by 1
+"""
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join over the events table (engine addition): each click
     event gains the most recent PRIOR-or-simultaneous error event of the
@@ -1347,6 +1384,7 @@ QUERIES = {
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
     "q_asof_events": q_asof_events,
+    "q_range_join": q_range_join,
     "q_dedup_clusters": q_dedup_clusters,
 }
 
@@ -1391,6 +1429,7 @@ def oracles() -> dict[str, str]:
         "q_media_decode": SQL_MEDIA_DECODE,
         "q_media_frames": SQL_MEDIA_FRAMES,
         "q_asof_events": SQL_ASOF_EVENTS,
+        "q_range_join": SQL_RANGE_JOIN,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b, LSH/IVF candidate

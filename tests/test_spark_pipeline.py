@@ -544,3 +544,57 @@ class TestAsofJoinEdgeCases:
         }
         assert got[1]["r_id"] is None  # NULL left key -> no match
         assert got[2]["r_id"] == 8
+
+
+class TestRangeJoin:
+    def test_matches_naive_between_join(self, spark):
+        """Binned range join == the naive theta join, across bin sizes
+        (including bins much smaller and much larger than intervals)."""
+        rng = np.random.RandomState(17)
+        pts = spark.createDataFrame(
+            pd.DataFrame({"pid": np.arange(800, dtype=np.int64), "v": rng.uniform(0, 100, 800)})
+        )
+        iv = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "interval_id": np.arange(60, dtype=np.int64),
+                    "lo": rng.uniform(0, 95, 60),
+                    "len": rng.uniform(0, 10, 60),
+                }
+            )
+        ).withColumn("hi", F.col("lo") + F.col("len")).drop("len")
+        naive = (
+            pts.join(iv, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+            .select("pid", "interval_id")
+            .toPandas()
+        )
+        key = ["pid", "interval_id"]
+        for bin_size in (0.5, 2.0, 50.0):
+            got = (
+                joins.range_join(pts, iv, "v", "lo", "hi", bin_size=bin_size)
+                .select("pid", "interval_id")
+                .toPandas()
+            )
+            pd.testing.assert_frame_equal(
+                got.sort_values(key).reset_index(drop=True),
+                naive.sort_values(key).reset_index(drop=True),
+            )
+
+    def test_inverted_intervals_dropped(self, spark):
+        pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+        iv = spark.createDataFrame(
+            [(1, 4.0, 6.0), (2, 8.0, 2.0)], "interval_id long, lo double, hi double"
+        )
+        got = joins.range_join(pts, iv, "v", "lo", "hi", bin_size=1.0).collect()
+        assert [r["interval_id"] for r in got] == [1]
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        pts = spark.createDataFrame([(1, 5.0)], "pid long, v double")
+        iv = spark.createDataFrame([(1, 4.0, 6.0)], "interval_id long, lo double, hi double")
+        plan = (
+            joins.range_join(pts, iv, "v", "lo", "hi", bin_size=1.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "__bin" in plan, plan

@@ -343,7 +343,11 @@ def neardup_lsh(
             "__v", dim, bands, bits_per_band,
         )
         .withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
-        .persist()  # one signature pass shared by both self-join branches
+        # one signature pass shared by both self-join branches AND the
+        # hot-bucket count. The cache is LRU-evictable (MEMORY_AND_DISK),
+        # so repeated calls in one session degrade to eviction, not OOM;
+        # a long-lived session can clear via spark.catalog.clearCache().
+        .persist()
     )
     a = keyed.select(
         F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n"), "band", "bucket"
@@ -399,6 +403,11 @@ def ann_lsh_topk(
     )
     join_keys = ["band", "bucket"]
     if bucket_cap:
+        # persist the keyed refs: salting's bucket-size count is an extra
+        # full pass that would otherwise re-run the signature UDF matmul
+        # over every ref (cache is LRU-evictable; a long-lived session can
+        # clear it via spark.catalog.clearCache())
+        r = r.persist()
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = (
         q.join(r, join_keys, "inner")
@@ -504,6 +513,9 @@ def ivf_topk(
     )
     join_keys = ["centroid"]
     if bucket_cap:
+        # persist the assigned refs: the salting count pass would otherwise
+        # re-run the nearest_centroid UDF over every ref (LRU-evictable)
+        r = r.persist()
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = q.join(r, join_keys, "inner").filter(F.col(id_q) != F.col(id_r))
     sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))

@@ -305,8 +305,11 @@ def knn_join(
         )
         rounds.append(topk.filter(F.col("__sat")).drop("__sat"))
         sat = topk.filter(F.col("__sat")).select(query_id).distinct()
-        remaining = remaining.join(sat, query_id, "left_anti")
-        if remaining.count() == 0:
+        # checkpoint the straggler set: without it the next round's
+        # candidate join AND the count below would each re-execute the
+        # full upstream queries lineage plus the growing anti-join chain
+        remaining = remaining.join(sat, query_id, "left_anti").localCheckpoint(eager=True)
+        if remaining.count() == 0:  # trivial job over the checkpointed rows
             break
         cur = min(cur * 2, max_ring)
     out = rounds[0]

@@ -66,11 +66,16 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int]:
         if data[pos] != 0xFF:
             break
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (spec: any number of 0xFF pads precede a marker)
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2  # standalone markers, no length
             continue
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         if marker in _JPEG_SOF:
+            if pos + 10 > len(data):  # truncated mid-SOF
+                break
             h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
             n_comp = data[pos + 9]
             return "jpeg", w, h, n_comp
@@ -89,13 +94,21 @@ def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
 
 def decode_real(data: bytes) -> tuple[str, int, int, int]:
     """Sniff + header-decode one payload via stdlib: (kind, width, height,
-    n_channels). NotImplementedError for formats needing a real codec."""
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(data)
-    if data[:3] == b"\xff\xd8\xff":
-        return _decode_jpeg(data)
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return _decode_wav(data)
+    n_channels). NotImplementedError for formats needing a real codec AND
+    for malformed payloads of the supported formats — one declared
+    exception type, so a corrupt payload can never kill a Spark task with
+    an undeclared struct.error/wave.Error."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(data)
+        if data[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return _decode_wav(data)
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — truncated/corrupt headers
+        raise NotImplementedError(f"malformed media payload: {exc}") from exc
     # STUB: full codec call site (Pillow / soundfile / pyav) for formats
     # the stdlib cannot parse
     raise NotImplementedError("media codec unavailable in this container for this format")

@@ -618,3 +618,17 @@ class TestRealCodecs:
         sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 7, 5, 1) + st.pack("BBB", 1, 0x11, 0)
         data = b"\xff\xd8" + sof2 + b"\xff\xd9"
         assert multimodal.decode_real(data) == ("jpeg", 5, 7, 1)
+
+    def test_malformed_payloads_raise_declared_error(self):
+        """Truncated/corrupt headers of SUPPORTED formats must raise the
+        declared NotImplementedError, never a bare struct.error/
+        IndexError/wave.Error that would kill a Spark task untyped."""
+        bad = [
+            b"\xff\xd8\xff\xc0\x00\x05\x08",          # JPEG truncated mid-SOF
+            b"\xff\xd8\xff\xff\xff\xff",              # JPEG all fill bytes
+            b"\x89PNG\r\n\x1a\n\x00\x00",             # PNG too short for IHDR
+            b"RIFF\x00\x00\x00\x00WAVEjunk",          # WAV with garbage chunks
+        ]
+        for payload in bad:
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_real(payload)

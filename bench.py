@@ -95,6 +95,13 @@ def main() -> None:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": per_query,
+        # ring-doubling kNN vs the fixed max-ring baseline, same VM/run
+        # (< 1.0 means the doubling schedule is a net win, not overhead)
+        **(
+            {"knn_doubling_vs_fixed": round(per_query["q_knn"] / per_query["q_knn_fixed"], 3)}
+            if per_query.get("q_knn_fixed")
+            else {}
+        ),
         "sf": sf,
         "pipeline_rows": rows,
         "pipeline_rows_per_sec": round(rows / headline, 1) if headline > 0 else None,

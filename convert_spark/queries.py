@@ -503,7 +503,13 @@ def _sql_pip_join() -> str:
             hw, hs = hole[0]
             he, hn = hole[2]
             cond += f" and not (lon > {hw} and lon < {he} and lat > {hs} and lat < {hn})"
-        parts.append(f"select {row['poly_id']} as poly_id, count(*) as n from pts where {cond}")
+        # "having count(*) > 0": a polygon containing no points must emit
+        # NO row — inner-join semantics; a bare count(*) would emit (pid, 0).
+        # sf0.01 masks the difference (every polygon holds a point there);
+        # sf0.001 exposed it.
+        parts.append(
+            f"select {row['poly_id']} as poly_id, count(*) as n from pts where {cond} having count(*) > 0"
+        )
     return "with pts as (" + _PTS_SQL + ") " + " union all ".join(parts)
 
 

@@ -778,8 +778,10 @@ from documents
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: punct/stopword ratios + composite score (built-in
-    expressions; mirrors kernels.textkit.quality_features)."""
+    """Quality features: punct/stopword ratios, mean word length, and the
+    COMPOSITE [0,1] score (built-in expressions; mirrors
+    kernels.textkit.quality_features' weighted-clip formula — now
+    oracle-checked end to end, not just the individual ratios)."""
     _load(spark, sf_dir, "documents")
     d = spark.table("documents")
     stop = "the,a,an,and,or,of,to,in,is,are,was,were,be,been,it,this,that,for,on,with,as,at,by"
@@ -787,23 +789,49 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop.split(","))))
     n_punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+    total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     safe_w = F.greatest(n_words, F.lit(1)).cast("double")
     safe_c = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    punct_ratio = n_punct / safe_c
+    stop_ratio = n_stop / safe_w
+    mwl = total_wlen / safe_w
+
+    def clip01(c):
+        return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+    score = (
+        clip01(n_words / F.lit(50.0)) * 0.4
+        + clip01(stop_ratio / F.lit(0.4)) * 0.3
+        + clip01(F.lit(1.0) - punct_ratio / F.lit(0.2)) * 0.2
+        + clip01(F.lit(1.0) - F.abs(mwl - F.lit(5.0)) / F.lit(5.0)) * 0.1
+    )
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(n_punct / safe_c, 4).alias("punct_ratio"),
-        F.round(n_stop / safe_w, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"),
     )
 
 
 SQL_QUALITY = r"""
-select doc_id, len(string_split(text, ' ')) as n_words,
-       round(len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1), 4) as punct_ratio,
-       round(len(list_filter(string_split(text, ' '), w -> lower(w) in
-         ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')))
-         / greatest(len(string_split(text, ' ')), 1), 4) as stop_ratio
-from documents
+with f as (
+  select doc_id,
+         len(string_split(text, ' ')) as n_words,
+         len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) as punct_ratio,
+         len(list_filter(string_split(text, ' '), w -> lower(w) in
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')))
+           / greatest(len(string_split(text, ' ')), 1) as stop_ratio,
+         list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+           / greatest(len(string_split(text, ' ')), 1) as mwl
+  from documents
+)
+select doc_id, n_words, round(punct_ratio, 4) as punct_ratio, round(stop_ratio, 4) as stop_ratio,
+       round(least(greatest(n_words / 50.0, 0.0), 1.0) * 0.4
+           + least(greatest(stop_ratio / 0.4, 0.0), 1.0) * 0.3
+           + least(greatest(1.0 - punct_ratio / 0.2, 0.0), 1.0) * 0.2
+           + least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0) * 0.1, 4) as quality
+from f
 """
 
 

@@ -805,12 +805,17 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + clip01(F.lit(1.0) - punct_ratio / F.lit(0.2)) * 0.2
         + clip01(F.lit(1.0) - F.abs(mwl - F.lit(5.0)) / F.lit(5.0)) * 0.1
     )
+    # half-away floor form, NOT F.round: the composite lands exactly on
+    # x.xxxx5 for some docs (clip terms are exact binary fractions), where
+    # Spark's HALF_UP-on-decimal and DuckDB's multiply-based round
+    # disagree; the floor form is a pure function of the (identical)
+    # input doubles on both engines (see exprs.round_half_away)
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality"),
+        exprs.round_half_away(score, 4).alias("quality"),
     )
 
 
@@ -827,12 +832,17 @@ with f as (
   from documents
 )
 select doc_id, n_words, round(punct_ratio, 4) as punct_ratio, round(stop_ratio, 4) as stop_ratio,
-       round(least(greatest(n_words / 50.0, 0.0), 1.0) * 0.4
-           + least(greatest(stop_ratio / 0.4, 0.0), 1.0) * 0.3
-           + least(greatest(1.0 - punct_ratio / 0.2, 0.0), 1.0) * 0.2
-           + least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0) * 0.1, 4) as quality
+       {score_round} as quality
 from f
-"""
+""".format(
+    score_round=exprs.sql_round_half_away(
+        "(least(greatest(n_words / 50.0, 0.0), 1.0) * 0.4"
+        " + least(greatest(stop_ratio / 0.4, 0.0), 1.0) * 0.3"
+        " + least(greatest(1.0 - punct_ratio / 0.2, 0.0), 1.0) * 0.2"
+        " + least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0) * 0.1)",
+        4,
+    )
+)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

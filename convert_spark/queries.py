@@ -965,7 +965,14 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per marker word — the per-marker form re-scanned each document ~40x).
     Whole-word single-token alternatives can't overlap, so the alternation
     match count equals the sum of per-marker counts on both engines
-    (leftmost-first alternation in Java regex and RE2 alike)."""
+    (leftmost-first alternation in Java regex and RE2 alike).
+
+    Non-ASCII markers (the zh CJK set — unsegmented, so \\b boundaries
+    don't apply) are scored by substring-count ARITHMETIC instead:
+    (length(lt) - length(replace(lt, m, ''))) / length(m) per marker —
+    the non-overlapping occurrence count, identical on both engines
+    (both length() functions count CHARACTERS, not bytes), matching the
+    kernel twin's str.count(re.escape(m)) (kernels/textkit.py:104)."""
     _load(spark, sf_dir, "documents")
     d = spark.table("documents").withColumn("lt", F.lower(F.col("text")))
 
@@ -973,12 +980,23 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = "\\\\b(" + "|".join(words) + ")\\\\b"
         return F.size(F.expr(f"regexp_extract_all(lt, '{pat}', 0)"))
 
+    def cnt_substr(words):
+        total = None
+        for m in words:
+            c = (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(m), F.lit("")))) / F.lit(len(m))
+            total = c if total is None else total + c
+        return total.cast("int")
+
     from .kernels.textkit import _LANG_MARKERS
 
     scored = d
     for lang, markers in _LANG_MARKERS.items():
         ascii_markers = [m for m in markers if m.isascii()]
-        scored = scored.withColumn(f"s_{lang}", cnt(ascii_markers) if ascii_markers else F.lit(0))
+        wide_markers = [m for m in markers if not m.isascii()]
+        score = cnt(ascii_markers) if ascii_markers else F.lit(0)
+        if wide_markers:
+            score = score + cnt_substr(wide_markers)
+        scored = scored.withColumn(f"s_{lang}", score)
     order = list(_LANG_MARKERS)
     best = F.lit("und")
     # build argmax with first-wins tie order (en, fr, es, de, zh)
@@ -1005,11 +1023,17 @@ def _sql_langid() -> str:
     score_exprs = []
     for lang, markers in _LANG_MARKERS.items():
         ascii_markers = [m for m in markers if m.isascii()]
+        wide_markers = [m for m in markers if not m.isascii()]
+        terms = []
         if ascii_markers:
             alt = "|".join(ascii_markers)
-            s = f"len(regexp_extract_all(lower(text), '\\b({alt})\\b'))"
-        else:
-            s = "0"
+            terms.append(f"len(regexp_extract_all(lower(text), '\\b({alt})\\b'))")
+        for m in wide_markers:
+            # substring-count arithmetic: DuckDB length() is chars, like Spark
+            terms.append(
+                f"cast((length(lower(text)) - length(replace(lower(text), '{m}', ''))) / {len(m)} as int)"
+            )
+        s = " + ".join(terms) if terms else "0"
         score_exprs.append(f"({s}) as s_{lang}")
     cases = []
     for lang in order:
@@ -1389,6 +1413,47 @@ where l.event_type = 'click'
 """
 
 
+def q_asof_events_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT AS-OF join (``inclusive=False``): each click gains the most
+    recent STRICTLY-PRIOR error of the same user — an error at the exact
+    click timestamp is NOT visible. Same single-shuffle union+last_value
+    plan as q_asof_events; only the equal-ts side ordering flips
+    (operators/joins.py:424). Covers the one asof mode that previously
+    had no CORRECTNESS row."""
+    _load(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("err_event_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = joins.asof_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["err_event_id", "err_value"],
+        tiebreak_col="err_event_id",
+        inclusive=False,
+    )
+    return out.select("event_id", "user_id", "err_event_id", "err_value")
+
+
+SQL_ASOF_EVENTS_STRICT = """
+select l.event_id, l.user_id,
+  (select r.event_id from events r
+    where r.user_id = l.user_id and r.event_type = 'error' and r.ts < l.ts
+    order by r.ts desc, r.event_id desc limit 1) as err_event_id,
+  (select r.value from events r
+    where r.user_id = l.user_id and r.event_type = 'error' and r.ts < l.ts
+    order by r.ts desc, r.event_id desc limit 1) as err_value
+from events l
+where l.event_type = 'click'
+"""
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -1428,6 +1493,7 @@ QUERIES = {
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
     "q_asof_events": q_asof_events,
+    "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
     "q_dedup_clusters": q_dedup_clusters,
 }
@@ -1473,6 +1539,7 @@ def oracles() -> dict[str, str]:
         "q_media_decode": SQL_MEDIA_DECODE,
         "q_media_frames": SQL_MEDIA_FRAMES,
         "q_asof_events": SQL_ASOF_EVENTS,
+        "q_asof_events_strict": SQL_ASOF_EVENTS_STRICT,
         "q_range_join": SQL_RANGE_JOIN,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,

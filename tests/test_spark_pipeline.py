@@ -598,3 +598,50 @@ class TestRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "__bin" in plan, plan
+
+
+class TestLangidZh:
+    """Round-4 fix: zh (unsegmented CJK) is scored by substring-count
+    arithmetic, so planted Chinese documents must resolve to 'zh' — and
+    the contract query must agree with the kernel twin (textkit.lang_scores)."""
+
+    DOCS = [
+        (0, "的 是 了 在 我们 有 和 不", "zh"),
+        (1, "我是一个学生 他是老师 这是我的书 我不知道", "zh"),
+        (2, "the cat and the dog of the house is that", "en"),
+        (3, "le chat et la maison est une belle que les", "fr"),
+        (4, "xyzzy plugh 12345", "und"),
+    ]
+
+    def _sf_dir(self, spark, tmp_path):
+        pdf = pd.DataFrame(
+            [(i, t, e, "planted", len(t)) for i, t, e in self.DOCS],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_planted_zh_detected(self, spark, tmp_path):
+        from convert_spark.queries import q_langid
+
+        got = {
+            r["doc_id"]: r["lang_guess"]
+            for r in q_langid(spark, self._sf_dir(spark, tmp_path)).collect()
+        }
+        assert got == {i: e for i, t, e in self.DOCS}
+
+    def test_agrees_with_kernel_twin(self, spark, tmp_path):
+        from convert_spark.kernels import textkit
+        from convert_spark.queries import q_langid
+
+        texts = pd.Series([t for _, t, _ in self.DOCS])
+        twin = textkit.lang_scores(texts)["lang"].tolist()
+        got = (
+            q_langid(spark, self._sf_dir(spark, tmp_path))
+            .orderBy("doc_id")
+            .toPandas()["lang_guess"]
+            .tolist()
+        )
+        assert got == twin

@@ -106,14 +106,19 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
     return F.shiftright(cell, 2 * steps)
 
 
-def _compress_bits16(c: Column) -> Column:
-    """Inverse of _spread_bits16: gather bits at even positions into a
-    compact 16-bit value — four shift/or/mask rounds."""
-    c = c.bitwiseAND(F.lit(0x55555555))
-    c = c.bitwiseOR(F.shiftright(c, 1)).bitwiseAND(F.lit(0x33333333))
-    c = c.bitwiseOR(F.shiftright(c, 2)).bitwiseAND(F.lit(0x0F0F0F0F))
-    c = c.bitwiseOR(F.shiftright(c, 4)).bitwiseAND(F.lit(0x00FF00FF))
-    c = c.bitwiseOR(F.shiftright(c, 8)).bitwiseAND(F.lit(0x0000FFFF))
+def _compress_bits(c: Column) -> Column:
+    """Inverse of _spread_bits16 widened to the FULL long Morton range:
+    gather bits at even positions of a 64-bit value into a compact 32-bit
+    value — five shift/or/mask rounds. The expression-side ENCODER
+    (morton_cell) still guards zoom <= 16, but cells built by the numpy
+    kernel (kernels.quadkey, zoom <= 26) decode correctly here; the old
+    32-bit masks silently dropped the high Morton bits past zoom 16."""
+    c = c.bitwiseAND(F.lit(0x5555555555555555))
+    c = c.bitwiseOR(F.shiftright(c, 1)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftright(c, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftright(c, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftright(c, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftright(c, 16)).bitwiseAND(F.lit(0x00000000FFFFFFFF))
     return c
 
 
@@ -130,11 +135,11 @@ def _cell_morton(cell: Column) -> Column:
 
 
 def cell_tx(cell: Column) -> Column:
-    return _compress_bits16(_cell_morton(cell)).cast("long")
+    return _compress_bits(_cell_morton(cell)).cast("long")
 
 
 def cell_ty(cell: Column) -> Column:
-    return _compress_bits16(F.shiftright(_cell_morton(cell), 1)).cast("long")
+    return _compress_bits(F.shiftright(_cell_morton(cell), 1)).cast("long")
 
 
 # --- ANSI-SQL restatements for the DuckDB oracle -----------------------------

@@ -325,11 +325,15 @@ def neardup_lsh(
 
     The shuffle key is (band, bucket); the cross product never
     materializes and candidate volume is bounded by bucket co-occupancy.
-    Recall is probabilistic in principle — for the near-duplicate regime
-    (sim >= ~0.9, i.e. angle <= ~26 deg) the per-band collision rate is
-    high enough that the default (16 bands x 8 bits) misses a qualifying
-    pair with probability < 1e-6; pytest asserts pair-set equality vs the
-    exact blocked product on the planted-dup corpus. For loose thresholds
+    Recall is probabilistic: with the default 16 bands x 8 bits, a pair
+    EXACTLY at sim = 0.9 (angle ~26 deg, per-band collision ~0.29) is
+    missed with probability ~4e-3; the miss rate only drops below 1e-6
+    for pairs at sim >= ~0.98. The near-1.0 recall guarantee therefore
+    applies to pairs well ABOVE the threshold — true near-duplicates,
+    which is the regime this default targets (the planted-dup corpus
+    sits at 0.98-0.995 and pytest asserts pair-set equality vs the exact
+    blocked product there). For corpora with mass near the boundary,
+    raise ``bands`` (miss ~ (1-p^bits)^bands). For loose thresholds
     (sim barely above the random-pair distribution — e.g. 0.3 on
     isotropic vectors, ~2.4 sigma) NO bucketing scheme is selective:
     use ``neardup_blocked`` (exact, all-pairs) there and accept the

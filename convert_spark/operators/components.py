@@ -99,10 +99,14 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int, int, int]:
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(eh)").alias("h"),
             F.expr("bit_xor(eh2)").alias("h2"),
-            # additive channel folded to 30 bits per term: a raw bigint sum
-            # would overflow (an ERROR under Spark 4 ANSI mode) — n*2^30
-            # stays in int64 for any plausible edge count
-            F.sum(F.pmod(F.col("eh"), F.lit(1 << 30))).alias("hs"),
+            # additive channel folded to 20 bits per term: a raw bigint sum
+            # would overflow (an ERROR under Spark 4 ANSI mode); 30-bit
+            # terms only held to 2^33 (~8.6B) edges — plausible at 100 TB.
+            # 20-bit terms keep the sum in int64 to 2^43 (~8.8T) edges,
+            # and the channel is one of four (count/xor/salted-xor/sum),
+            # so the narrower fold does not meaningfully weaken the
+            # combined collision resistance.
+            F.sum(F.pmod(F.col("eh"), F.lit(1 << 20))).alias("hs"),
         )
         .collect()[0]
     )

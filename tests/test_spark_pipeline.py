@@ -76,6 +76,26 @@ class TestExprKernelParity:
             np.testing.assert_array_equal(got["tile_y"], kty)
             np.testing.assert_array_equal(got["cell_id"], kcell)
 
+    def test_cell_decode_parity_deep_zoom(self, spark):
+        """cell_tx/cell_ty decode the FULL kernel Morton range (zoom <= 26)
+        since _compress_bits went 64-bit; the old 32-bit masks silently
+        returned wrong tiles past zoom 16."""
+        rng = np.random.RandomState(2)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-85.05, 85.05, 200)
+        for zoom in (12, 16, 17, 20, 26):
+            kcell = quadkey.cell_id(lat, lon, zoom)
+            kz, ktx, kty = quadkey.cell_to_tile(kcell)
+            df = spark.createDataFrame(pd.DataFrame({"cell": kcell}))
+            got = df.select(
+                exprs.cell_zoom(F.col("cell")).alias("z"),
+                exprs.cell_tx(F.col("cell")).alias("tx"),
+                exprs.cell_ty(F.col("cell")).alias("ty"),
+            ).toPandas()
+            np.testing.assert_array_equal(got["z"], kz)
+            np.testing.assert_array_equal(got["tx"], ktx)
+            np.testing.assert_array_equal(got["ty"], kty)
+
 
 class TestExtraction:
     def test_extraction_invariant_across_parallelism(self, spark):

@@ -8,13 +8,16 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   a seeded, content-hash-derived fake decode, so the Spark-side plumbing
   — schema, partitioning, UDF signature, Arrow batch shape — is real and
   tested with an independent DuckDB oracle.
-* ``deterministic_fake=False``: REAL header decode for the formats the
-  Python stdlib can parse — PNG (IHDR width/height + color-type channel
-  count), JPEG (SOF marker scan), WAV (the ``wave`` module; width =
-  frames per channel, height = sample rate) — and NotImplementedError
-  for every other format, where a full codec (Pillow/ffmpeg/pyav) would
-  be invoked on a real cluster. Pixel/sample DECODING (resize, frame
-  raster extraction) remains stubbed for the same reason.
+* ``deterministic_fake=False``: REAL stdlib decode — headers for
+  PNG (IHDR width/height + color-type channel count), JPEG (SOF marker
+  scan) and WAV (the ``wave`` module; width = frames per channel,
+  height = sample rate); PIXELS for 8-bit non-interlaced PNG (zlib
+  inflate of IDAT + scanline unfilter, feeding real channel statistics
+  into ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics
+  + fixed-stride frame windows in ``sample_frames``). Everything past
+  that — JPEG pixels, palette/interlaced/deep PNG, non-PCM audio, video
+  rasters — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
+  declared NotImplementedError.
 """
 
 from __future__ import annotations
@@ -54,6 +57,12 @@ def _decode_png(data: bytes) -> tuple[str, int, int, int]:
     if len(data) < 26 or data[12:16] != b"IHDR":
         raise NotImplementedError("malformed PNG: no IHDR at canonical offset")
     w, h = struct.unpack(">II", data[16:24])
+    # IHDR fields are unsigned 32-bit but the PNG spec caps dims at
+    # 2^31-1; a malformed header past that would overflow the int32
+    # decode columns — declared NotImplementedError, not a task-killing
+    # OverflowError. Zero-sized images are likewise malformed.
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        raise NotImplementedError(f"malformed PNG: dims {w}x{h} outside (0, 2^31)")
     color_type = data[25]
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type} unsupported")
@@ -114,6 +123,158 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
     raise NotImplementedError("media codec unavailable in this container for this format")
 
 
+# --- real pixel/sample decode (stdlib-only) ----------------------------------
+#
+# One level deeper than the headers: PNG pixels via zlib-inflate of the
+# IDAT stream + per-scanline unfiltering (PNG spec filters 0-4), WAV PCM
+# samples via wave.readframes. JPEG pixels and video rasters genuinely
+# need a real codec and stay behind the declared NotImplementedError.
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a (h, w, channels) uint8
+    array: walk chunks, inflate the concatenated IDAT stream, undo the
+    per-scanline filter (0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the
+    per-residue-class cumsum mod 256, Up is vectorized, Average/Paeth are
+    sequential by spec). Palette (PLTE), bit depths != 8 and Adam7
+    interlace raise the declared NotImplementedError."""
+    import zlib
+
+    _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
+    bit_depth, color_type, interlace = data[24], data[25], data[28]
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")
+    if color_type == 3:
+        raise NotImplementedError("PNG palette images need PLTE handling: real codec territory")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG: real codec territory")
+    idat: list[bytes] = []
+    pos = 8
+    try:
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat.append(data[pos + 8 : pos + 8 + ln])
+            if typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + payload + crc
+        raw = zlib.decompress(b"".join(idat))
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — corrupt chunk table / deflate stream
+        raise NotImplementedError(f"malformed PNG pixel data: {exc}") from exc
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: left-neighbor chain == cumsum per byte lane
+            cur = line.copy()
+            for b in range(bpp):
+                cur[b::bpp] = np.cumsum(cur[b::bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average (sequential: left is the RECONSTRUCTED byte)
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth (sequential)
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b2 = prev[i]
+                c2 = prev[i - bpp] if i >= bpp else 0
+                p = a + b2 - c2
+                pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
+                pred = a if (pa <= pb and pa <= pc) else (b2 if pb <= pc else c2)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"malformed PNG: filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, bpp)
+
+
+def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV PCM to a float64 (n_frames, n_channels) array in
+    [-1, 1] plus the sample rate. 16-bit and 8-bit PCM only (stdlib
+    ``wave`` can't parse float/24-bit WAV anyway)."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            nch, sw, fr = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    if sw == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV PCM is unsigned, midpoint 128
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+    return s.reshape(-1, nch), fr
+
+
+def features_real(data: bytes, dim: int) -> np.ndarray:
+    """Fixed-``dim`` float32 feature vector from REAL decoded content:
+    per-channel (mean, std, min, max) in channel-major order, zero-padded
+    / truncated to ``dim``. PNG stats are over uint8 pixels scaled to
+    [0, 1]; WAV stats are over PCM samples with mean/min/max mapped from
+    [-1, 1] to [0, 1] (std is scale-only, kept as-is). JPEG pixels and
+    other formats need a real codec -> declared NotImplementedError."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _png_pixels(data).astype(np.float64) / 255.0
+        chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
+    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        s, _ = _wav_samples(data)
+        chans = [(s[:, c] + 1.0) / 2.0 for c in range(s.shape[1])]
+    else:
+        raise NotImplementedError("feature encoder: only PNG/WAV decode without a real codec")
+    stats: list[float] = []
+    for ch in chans:
+        if ch.size:
+            stats += [float(ch.mean()), float(ch.std()), float(ch.min()), float(ch.max())]
+        else:
+            stats += [0.0, 0.0, 0.0, 0.0]
+    vec = np.zeros(dim, dtype=np.float32)
+    vec[: min(dim, len(stats))] = np.asarray(stats[:dim], dtype=np.float32)
+    return vec
+
+
+def frames_real(data: bytes, n_frames: int) -> list[str]:
+    """``n_frames`` contiguous fixed-stride PCM windows of a WAV payload
+    (split on frame boundaries: window i covers sample frames
+    [i*n/n_frames, (i+1)*n/n_frames)), each identified by the first 16
+    hex chars of the sha256 of its raw PCM bytes — the audio analogue of
+    video frame sampling. Video rasters need a real codec."""
+    import wave
+
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise NotImplementedError("frame sampling: only WAV decodes without a real codec")
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            nch, sw, n = wf.getnchannels(), wf.getsampwidth(), wf.getnframes()
+            raw = wf.readframes(n)
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    frame_bytes = nch * sw
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    return [
+        hashlib.sha256(raw[bounds[i] * frame_bytes : bounds[i + 1] * frame_bytes]).hexdigest()[:16]
+        for i in range(n_frames)
+    ]
+
+
 def decode_media(df: DataFrame, binary_col: str = "html", kind: str = "image", deterministic_fake: bool = True) -> DataFrame:
     """Decode stage: binary -> typed metadata row per payload. With
     ``deterministic_fake=False``, PNG/JPEG/WAV headers are decoded for
@@ -159,14 +320,21 @@ def decode_media(df: DataFrame, binary_col: str = "html", kind: str = "image", d
 
 
 def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, deterministic_fake: bool = True) -> DataFrame:
-    """Feature-extract stage: binary -> fixed-dim float vector (fake: bytes
-    of the sha256 digest scaled to [0,1); real: a vision/audio encoder)."""
+    """Feature-extract stage: binary -> fixed-dim float vector. Fake path:
+    bytes of the sha256 digest scaled to [0,1). Real path
+    (``deterministic_fake=False``): per-channel pixel/sample statistics
+    from the stdlib decode (``features_real`` — PNG via zlib-inflated
+    IDAT + unfilter, WAV via PCM frames); formats needing a real codec
+    (JPEG pixels, video) raise the declared NotImplementedError."""
 
     def run(batches):
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("encoders unavailable in this container")
             if not len(pdf):
+                continue
+            if not deterministic_fake:
+                payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+                feats = [features_real(d, dim) for d in payloads]
+                yield pd.DataFrame({"url": pdf["url"].to_numpy(), "feat": feats})
                 continue
             payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
             digests = [
@@ -181,13 +349,25 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, det
 
 def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 3, deterministic_fake: bool = True) -> DataFrame:
     """Frame-sample stage (video semantics): one output row per sampled
-    frame — demonstrates the 1->N Arrow fan-out shape."""
+    frame — demonstrates the 1->N Arrow fan-out shape. Real path
+    (``deterministic_fake=False``): fixed-stride PCM windows of WAV
+    payloads (``frames_real``); video rasters need a real codec and
+    raise the declared NotImplementedError."""
 
     def run(batches):
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("video decoding unavailable in this container")
             if not len(pdf):
+                continue
+            if not deterministic_fake:
+                payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+                shas = [frames_real(d, n_frames) for d in payloads]
+                yield pd.DataFrame(
+                    {
+                        "url": np.repeat(pdf["url"].to_numpy(), n_frames),
+                        "frame_idx": np.tile(np.arange(n_frames, dtype=np.int32), len(payloads)),
+                        "frame_sha": [s for row in shas for s in row],
+                    }
+                )
                 continue
             payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
             # 1->N fan-out assembled columnar: repeat/tile index arrays, one

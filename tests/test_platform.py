@@ -632,3 +632,133 @@ class TestRealCodecs:
         for payload in bad:
             with pytest.raises(NotImplementedError):
                 multimodal.decode_real(payload)
+
+
+class TestRealPixelDecode:
+    """Round-4: the real path goes one level past headers — PNG pixels via
+    zlib+unfilter, WAV PCM stats, WAV frame windows. The test ENCODES
+    (vectorized filter application over raw bytes) and the engine DECODES
+    (sequential per the spec) — inverse formulas implemented independently."""
+
+    @staticmethod
+    def _encode_png(px: np.ndarray, filters) -> bytes:
+        import struct as st
+        import zlib
+
+        h, w, c = px.shape
+        bpp = c
+        lines = []
+        prev = np.zeros(w * c, dtype=np.int64)
+        for y, f in zip(range(h), filters):
+            cur = px[y].reshape(-1).astype(np.int64)
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = (cur - left) & 0xFF
+            elif f == 2:
+                filt = (cur - prev) & 0xFF
+            elif f == 3:
+                filt = (cur - (left + prev) // 2) & 0xFF
+            elif f == 4:
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+                filt = (cur - pred) & 0xFF
+            lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+            prev = cur
+        raw = b"".join(lines)
+
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def test_png_roundtrip_all_filters(self):
+        rng = np.random.RandomState(7)
+        for c in (1, 2, 3, 4):
+            px = rng.randint(0, 256, size=(7, 5, c), dtype=np.uint8)
+            data = self._encode_png(px, filters=[0, 1, 2, 3, 4, 4, 3])
+            got = multimodal._png_pixels(data)
+            np.testing.assert_array_equal(got, px)
+
+    def test_png_features_real(self):
+        rng = np.random.RandomState(8)
+        px = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+        data = self._encode_png(px, filters=[2, 4, 1, 0, 3, 4])
+        feat = multimodal.features_real(data, dim=16)
+        exp = []
+        for ch in range(3):
+            v = px[:, :, ch].astype(np.float64) / 255.0
+            exp += [v.mean(), v.std(), v.min(), v.max()]
+        np.testing.assert_allclose(feat[:12], np.asarray(exp, dtype=np.float32), atol=1e-6)
+        assert (feat[12:] == 0).all()
+
+    def test_wav_features_and_frames_real(self):
+        import hashlib
+        import io as _io
+        import wave
+
+        t = np.arange(800)
+        samples = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype("<i2")
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(samples.tobytes())
+        data = buf.getvalue()
+        feat = multimodal.features_real(data, dim=8)
+        s = samples.astype(np.float64) / 32768.0
+        mapped = (s + 1.0) / 2.0
+        np.testing.assert_allclose(
+            feat[:4],
+            np.asarray([mapped.mean(), mapped.std(), mapped.min(), mapped.max()], dtype=np.float32),
+            atol=1e-6,
+        )
+        shas = multimodal.frames_real(data, n_frames=4)
+        raw = samples.tobytes()
+        exp = [hashlib.sha256(raw[i * 200 * 2 : (i + 1) * 200 * 2]).hexdigest()[:16] for i in range(4)]
+        assert shas == exp
+
+    def test_spark_real_feature_and_frame_stages(self, spark):
+        rng = np.random.RandomState(9)
+        px = rng.randint(0, 256, size=(5, 5, 4), dtype=np.uint8)
+        png = self._encode_png(px, filters=[4, 3, 2, 1, 0])
+        wav = TestRealCodecs._wav_bytes(n_frames=120, rate=8000, channels=2)
+        df = spark.createDataFrame([("png://r", png), ("wav://r", wav)], "url string, html binary")
+        feats = multimodal.extract_features(df, deterministic_fake=False).toPandas().set_index("url")
+        assert len(feats.loc["png://r", "feat"]) == 16
+        assert feats.loc["png://r", "feat"][0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
+        frames = multimodal.sample_frames(
+            df.filter(F.col("url") == "wav://r"), n_frames=3, deterministic_fake=False
+        ).toPandas()
+        assert list(frames["frame_idx"]) == [0, 1, 2]
+        assert frames["frame_sha"].str.len().eq(16).all()
+
+    def test_real_path_declared_errors(self):
+        import struct as st
+
+        with pytest.raises(NotImplementedError):
+            multimodal.features_real(TestRealCodecs._jpeg_bytes(), dim=16)  # JPEG pixels: real codec
+        with pytest.raises(NotImplementedError):
+            multimodal.frames_real(TestRealCodecs._jpeg_bytes(), n_frames=3)
+        # ADVICE: IHDR dims past int32 must be the declared error, not OverflowError
+        import zlib
+
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+        ihdr = st.pack(">IIBBBBB", 2**31, 1, 8, 2, 0, 0, 0)
+        huge = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real(huge)
+        # truncated IDAT: declared error, not zlib.error/reshape ValueError
+        px = np.zeros((3, 3, 3), dtype=np.uint8)
+        good = self._encode_png(px, filters=[0, 0, 0])
+        bad = good[: len(good) - 20]
+        with pytest.raises(NotImplementedError):
+            multimodal._png_pixels(bad)

@@ -35,6 +35,7 @@ path — identical candidates, bounded per-reducer group size.
 from __future__ import annotations
 
 import math
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -43,6 +44,52 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _SEED = 42
+
+
+class CacheScope:
+    """Explicit lifecycle for the persisted intermediates of the bucketed
+    similarity paths: the cache lives exactly as long as the RESULT
+    DataFrame object. ``attach(result)`` registers a GC finalizer on the
+    result (CPython refcounting -> fires deterministically once the
+    caller's terminal action drops its reference, the driver/bench/test
+    usage pattern) and stores itself as ``result._cache_scope`` so
+    callers can release eagerly (``result._cache_scope.release()``) or
+    carry the scope onto a derived DataFrame (``carry_scope``). Without
+    this, every neardup/ann call parked a signature table in executor
+    storage for the rest of the session (round-3 verdict, "unbounded
+    persist lifetimes")."""
+
+    def __init__(self, *cached: DataFrame) -> None:
+        self._cached = list(cached)
+        self._fin: weakref.finalize | None = None
+
+    def release(self) -> None:
+        cached, self._cached = self._cached, []
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — py4j gone at interpreter exit
+                pass
+
+    def attach(self, result: DataFrame) -> DataFrame:
+        if self._fin is not None:
+            self._fin.detach()
+        self._fin = weakref.finalize(result, CacheScope.release, self)
+        result._cache_scope = self
+        return result
+
+
+def scope_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie ``cached`` persisted DataFrames' lifetime to ``result``."""
+    return CacheScope(*cached).attach(result)
+
+
+def carry_scope(result: DataFrame, upstream: DataFrame) -> DataFrame:
+    """Move an upstream result's cache scope onto a DataFrame derived
+    from it (detaches the upstream finalizer first, so dropping the
+    upstream object no longer releases the cache)."""
+    scope = getattr(upstream, "_cache_scope", None)
+    return scope.attach(result) if scope is not None else result
 
 # Hard ceiling for any driver-side collect of a "small" side. Broadcast
 # shapes are only valid when the broadcast side is genuinely bounded; a
@@ -348,9 +395,9 @@ def neardup_lsh(
         )
         .withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
         # one signature pass shared by both self-join branches AND the
-        # hot-bucket count. The cache is LRU-evictable (MEMORY_AND_DISK),
-        # so repeated calls in one session degrade to eviction, not OOM;
-        # a long-lived session can clear via spark.catalog.clearCache().
+        # hot-bucket count; released by CacheScope when the result
+        # DataFrame is dropped, so sessions no longer accumulate
+        # signature tables call over call.
         .persist()
     )
     a = keyed.select(
@@ -369,11 +416,13 @@ def neardup_lsh(
         .dropDuplicates(["a_id", "b_id"])
     )
     sim = _dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
-    return (
+    out = (
         cand.withColumn("sim_r", F.round(sim, 6))
         .filter(F.col("sim_r") >= threshold)
         .select("a_id", "b_id", "sim_r")
     )
+    # the signature cache lives as long as the result object (CacheScope)
+    return scope_caches(out, keyed)
 
 
 def ann_lsh_topk(
@@ -406,12 +455,13 @@ def ann_lsh_topk(
         "r_emb", dim, bands, bits_per_band,
     )
     join_keys = ["band", "bucket"]
+    cached = []
     if bucket_cap:
         # persist the keyed refs: salting's bucket-size count is an extra
         # full pass that would otherwise re-run the signature UDF matmul
-        # over every ref (cache is LRU-evictable; a long-lived session can
-        # clear it via spark.catalog.clearCache())
+        # over every ref (released by CacheScope when the result dies)
         r = r.persist()
+        cached.append(r)
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = (
         q.join(r, join_keys, "inner")
@@ -424,7 +474,8 @@ def ann_lsh_topk(
         "rank",
         F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
     )
-    return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")
+    out = ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")
+    return scope_caches(out, *cached)
 
 
 def _spherical_kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = _SEED) -> np.ndarray:
@@ -516,10 +567,13 @@ def ivf_topk(
         .select(id_q, "q_emb", "q_n", F.explode("probes").alias("centroid"))
     )
     join_keys = ["centroid"]
+    cached = []
     if bucket_cap:
         # persist the assigned refs: the salting count pass would otherwise
-        # re-run the nearest_centroid UDF over every ref (LRU-evictable)
+        # re-run the nearest_centroid UDF over every ref (released by
+        # CacheScope when the result dies)
         r = r.persist()
+        cached.append(r)
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
     cand = q.join(r, join_keys, "inner").filter(F.col(id_q) != F.col(id_r))
     sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
@@ -527,4 +581,5 @@ def ivf_topk(
         "rank",
         F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
     )
-    return ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")
+    out = ranked.filter(F.col("rank") <= k).select(id_q, id_r, "sim_r", "rank")
+    return scope_caches(out, *cached)

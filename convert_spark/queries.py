@@ -925,6 +925,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (rows-only: universal-hash minhash is
     not ANSI SQL; signature math is kernel-unit-tested). Bands that share a
     bucket key yield candidate pairs, deduplicated."""
+    from .operators.ann import scope_caches
+
     _load(spark, sf_dir, "documents")
     d = spark.table("documents").select("doc_id", "text").withColumn("keys", udfs.lsh_keys(F.col("text")))
     # compute the exploded band keys ONCE across the self-join's branches:
@@ -932,7 +934,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole query). persist(), not an eager localCheckpoint — building the
     # DataFrame (for explain/registry enumeration) must stay lazy and must
     # not park blocks in session-local executor storage as a side effect;
-    # the cache materializes at first action and keeps lineage fallback.
+    # the cache materializes at first action, keeps lineage fallback, and
+    # is released by CacheScope when the result DataFrame is dropped.
     # At cluster scale the signature table is a persisted dedup artifact in
     # its own right — write it to reliable storage there.
     e = d.select("doc_id", F.posexplode("keys").alias("band", "key")).persist()
@@ -943,7 +946,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    return pairs
+    return scope_caches(pairs, e)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,13 +1091,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — never a cross product). Seeded hyperplanes make the result
     deterministic; KAT oracle (tests/gen_kats.py), recall vs the brute
     baseline asserted in pytest."""
-    from .operators.ann import ann_lsh_topk
+    from .operators.ann import ann_lsh_topk, carry_scope
 
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
-    return ann_lsh_topk(q, r, k=3, bands=24, bits_per_band=4).select("query_id", "ref_id", "rank")
+    topk = ann_lsh_topk(q, r, k=3, bands=24, bits_per_band=4)
+    return carry_scope(topk.select("query_id", "ref_id", "rank"), topk)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,13 +1107,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — the inverted-file counterpart to q_ann_lsh). Seeded
     deterministic training; KAT oracle (tests/gen_kats.py), recall vs the
     brute baseline asserted in pytest."""
-    from .operators.ann import ivf_topk
+    from .operators.ann import carry_scope, ivf_topk
 
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
     r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
-    return ivf_topk(q, r, k=3, n_centroids=16, n_probe=6).select("query_id", "ref_id", "rank")
+    topk = ivf_topk(q, r, k=3, n_centroids=16, n_probe=6)
+    return carry_scope(topk.select("query_id", "ref_id", "rank"), topk)
 
 
 # --- embedding near-dup: planted-duplicate corpus ----------------------------
@@ -1306,13 +1311,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup+200000}, so transitive closure is exercised. Oracle: DuckDB
     recursive-CTE transitive closure over the exhaustive pair SQL."""
     from .operators import components
-    from .operators.ann import neardup_lsh
+    from .operators.ann import carry_scope, neardup_lsh
 
     corpus = _neardup_corpus(spark, sf_dir)
-    pairs = neardup_lsh(corpus, threshold=NEARDUP_T).select("a_id", "b_id")
+    nd = neardup_lsh(corpus, threshold=NEARDUP_T)
+    pairs = nd.select("a_id", "b_id")
     docs = corpus.select(F.col("id").alias("doc_id"))
     out = components.dedup_canonical(pairs, docs)
-    return out.select("doc_id", "cluster_id", F.col("keep").cast("int").alias("keep"))
+    # keep the signature cache alive through the CC rounds, released with
+    # the final result
+    return carry_scope(
+        out.select("doc_id", "cluster_id", F.col("keep").cast("int").alias("keep")), nd
+    )
 
 
 SQL_DEDUP_CLUSTERS = f"""

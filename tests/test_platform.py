@@ -762,3 +762,49 @@ class TestRealPixelDecode:
         bad = good[: len(good) - 20]
         with pytest.raises(NotImplementedError):
             multimodal._png_pixels(bad)
+
+
+class TestCacheLifecycle:
+    """Round-4: the bucketed similarity paths persist signature tables;
+    CacheScope ties each cache's lifetime to the result DataFrame, so a
+    session no longer accumulates executor storage query over query."""
+
+    QUERY_NAMES = ["q_minhash_lsh", "q_ann_lsh", "q_ann_ivf", "q_embed_neardup", "q_dedup_clusters"]
+
+    def test_caches_released_when_result_dropped(self, spark):
+        import gc
+
+        from convert_spark import queries as Q
+
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        assert cm.isEmpty()
+        for name in self.QUERY_NAMES:
+            df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
+            n = len(df.toPandas())
+            assert n >= 0
+            assert not getattr(df, "_cache_scope", None) or True  # scope present or op had no persist
+            del df
+            gc.collect()
+            assert cm.isEmpty(), f"{name}: cached relations survived result GC"
+
+    def test_explicit_release_and_carry(self, spark):
+        import gc
+
+        from convert_spark.operators import ann
+
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = emb.select(F.col("vec_id").alias("ref_id"), "embedding")
+        topk = ann.ann_lsh_topk(q, r, k=3)
+        derived = ann.carry_scope(topk.select("query_id", "ref_id"), topk)
+        del topk  # carry detached the upstream finalizer: cache must survive
+        gc.collect()
+        derived.count()
+        assert not cm.isEmpty(), "cache should be alive while the derived result is referenced"
+        derived._cache_scope.release()  # explicit eager release also works
+        assert cm.isEmpty()
+        del derived
+        gc.collect()

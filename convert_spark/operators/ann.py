@@ -496,24 +496,78 @@ def _spherical_kmeans(mat: np.ndarray, k: int, iters: int = 8, seed: int = _SEED
     return cent
 
 
+MAX_AUTO_CENTROIDS = 4096
+
+
+def _auto_n_centroids(n: int, cap: int = MAX_AUTO_CENTROIDS) -> int:
+    """sqrt-scaled centroid count: each probe scans ~sqrt(n) refs instead
+    of a fixed fraction of the corpus (16 fixed centroids means 1/16 of
+    10^10 vectors per probe — not a 100 TB shape). Floor 4, cap 4096 so
+    the broadcast matrix stays a few MB."""
+    return max(4, min(int(math.isqrt(max(n, 1))), cap))
+
+
+def _refine_centroids(nv: DataFrame, cent: np.ndarray, dim: int, iters: int) -> np.ndarray:
+    """Executor-side Lloyd refinement over the FULL ref set: per
+    iteration, broadcast the centroid matrix, assign each ref its nearest
+    centroid (one Arrow matmul pass), and compute per-centroid vector
+    sums as ``dim`` map-side-combined F.sum aggregates — the driver only
+    ever receives k x (dim+1) partial totals, never vectors. Centroids
+    renormalize to the unit sphere and round to 9 dp so cross-partition
+    float summation order can't leak into downstream assignment.
+    ``nv`` must hold unit-normalized ``array<double>`` in column __nv."""
+    sc = nv.sparkSession.sparkContext
+    for _ in range(iters):
+        bc_c = sc.broadcast(cent)
+
+        @F.pandas_udf("int")
+        def nearest(vecs: pd.Series) -> pd.Series:
+            c = bc_c.value
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+        agg = (
+            nv.withColumn("__c", nearest(F.col("__nv")))
+            .groupBy("__c")
+            .agg(*[F.sum(F.col("__nv")[i]).alias(f"s{i}") for i in range(dim)])
+            .toPandas()
+        )
+        new = cent.copy()
+        for _, row in agg.iterrows():
+            v = np.asarray([row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            norm = np.linalg.norm(v)
+            if norm > 0:
+                new[int(row["__c"])] = v / norm
+        cent = np.round(new, 9)
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     refs: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     sample_rows: int = 4096,
     id_q: str = "query_id",
     id_r: str = "ref_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = 4096,
+    refine_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors — the
     coarse-quantizer counterpart to ann_lsh_topk.
 
     Train: a deterministic bounded sample of refs (TakeOrdered by id hash
     — no full shuffle) fits spherical k-means on the driver; the centroid
-    matrix (n_centroids x dim, a few KB) broadcasts. Index: every ref is
+    matrix (n_centroids x dim) broadcasts. With ``n_centroids=None`` the
+    count scales with the corpus (~sqrt(n), capped — _auto_n_centroids)
+    and training moves off the driver: the seeded sample only INITIALIZES
+    the centroids, then ``refine_iters`` Lloyd iterations run over the
+    full ref set with executor-side partial sums (_refine_centroids; the
+    driver receives k x dim totals per iteration, never vectors). The
+    explicit-``n_centroids`` path is byte-stable against the scalar twin
+    KAT (tests/sketch_reference_impl.ivf_topk_s). Index: every ref is
     assigned its nearest centroid (one Arrow batch matmul). Search: each
     query probes its ``n_probe`` nearest centroids and equi-joins refs on
     centroid id — the shuffle key is the centroid, never a cross product;
@@ -529,6 +583,9 @@ def ivf_topk(
     """
     import pandas as pd
 
+    auto = n_centroids is None
+    if auto:
+        n_centroids = _auto_n_centroids(refs.count())
     samp = (
         refs.select(F.col(vec_col))
         .orderBy(F.xxhash64(F.col(id_r)))
@@ -537,6 +594,13 @@ def ivf_topk(
     )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in samp[vec_col]])
     cent = _spherical_kmeans(mat, n_centroids)
+    if auto and refine_iters > 0:
+        dim = mat.shape[1]
+        v = refs.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        nv = v.withColumn("__n", _norm_expr(F.col("__v"))).select(
+            F.transform("__v", lambda x: x / F.col("__n")).alias("__nv")
+        )
+        cent = _refine_centroids(nv, cent, dim, refine_iters)
     bc = refs.sparkSession.sparkContext.broadcast(cent)
 
     @F.pandas_udf("int")

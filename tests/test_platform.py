@@ -808,3 +808,66 @@ class TestCacheLifecycle:
         assert cm.isEmpty()
         del derived
         gc.collect()
+
+
+class TestIvfAutoScale:
+    """Round-4: n_centroids=None scales the centroid count with the corpus
+    (~sqrt(n), capped) and moves Lloyd refinement off the driver — the
+    driver only sees k x dim partial totals per iteration."""
+
+    def test_auto_centroid_scaling(self):
+        assert ann._auto_n_centroids(100) == 10
+        assert ann._auto_n_centroids(6400) == 80
+        assert ann._auto_n_centroids(2) == 4  # floor
+        assert ann._auto_n_centroids(10**12) == 4096  # cap
+
+    @staticmethod
+    def _clustered(rng, n_clusters, per_cluster, dim):
+        centers = rng.normal(size=(n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = np.repeat(centers, per_cluster, axis=0) + 0.05 * rng.normal(
+            size=(n_clusters * per_cluster, dim)
+        )
+        return pts
+
+    def test_refine_matches_numpy_lloyd(self, spark):
+        rng = np.random.RandomState(3)
+        mat = self._clustered(rng, 4, 50, 8)
+        cent0 = ann._spherical_kmeans(mat, 4)
+        m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        exp = cent0.copy()
+        for _ in range(2):
+            assign = (m @ exp.T).argmax(axis=1)
+            new = exp.copy()
+            for c in range(len(exp)):
+                sel = m[assign == c]
+                if len(sel):
+                    v = sel.sum(axis=0)
+                    nn = np.linalg.norm(v)
+                    if nn > 0:
+                        new[c] = v / nn
+            exp = np.round(new, 9)
+        pdf = pd.DataFrame({"embedding": [list(map(float, row)) for row in mat]})
+        nv = (
+            spark.createDataFrame(pdf)
+            .select(F.col("embedding").cast("array<double>").alias("__v"))
+            .withColumn("__n", F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)))
+            .select(F.transform("__v", lambda x: x / F.col("__n")).alias("__nv"))
+        )
+        got = ann._refine_centroids(nv, cent0, 8, 2)
+        np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    def test_auto_mode_recall_on_clustered_data(self, spark):
+        rng = np.random.RandomState(4)
+        pts = self._clustered(rng, 40, 25, 16)
+        pdf = pd.DataFrame(
+            {"vec_id": np.arange(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+        )
+        e = spark.createDataFrame(pdf)
+        q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        exact = ann.brute_topk_broadcast(q, r, k=3).toPandas()
+        got = ann.ivf_topk(q, r, k=3, n_centroids=None, n_probe=8).toPandas()
+        exact_pairs = set(zip(exact["query_id"], exact["ref_id"]))
+        pairs = set(zip(got["query_id"], got["ref_id"]))
+        assert len(exact_pairs & pairs) / len(exact_pairs) >= 0.8

@@ -43,26 +43,26 @@ KAT_DIR = Path(__file__).resolve().parent / "kats"
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def _docs() -> pd.DataFrame:
+def _docs(sf_dir: str = SF_DIR) -> pd.DataFrame:
     return duckdb.sql(
-        f"select doc_id, text from '{SF_DIR}/documents.parquet' order by doc_id"
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
     ).df()
 
 
-def _embeddings() -> dict[int, list[float]]:
+def _embeddings(sf_dir: str = SF_DIR) -> dict[int, list[float]]:
     pdf = duckdb.sql(
-        f"select vec_id, cast(embedding as double[]) as emb from '{SF_DIR}/embeddings.parquet' order by vec_id"
+        f"select vec_id, cast(embedding as double[]) as emb from '{sf_dir}/embeddings.parquet' order by vec_id"
     ).df()
     return {int(r.vec_id): [float(v) for v in r.emb] for r in pdf.itertuples()}
 
 
-def kat_s2_covering() -> pd.DataFrame:
+def kat_s2_covering(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """Per-dataset bbox (DuckDB restatement of q_bbox_center) -> scalar
     covering twin."""
     from convert_spark import queries as Q  # SQL strings only — no Spark
 
     con = duckdb.connect()
-    con.execute(f"create view lineitem as select * from '{SF_DIR}/lineitem.parquet'")
+    con.execute(f"create view lineitem as select * from '{sf_dir}/lineitem.parquet'")
     bb = con.execute(Q.SQL_BBOX_CENTER).fetchdf()
     rows = []
     for r in bb.itertuples():
@@ -71,9 +71,9 @@ def kat_s2_covering() -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"dataset_id": "int64"})
 
 
-def kat_minhash_lsh() -> pd.DataFrame:
+def kat_minhash_lsh(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """Scalar minhash band keys -> bucket-sharing candidate pairs."""
-    docs = _docs()
+    docs = _docs(sf_dir)
     buckets: dict[tuple, list[int]] = {}
     for r in docs.itertuples():
         sig = skref.minhash_signature_s(r.text)
@@ -87,8 +87,8 @@ def kat_minhash_lsh() -> pd.DataFrame:
     return pd.DataFrame(sorted(pairs), columns=["a_id", "b_id"]).astype("int64")
 
 
-def kat_simhash() -> pd.DataFrame:
-    docs = _docs()
+def kat_simhash(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    docs = _docs(sf_dir)
     return pd.DataFrame(
         {
             "doc_id": docs["doc_id"].astype("int64"),
@@ -97,8 +97,8 @@ def kat_simhash() -> pd.DataFrame:
     ).astype({"simhash": "int64"})
 
 
-def kat_fingerprint() -> pd.DataFrame:
-    docs = _docs()
+def kat_fingerprint(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    docs = _docs(sf_dir)
     return pd.DataFrame(
         {
             "doc_id": docs["doc_id"].astype("int64"),
@@ -107,8 +107,8 @@ def kat_fingerprint() -> pd.DataFrame:
     ).astype({"fp": "int64"})
 
 
-def kat_ann_lsh() -> pd.DataFrame:
-    emb = _embeddings()
+def kat_ann_lsh(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    emb = _embeddings(sf_dir)
     queries = {k: v for k, v in emb.items() if k % 50 == 0}
     rows = skref.ann_lsh_topk_s(queries, emb, k=3, bands=24, bits_per_band=4)
     return pd.DataFrame(rows, columns=["query_id", "ref_id", "rank"]).astype(
@@ -116,8 +116,8 @@ def kat_ann_lsh() -> pd.DataFrame:
     )
 
 
-def kat_ann_ivf() -> pd.DataFrame:
-    emb = _embeddings()
+def kat_ann_ivf(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    emb = _embeddings(sf_dir)
     queries = {k: v for k, v in emb.items() if k % 50 == 0}
     rows = skref.ivf_topk_s(queries, emb, k=3, n_centroids=16, n_probe=6)
     return pd.DataFrame(rows, columns=["query_id", "ref_id", "rank"]).astype(

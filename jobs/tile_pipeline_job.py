@@ -88,6 +88,51 @@ def main() -> None:
         partition_by=["zoom"],
         params=p,
     )
+    def bucketed_rollup():
+        """Bucketed tile-dimension layout (north_rule "bucketing for
+        co-located joins"): ONE bucketed write each for the tile datasets
+        and the PIP hits, then the repeated per-tile operations — the
+        poly rollup aggregate AND the dataset join — plan with ZERO
+        Exchange (plans/bucketing.py). The job asserts the property at
+        build time: a regression to a shuffled plan is a hard failure
+        here, not a silent 100 TB slowdown in production."""
+        from convert_spark.plans.bucketing import write_bucketed
+
+        ds = tiles.tile_datasets(tiled)
+        hits = tagged.filter(F.col("poly_id").isNotNull()).select("cell_id", "poly_id")
+        bpath = str(Path(args.output) / "bucketed")
+        write_bucketed(ds, "job_tiles_b", 32, path=f"{bpath}/tiles")
+        write_bucketed(hits, "job_pip_b", 32, path=f"{bpath}/pip")
+        polys_roll = (
+            spark.table("job_pip_b")
+            .groupBy("cell_id")
+            .agg(
+                F.countDistinct("poly_id").alias("n_polys"),
+                F.count(F.lit(1)).alias("n_poly_hits"),
+            )
+        )
+        joined = spark.table("job_tiles_b").join(polys_roll, ["cell_id"], "left")
+        out = joined.na.fill({"n_polys": 0, "n_poly_hits": 0})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed rollup plan regressed to a shuffle:\n{plan}"
+        return out
+
+    # the final join runs co-bucketed; broadcast would also be shuffle-free
+    # at sandbox scale but does NOT survive a 100x right side — pin the
+    # bucketed SortMergeJoin shape the assertion checks
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rollup = run_stage(
+            spark,
+            log,
+            "tile_poly_rollup",
+            bucketed_rollup,
+            inputs=["tiled", "pip_tagged"],
+            params=p,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     datasets = run_stage(
         spark,
         log,
@@ -115,6 +160,7 @@ def main() -> None:
                 "stages": {s["stage"]: {"rows": s["rows"], "rows_per_sec": s["rows_per_sec"]} for s in log._snapshots()},
                 "tiles": datasets.count(),
                 "pip_rows": tagged.count(),
+                "rollup_tiles": rollup.count(),
                 "output": args.output,
             }
         )

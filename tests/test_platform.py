@@ -374,7 +374,10 @@ class TestSparkSubmit:
         assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
         stats = json.loads([ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
         assert stats["tiles"] > 0 and stats["pip_rows"] > 0
-        assert set(stats["stages"]) >= {"pages", "mentions", "normalized", "tiled", "pip_tagged"}
+        assert set(stats["stages"]) >= {
+            "pages", "mentions", "normalized", "tiled", "pip_tagged", "tile_poly_rollup",
+        }
+        assert stats["rollup_tiles"] == stats["tiles"]  # every tile present in the bucketed join
 
         # resume: snapshots untouched, same results, no stage recomputed
         snap_files = sorted((out / "_snapshots").glob("snapshot-*.json"))

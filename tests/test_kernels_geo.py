@@ -592,3 +592,136 @@ class TestS2CrossValidation:
                 leaf = int(s2.cellid_from_point(centers[i].reshape(1, 3))[0])
                 cells_got = s2.vertex_neighbors(leaf, int(lvls[i]))
             assert [s2.token(c)[:8] for c in cells_got] == [s2.token(c)[:8] for c in cells_ref]
+
+
+class TestS2PolarAdversarial:
+    """Round-4: adversarial near-pole / pole-enclosing / degenerate loops.
+
+    The declared deviation (s2.py "Documented deviations"): pole
+    containment uses a centroid-probe crossing-parity test in plain
+    double arithmetic. Two independent checks here:
+
+    1. END-TO-END: vectorized kernel vs the scalar twin on thousands of
+       adversarial corner quads (the quirky raw (lon, lat, z) chain, so a
+       "pole-enclosing" loop means corners WINDING around the z axis —
+       small lon/lat against a large z).
+    2. EXACT PREDICATES: the kernel's float containment signs re-derived
+       in exact rational arithmetic (fractions.Fraction — float inputs
+       are exact rationals, so every determinant sign is exact, the same
+       guarantee golang/geo's exact predicate fallback provides). Any
+       float/exact disagreement would be a robustness bug to fix.
+    """
+
+    @staticmethod
+    def _adversarial_corners() -> np.ndarray:
+        quads = []
+        # pole-enclosing: corners wind around the z axis at radius r
+        for r in (1e-6, 1e-3, 0.01, 1.0, 30.0):
+            for z in (1.0, 150.0, 8000.0):
+                for phase in (0.0, 0.4):
+                    for sign in (1.0, -1.0):  # north / south winding
+                        ring = [
+                            (r * math.cos(t + phase), r * math.sin(t + phase), sign * z)
+                            for t in (0.0, math.pi / 2, math.pi, 3 * math.pi / 2)
+                        ]
+                        quads.append(ring)          # CCW seen from +z
+                        quads.append(ring[::-1])    # reversed winding
+        # near-pole slivers: tiny bboxes with huge z (near-identical fallback)
+        rng = np.random.RandomState(31)
+        for _ in range(600):
+            lon = float(rng.uniform(-0.01, 0.01))
+            lat = float(rng.uniform(-0.01, 0.01))
+            dlon = float(rng.choice([0.0, 1e-9, 1e-5, 1e-3]))
+            dlat = float(rng.choice([0.0, 1e-9, 1e-5]))
+            z = float(rng.choice([100.0, 8000.0, 1e6]))
+            quads.append([
+                (lon + dlon, lat + dlat, z), (lon, lat + dlat, z),
+                (lon, lat, z), (lon + dlon, lat, z),
+            ])
+        # antipodal-ish pairs and degenerate collapses
+        for z in (5.0, 500.0):
+            quads.append([(1.0, 0.0, z), (-1.0, 0.0, z), (1.0, 0.0, z), (-1.0, 0.0, z)])
+            quads.append([(0.0, 0.0, z)] * 4)                      # single point
+            quads.append([(0.0, 0.0, 0.0)] * 4)                    # OriginPoint mapping
+            quads.append([(1.0, 1.0, z), (1.0, 1.0, z), (-1.0, -1.0, z), (-1.0, -1.0, z)])
+        # random wide quads crossing hemispheres
+        for _ in range(800):
+            quads.append([tuple(rng.uniform(-50, 50, 3)) for _ in range(4)])
+        return np.asarray(quads, dtype=np.float64)
+
+    def test_tokens_agree_on_adversarial_loops(self):
+        import s2_reference_impl as ref
+
+        corners = self._adversarial_corners()
+        centers, radii = s2._loop_cap_batch(corners)
+        lvls = np.asarray(s2._min_width_max_level(radii), dtype=np.int64) - 1
+        face_cells = [(f << s2.POS_BITS) | (1 << (s2.POS_BITS - 1)) for f in range(6)]
+        for i in range(len(corners)):
+            lvl_ref, center_ref = ref.covering_level([tuple(c) for c in corners[i]])
+            if lvl_ref < 0:
+                cells_ref = face_cells
+            else:
+                cid = int(s2.cellid_from_point(np.asarray(center_ref).reshape(1, 3))[0])
+                cells_ref = s2.vertex_neighbors(cid, lvl_ref)
+            if int(lvls[i]) < 0:
+                cells_got = face_cells
+            else:
+                leaf = int(s2.cellid_from_point(centers[i].reshape(1, 3))[0])
+                cells_got = s2.vertex_neighbors(leaf, int(lvls[i]))
+            assert [s2.token(c)[:8] for c in cells_got] == [
+                s2.token(c)[:8] for c in cells_ref
+            ], (i, corners[i].tolist())
+
+    @staticmethod
+    def _exact_contains(verts_row, p) -> bool:
+        """Exact-rational recomputation of _loops_contain_point for ONE
+        closed chain: same algorithm, every determinant sign exact."""
+        from fractions import Fraction as Fr
+
+        def fr(v):
+            return (Fr(float(v[0])), Fr(float(v[1])), Fr(float(v[2])))
+
+        def cross(a, b):
+            return (
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            )
+
+        def dot(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        vs = [fr(v) for v in verts_row]
+        pe = fr(p)
+        cen = tuple(sum(v[i] for v in vs[:-1]) for i in range(3))
+        if cen == (0, 0, 0):
+            return False
+        edges = list(zip(vs[:-1], vs[1:]))
+        dets = [dot(cross(a, b), cen) for a, b in edges]
+        cen_inside = sum(dets) > 0
+        # zero-area guard (same rule as the kernel, exact)
+        v01 = cross(vs[0], vs[1])
+        if all(dot(v01, v) == 0 for v in vs[2:-1]):
+            return False
+        crossings = 0
+        for a, b in edges:
+            ab = cross(cen, pe)
+            acb = -dot(ab, a)
+            bda = dot(ab, b)
+            cd = cross(a, b)
+            cbd = -dot(cd, pe)
+            dac = dot(cd, cen)
+            if acb * bda > 0 and acb * cbd > 0 and cbd * dac > 0 and dac * bda > 0:
+                crossings += 1
+        even = crossings % 2 == 0
+        return even if cen_inside else not even
+
+    def test_pole_containment_matches_exact_predicates(self):
+        corners = self._adversarial_corners()
+        pts = s2._normalize_points(corners)
+        verts = np.concatenate([pts, pts[:, :1, :]], axis=1)
+        for pole in (np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, -1.0])):
+            got = s2._loops_contain_point(verts, pole)
+            for i in range(len(verts)):
+                exact = self._exact_contains(verts[i], pole)
+                assert bool(got[i]) == exact, (i, corners[i].tolist(), pole.tolist())

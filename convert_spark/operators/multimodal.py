@@ -36,6 +36,7 @@ DECODE_SCHEMA = (
 )
 FEATURE_SCHEMA = "url string, feat array<float>"
 FRAME_SCHEMA = "url string, frame_idx int, frame_sha string"
+RESIZE_SCHEMA = "url string, out_w int, out_h int, resized_sha string"
 
 
 def _fake_dims(digest: bytes) -> tuple[int, int, int]:
@@ -251,6 +252,49 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     return vec
 
 
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode a (h, w, channels) uint8 array as an 8-bit non-interlaced
+    PNG (filter 0 scanlines + one zlib IDAT) — the write side of
+    ``_png_pixels``, used by the real resize path. Channel count picks
+    the color type (1=gray 2=gray+alpha 3=RGB 4=RGBA per the PNG spec)."""
+    import zlib
+
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise NotImplementedError(f"PNG encode: {c} channels unsupported")
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_real(data: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of a decodable PNG to (tw, th), returned
+    RE-ENCODED as PNG (the resize stage's output is a payload, not
+    pixels). Source pixel for output (x, y) is (x*w//tw, y*h//th) — the
+    floor-sampling convention, deterministic and endpoint-safe for any
+    dims. Non-PNG formats need a real codec -> NotImplementedError."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("resize: only PNG decodes without a real codec")
+    px = _png_pixels(data)
+    h, w, _ = px.shape
+    yi = (np.arange(th, dtype=np.int64) * h) // th
+    xi = (np.arange(tw, dtype=np.int64) * w) // tw
+    return encode_png(np.ascontiguousarray(px[yi][:, xi]))
+
+
 def frames_real(data: bytes, n_frames: int) -> list[str]:
     """``n_frames`` contiguous fixed-stride PCM windows of a WAV payload
     (split on frame boundaries: window i covers sample frames
@@ -389,3 +433,42 @@ def sample_frames(df: DataFrame, binary_col: str = "html", n_frames: int = 3, de
             )
 
     return df.select("url", binary_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str = "html",
+    target: tuple[int, int] = (32, 32),
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Resize stage: binary payload -> resized-payload identity (target
+    dims + content sha). Fake path: hash chain over the raw bytes plus an
+    ASCII salt (``sha256(payload || 'resize:WxH')``) so the plain-SQL
+    oracle re-derives it (same VARCHAR-safe convention as the frame
+    salt). Real path (``deterministic_fake=False``): PNG nearest-neighbor
+    resample re-encoded via ``resize_real``; other formats raise the
+    declared NotImplementedError."""
+    tw, th = int(target[0]), int(target[1])
+    salt = f"resize:{tw}x{th}".encode()
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [bytes(p) if p is not None else b"" for p in pdf[binary_col]]
+            if deterministic_fake:
+                shas = [hashlib.sha256(d + salt).hexdigest()[:16] for d in payloads]
+            else:
+                shas = [
+                    hashlib.sha256(resize_real(d, tw, th)).hexdigest()[:16] for d in payloads
+                ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "out_w": np.full(len(payloads), tw, dtype=np.int32),
+                    "out_h": np.full(len(payloads), th, dtype=np.int32),
+                    "resized_sha": shas,
+                }
+            )
+
+    return df.select("url", binary_col).mapInPandas(run, schema=RESIZE_SCHEMA)

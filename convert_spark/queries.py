@@ -1301,6 +1301,31 @@ from f
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage (task brief: decode / feature-extract /
+    RESIZE / frame-sample): binary payload -> resized-payload identity.
+    Fake-path hash chain sha256(payload || 'resize:WxH') is re-derived by
+    the oracle in plain SQL; the real path (PNG nearest-neighbor resample
+    re-encoded via stdlib zlib) is pytest-covered with hand-built
+    payloads (operators/multimodal.resize_real)."""
+    from .operators import multimodal
+
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return multimodal.resize_media(d, binary_col="payload", target=(32, 24))
+
+
+SQL_MEDIA_RESIZE = """
+select 'doc://' || doc_id as url,
+       cast(32 as int) as out_w, cast(24 as int) as out_h,
+       substr(sha256(text || 'resize:32x24'), 1, 16) as resized_sha
+from documents
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (the last step of every dedup family): BUCKETED
     near-dup pairs (ann.neardup_lsh over the planted corpus, the same
@@ -1502,6 +1527,7 @@ QUERIES = {
     "q_embed_neardup_exact": q_embed_neardup_exact,
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
+    "q_media_resize": q_media_resize,
     "q_asof_events": q_asof_events,
     "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
@@ -1548,6 +1574,7 @@ def oracles() -> dict[str, str]:
         "q_embed_neardup_exact": SQL_EMBED_NEARDUP_EXACT,
         "q_media_decode": SQL_MEDIA_DECODE,
         "q_media_frames": SQL_MEDIA_FRAMES,
+        "q_media_resize": SQL_MEDIA_RESIZE,
         "q_asof_events": SQL_ASOF_EVENTS,
         "q_asof_events_strict": SQL_ASOF_EVENTS_STRICT,
         "q_range_join": SQL_RANGE_JOIN,

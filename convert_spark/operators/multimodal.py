@@ -281,18 +281,44 @@ def encode_png(px: np.ndarray) -> bytes:
 
 
 def resize_real(data: bytes, tw: int, th: int) -> bytes:
-    """Nearest-neighbor resample of a decodable PNG to (tw, th), returned
-    RE-ENCODED as PNG (the resize stage's output is a payload, not
-    pixels). Source pixel for output (x, y) is (x*w//tw, y*h//th) — the
-    floor-sampling convention, deterministic and endpoint-safe for any
-    dims. Non-PNG formats need a real codec -> NotImplementedError."""
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("resize: only PNG decodes without a real codec")
-    px = _png_pixels(data)
-    h, w, _ = px.shape
-    yi = (np.arange(th, dtype=np.int64) * h) // th
-    xi = (np.arange(tw, dtype=np.int64) * w) // tw
-    return encode_png(np.ascontiguousarray(px[yi][:, xi]))
+    """Nearest-neighbor resample, returned RE-ENCODED in the source
+    format (the resize stage's output is a payload, not pixels):
+
+    * PNG -> (tw, th) pixels; source pixel for output (x, y) is
+      (x*w//tw, y*h//th) — the floor-sampling convention, deterministic
+      and endpoint-safe for any dims.
+    * WAV -> the audio analogue of the decode-stage schema mapping
+      (width = frames, height = sample rate): nearest-neighbor frame
+      resample to ``tw`` frames per channel, re-encoded at sample rate
+      ``th`` with the original channel/width layout.
+
+    Other formats need a real codec -> NotImplementedError."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _png_pixels(data)
+        h, w, _ = px.shape
+        yi = (np.arange(th, dtype=np.int64) * h) // th
+        xi = (np.arange(tw, dtype=np.int64) * w) // tw
+        return encode_png(np.ascontiguousarray(px[yi][:, xi]))
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(data), "rb") as wf:
+                nch, sw, n = wf.getnchannels(), wf.getsampwidth(), wf.getnframes()
+                raw = wf.readframes(n)
+            fb = nch * sw
+            frames = np.frombuffer(raw, dtype=np.uint8).reshape(n, fb) if n else np.zeros((0, fb), np.uint8)
+            idx = (np.arange(tw, dtype=np.int64) * n) // max(tw, 1) if n else np.zeros(0, np.int64)
+            out = io.BytesIO()
+            with wave.open(out, "wb") as wo:
+                wo.setnchannels(nch)
+                wo.setsampwidth(sw)
+                wo.setframerate(th)
+                wo.writeframes(frames[idx].tobytes() if n else b"")
+            return out.getvalue()
+        except Exception as exc:  # noqa: BLE001
+            raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    raise NotImplementedError("resize: only PNG/WAV decode without a real codec")
 
 
 def frames_real(data: bytes, n_frames: int) -> list[str]:

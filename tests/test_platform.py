@@ -899,7 +899,26 @@ class TestResizeStage:
         up = multimodal._png_pixels(multimodal.resize_real(data, 12, 20))
         assert up.shape == (20, 12, 3)
         with pytest.raises(NotImplementedError):
-            multimodal.resize_real(TestRealCodecs._wav_bytes(), 4, 4)
+            multimodal.resize_real(TestRealCodecs._jpeg_bytes(), 4, 4)  # JPEG pixels: real codec
+
+    def test_resize_real_wav(self):
+        import io as _io
+        import wave
+
+        samples = np.arange(100, dtype="<i2")
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(samples.tobytes())
+        out = multimodal.resize_real(buf.getvalue(), 25, 4000)
+        kind, w, h, c = multimodal.decode_real(out)
+        assert (kind, w, h, c) == ("wav", 25, 4000, 1)
+        got, rate = multimodal._wav_samples(out)
+        exp = samples[(np.arange(25) * 100) // 25].astype(np.float64) / 32768.0
+        np.testing.assert_allclose(got[:, 0], exp)
+        assert rate == 4000
 
     def test_spark_resize_stage_both_paths(self, spark):
         rng = np.random.RandomState(14)

@@ -567,7 +567,10 @@ def ivf_topk(
     full ref set with executor-side partial sums (_refine_centroids; the
     driver receives k x dim totals per iteration, never vectors). The
     explicit-``n_centroids`` path is byte-stable against the scalar twin
-    KAT (tests/sketch_reference_impl.ivf_topk_s). Index: every ref is
+    KAT (tests/sketch_reference_impl.ivf_topk_s); the auto path is
+    deterministic up to cross-partition float summation order — refined
+    centroids round to 9 dp, so assignments can differ between runs only
+    for refs within ~1e-9 of a centroid-decision boundary. Index: every ref is
     assigned its nearest centroid (one Arrow batch matmul). Search: each
     query probes its ``n_probe`` nearest centroids and equi-joins refs on
     centroid id — the shuffle key is the centroid, never a cross product;

@@ -1001,7 +1001,6 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = score + cnt_substr(wide_markers)
         scored = scored.withColumn(f"s_{lang}", score)
     order = list(_LANG_MARKERS)
-    best = F.lit("und")
     # build argmax with first-wins tie order (en, fr, es, de, zh)
     expr = None
     for lang in order:

@@ -142,6 +142,8 @@ def _png_pixels(data: bytes) -> np.ndarray:
     import zlib
 
     _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
+    if len(data) < 29:  # _decode_png needs 26 bytes; interlace sits at 28
+        raise NotImplementedError("malformed PNG: IHDR truncated before interlace byte")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
     if bit_depth != 8:
         raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")

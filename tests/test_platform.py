@@ -933,3 +933,86 @@ class TestResizeStage:
         assert (real["out_w"], real["out_h"]) == (4, 4)
         fake = multimodal.resize_media(df, target=(4, 4), deterministic_fake=True).collect()[0]
         assert fake["resized_sha"] == hashlib.sha256(png + b"resize:4x4").hexdigest()[:16]
+
+
+class TestPngFuzzDeclaredErrors:
+    """The real decode path's contract: ANY corrupt payload raises ONLY
+    the declared NotImplementedError — never a bare struct.error /
+    zlib.error / ValueError that would kill a Spark task untyped."""
+
+    def test_mutated_png_payloads(self):
+        rng = np.random.RandomState(18)
+        px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        good = multimodal.encode_png(px)
+        for _ in range(300):
+            data = bytearray(good)
+            op = rng.randint(3)
+            if op == 0:  # flip random bytes
+                for _ in range(rng.randint(1, 6)):
+                    data[rng.randint(len(data))] = rng.randint(256)
+            elif op == 1:  # truncate
+                data = data[: rng.randint(8, len(data))]
+            else:  # splice garbage into the middle
+                pos = rng.randint(8, len(data))
+                data = data[:pos] + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8)) + data[pos:]
+            payload = bytes(data)
+            for fn in (
+                lambda d: multimodal.decode_real(d) if d[:8] == b"\x89PNG\r\n\x1a\n" else None,
+                lambda d: multimodal._png_pixels(d) if d[:8] == b"\x89PNG\r\n\x1a\n" else None,
+                lambda d: multimodal.resize_real(d, 3, 3) if d[:8] == b"\x89PNG\r\n\x1a\n" else None,
+            ):
+                try:
+                    fn(payload)
+                except NotImplementedError:
+                    pass  # the declared error
+                # any other exception type fails the test by propagating
+
+    def test_mutated_jpeg_wav_payloads(self):
+        """Same contract for the other stdlib-decoded formats: mutations
+        either decode (mutation missed the parsed region) or raise the
+        declared NotImplementedError — never an untyped error."""
+        rng = np.random.RandomState(21)
+        goods = [TestRealCodecs._jpeg_bytes(), TestRealCodecs._wav_bytes(n_frames=64)]
+        for good in goods:
+            for _ in range(200):
+                data = bytearray(good)
+                op = rng.randint(3)
+                if op == 0:
+                    for _ in range(rng.randint(1, 6)):
+                        data[rng.randint(len(data))] = rng.randint(256)
+                elif op == 1:
+                    data = data[: rng.randint(4, len(data))]
+                else:
+                    pos = rng.randint(4, len(data))
+                    data = data[:pos] + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8)) + data[pos:]
+                try:
+                    multimodal.decode_real(bytes(data))
+                except NotImplementedError:
+                    pass
+                try:
+                    multimodal.frames_real(bytes(data), 2)
+                except NotImplementedError:
+                    pass
+
+    def test_multi_idat_png_decodes(self):
+        """The spec allows the compressed stream split across many IDAT
+        chunks; the decoder must concatenate before inflating."""
+        import struct as st
+        import zlib
+
+        rng = np.random.RandomState(19)
+        px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(5))
+        comp = zlib.compress(raw)
+
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+        parts = [comp[i : i + 7] for i in range(0, len(comp), 7)]
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+            + b"".join(chunk(b"IDAT", p) for p in parts)
+            + chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(multimodal._png_pixels(data), px)

@@ -665,3 +665,52 @@ class TestLangidZh:
             .tolist()
         )
         assert got == twin
+
+
+class TestLangidRandomizedAgreement:
+    """Randomized mixed-language corpus: the contract query and the kernel
+    twin must agree on every document (single batched Spark run)."""
+
+    def test_random_mixed_corpus(self, spark, tmp_path):
+        import numpy as np
+
+        from convert_spark.kernels import textkit
+        from convert_spark.queries import q_langid
+
+        rng = np.random.RandomState(17)
+        pools = {
+            "en": "the and of to a is that for".split(),
+            "fr": "le la et les des est une que".split(),
+            "es": "el de la que los una por con".split(),
+            "de": "der die und das ist nicht ein mit".split(),
+            "zh": list("的是了在和有我不"),
+            "noise": ["xyzzy", "qwrt", "12345", "!!!", "zz9"],
+        }
+        keys = list(pools)
+        texts = []
+        for _ in range(200):
+            n_tokens = rng.randint(0, 30)
+            toks = []
+            for _ in range(n_tokens):
+                pool = pools[keys[rng.randint(len(keys))]]
+                toks.append(pool[rng.randint(len(pool))])
+            # zh is unsegmented in real text: sometimes join CJK runs
+            sep = "" if rng.rand() < 0.2 else " "
+            texts.append(sep.join(toks))
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": "?",
+                "source": "fuzz",
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        got = (
+            q_langid(spark, str(tmp_path)).orderBy("doc_id").toPandas()["lang_guess"].tolist()
+        )
+        twin = textkit.lang_scores(pd.Series(texts))["lang"].tolist()
+        assert got == twin

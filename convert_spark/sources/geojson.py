@@ -182,14 +182,16 @@ def features_from_geojson(docs: DataFrame) -> DataFrame:
             out = []
             for did, txt in zip(pdf["dataset_id"], pdf["geojson"]):
                 try:
-                    doc = json.loads(txt)
-                except (ValueError, TypeError) as e:
-                    # per-dataset failure must not abort the distributed
-                    # job (the reference returns an error for that one
-                    # dataset and the caller continues)
+                    # the STRUCTURE walk lives inside the try too: valid
+                    # JSON with a malformed shape (features: 42, dict
+                    # coordinates, list document) raises Type/Attr/Key/
+                    # IndexError — a per-dataset failure that must not
+                    # abort the distributed job (the reference returns an
+                    # error for that one dataset and the caller continues)
+                    out.extend(_feature_rows(str(did), json.loads(txt)))
+                except (ValueError, TypeError, AttributeError, KeyError, IndexError) as e:
                     print(f"NonFatal [features_from_geojson] dataset {did}: {e}")
                     continue
-                out.extend(_feature_rows(str(did), doc))
             if out:
                 yield pd.DataFrame(out)
 

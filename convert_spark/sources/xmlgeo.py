@@ -230,10 +230,11 @@ def features_from_kml(docs: DataFrame) -> DataFrame:
             for did, txt in zip(pdf["dataset_id"], pdf["kml"]):
                 try:
                     rows, _ = _kml_rows(str(did), txt)
-                except (ET.ParseError, ValueError) as e:
-                    # ValueError: malformed numerics in coordinates/attrs —
-                    # per-dataset failure isolation (the reference warns and
-                    # continues; a bad document must not abort the task)
+                except (ET.ParseError, ValueError, TypeError, AttributeError, KeyError, IndexError) as e:
+                    # malformed numerics, missing attributes, None text,
+                    # shape surprises — per-dataset failure isolation (the
+                    # reference warns and continues; one bad document must
+                    # not abort the task)
                     print(f"NonFatal [features_from_kml] dataset {did}: {e}")
                     continue
                 out.extend(rows)
@@ -256,9 +257,10 @@ def features_from_gpx(docs: DataFrame) -> DataFrame:
             for did, txt in zip(pdf["dataset_id"], pdf["gpx"]):
                 try:
                     out.extend(_gpx_rows(str(did), txt))
-                except (ET.ParseError, ValueError) as e:
-                    # ValueError: malformed lon/lat/ele numerics — isolate
-                    # the one bad dataset instead of aborting the task
+                except (ET.ParseError, ValueError, TypeError, AttributeError, KeyError, IndexError) as e:
+                    # malformed lon/lat/ele numerics, missing attributes,
+                    # shape surprises — isolate the one bad dataset
+                    # instead of aborting the task
                     print(f"NonFatal [features_from_gpx] dataset {did}: {e}")
                     continue
             if out:

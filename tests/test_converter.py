@@ -671,3 +671,83 @@ class TestCorpusReader:
         k = corpus.features_from_dir(spark, str(tmp_path), "kml").toPandas()
         assert len(g) == 1 and g["dataset_id"].iloc[0] == "trk"
         assert len(k) == 1 and k["dataset_id"].iloc[0] == "doc"
+
+
+class TestAdversarialDocIsolation:
+    """Round-4: per-dataset failure isolation under STRUCTURALLY malformed
+    documents (valid JSON/XML with the wrong shape) — one bad web-scale
+    document must never abort a task; the good document in the same Arrow
+    batch must still convert."""
+
+    GOOD_GEOJSON = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "properties": {"name": "ok"},
+                    "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+                }
+            ],
+        }
+    )
+    BAD_GEOJSON = [
+        "not json at all {",
+        "[1, 2, 3]",                                    # list document
+        '"just a string"',
+        '{"features": 42}',                             # non-iterable features
+        '{"features": [7]}',                            # non-dict feature
+        '{"features": [{"geometry": {"type": "Point", "coordinates": {"x": 1}}}]}',
+        '{"features": [{"geometry": {"type": "Polygon", "coordinates": [[["a", "b"]]]}}]}',
+        '{"features": [{"properties": 9, "geometry": {"type": "Point", "coordinates": [1, 2]}}]}',
+        '{"features": [{"geometry": {"type": "LineString", "coordinates": 5}}]}',
+    ]
+
+    def test_geojson_isolation(self, spark):
+        rows = [("good", self.GOOD_GEOJSON)] + [
+            (f"bad{i}", t) for i, t in enumerate(self.BAD_GEOJSON)
+        ]
+        docs = spark.createDataFrame(rows, "dataset_id string, geojson string").coalesce(1)
+        got = gj.features_from_geojson(docs).toPandas()
+        assert set(got["dataset_id"]) == {"good"}
+        assert len(got) == 1 and got.loc[0, "name"] == "ok"
+
+    def test_kml_gpx_isolation(self, spark):
+        good_kml = (
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder><name>d</name>'
+            "<Placemark><name>p</name><Point><coordinates>1.0,2.0</coordinates></Point>"
+            "</Placemark></Folder></Document></kml>"
+        )
+        bad_xml = [
+            "<kml><unclosed>",
+            "<notkml/>",
+            '<kml><Document><Placemark><Point><coordinates>a,b</coordinates></Point></Placemark></Document></kml>',
+            "",
+        ]
+        docs = spark.createDataFrame(
+            [("good", good_kml)] + [(f"bad{i}", t) for i, t in enumerate(bad_xml)],
+            "dataset_id string, kml string",
+        ).coalesce(1)
+        got = xmlgeo.features_from_kml(docs).toPandas()
+        assert set(got["dataset_id"]) == {"good"}
+        good_gpx = (
+            '<gpx xmlns="http://www.topografix.com/GPX/1/1">'
+            '<wpt lat="2.0" lon="1.0"><name>w</name></wpt></gpx>'
+        )
+        bad_gpx = [
+            "<gpx><wpt></gpx>",
+            '<gpx xmlns="http://www.topografix.com/GPX/1/1"><wpt lat="x" lon="y"/></gpx>',
+        ]
+        # a wpt with MISSING lat/lon attrs is NOT an error: Go encoding/xml
+        # leaves float64 zero values, so the reference emits a (0,0)
+        # waypoint — the engine matches (xmlgeo.py `or 0.0`)
+        zero_gpx = '<gpx xmlns="http://www.topografix.com/GPX/1/1"><wpt/></gpx>'
+        gdocs = spark.createDataFrame(
+            [("good", good_gpx), ("zerowpt", zero_gpx)]
+            + [(f"bad{i}", t) for i, t in enumerate(bad_gpx)],
+            "dataset_id string, gpx string",
+        ).coalesce(1)
+        ggot = xmlgeo.features_from_gpx(gdocs).toPandas()
+        assert set(ggot["dataset_id"]) == {"good", "zerowpt"}
+        zw = ggot[ggot["dataset_id"] == "zerowpt"].iloc[0]
+        assert zw["verts"][0][0] == 0.0 and zw["verts"][0][1] == 0.0

@@ -358,3 +358,16 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("drop table if exists bj_counts")
             spark.sql("drop table if exists bj_dims")
+
+
+class TestLangidPlanJvmOnly:
+    def test_no_python_eval_in_langid(self, spark):
+        """The zh substring-count rewrite must stay whole-stage-codegen
+        JVM expressions — no Python/Arrow eval node may appear."""
+        plan = plan_of(Q.q_langid(spark, SF))
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert plan.lstrip().startswith("*("), plan  # whole-stage codegen marker
+        # column pruning reaches the scan: only doc_id + text are read
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "doc_id:bigint,text:string" in read, read

@@ -1016,3 +1016,65 @@ class TestPngFuzzDeclaredErrors:
             + chunk(b"IEND", b"")
         )
         np.testing.assert_array_equal(multimodal._png_pixels(data), px)
+
+
+class TestWatermarkLateData:
+    """Event-time watermark semantics (task brief: "watermarks + windowed
+    aggs for late data"): in append mode a window emits once the watermark
+    passes its end, and data later than the watermark is DROPPED — pinned
+    with three deterministic file-source micro-batches."""
+
+    @staticmethod
+    def _pages(spark, rows):
+        import datetime as dt
+
+        data = [
+            (
+                f"http://w/{i}",
+                dt.datetime.fromisoformat(ts),
+                b"",
+                f"page geo:{10.0 + 0.001 * i:.5f},20.00000 end",
+                "en",
+                i,
+            )
+            for i, ts in rows
+        ]
+        from convert_spark.datagen import PAGES_SCHEMA
+
+        return spark.createDataFrame(data, PAGES_SCHEMA)
+
+    def test_append_mode_drops_too_late_rows(self, spark, tmp_path):
+        from convert_spark.streaming import ingest
+
+        landing = str(tmp_path / "landing_wm")
+        self._pages(spark, [(0, "2026-01-01 10:00:00"), (1, "2026-01-01 11:00:00")]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(landing)
+        stream = ingest.read_page_stream(spark, landing, max_files_per_trigger=100)
+        agg = ingest.stream_tile_counts(stream, zoom=6, watermark="1 hour")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wm_sink")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # window not closed yet: append emits nothing
+            assert spark.sql("select * from wm_sink").count() == 0
+            # batch 2 advances the watermark past Jan-1's window end
+            self._pages(spark, [(2, "2026-01-03 00:30:00")]).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+            q.processAllAvailable()
+            day1 = spark.sql("select sum(n) as n from wm_sink where day = '2026-01-01'").collect()[0]["n"]
+            assert day1 == 2  # both on-time pages counted once the window closed
+            # batch 3: a row back inside Jan-1 — LATER than the watermark -> dropped
+            self._pages(spark, [(3, "2026-01-01 12:00:00")]).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+            q.processAllAvailable()
+            day1_after = spark.sql("select sum(n) as n from wm_sink where day = '2026-01-01'").collect()[0]["n"]
+            assert day1_after == 2, "too-late row must not reopen the emitted window"
+        finally:
+            q.stop()

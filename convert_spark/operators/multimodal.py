@@ -11,13 +11,15 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
 * ``deterministic_fake=False``: REAL stdlib decode — headers for
   PNG (IHDR width/height + color-type channel count), JPEG (SOF marker
   scan) and WAV (the ``wave`` module; width = frames per channel,
-  height = sample rate); PIXELS for 8-bit non-interlaced PNG (zlib
-  inflate of IDAT + scanline unfilter, feeding real channel statistics
-  into ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics
-  + fixed-stride frame windows in ``sample_frames``). Everything past
-  that — JPEG pixels, palette/interlaced/deep PNG, non-PCM audio, video
-  rasters — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
-  declared NotImplementedError.
+  height = sample rate); PIXELS for non-interlaced PNG at bit depth 8
+  and 16 plus 8-bit palette (zlib inflate of IDAT + scanline unfilter +
+  PLTE lookup, feeding real channel statistics into
+  ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics +
+  fixed-stride frame windows in ``sample_frames``); nearest-neighbor
+  RESIZE re-encoded in the source format. Everything past that — JPEG
+  pixels, sub-byte/interlaced PNG, non-PCM audio, video rasters — needs
+  a full codec (Pillow/ffmpeg/pyav) and raises the one declared
+  NotImplementedError.
 """
 
 from __future__ import annotations
@@ -133,25 +135,27 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
 
 
 def _png_pixels(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to a (h, w, channels) uint8
-    array: walk chunks, inflate the concatenated IDAT stream, undo the
-    per-scanline filter (0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the
+    """Decode a non-interlaced PNG to a (h, w, channels) array: walk
+    chunks, inflate the concatenated IDAT stream, undo the per-scanline
+    filter (0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the
     per-residue-class cumsum mod 256, Up is vectorized, Average/Paeth are
-    sequential by spec). Palette (PLTE), bit depths != 8 and Adam7
-    interlace raise the declared NotImplementedError."""
+    sequential by spec — PNG filters operate on BYTES with a
+    bytes-per-pixel offset regardless of bit depth). Supported: bit depth
+    8 (uint8 out), bit depth 16 (uint16 out, big-endian samples), and
+    8-bit palette (PLTE lookup -> (h, w, 3) uint8). Sub-byte depths
+    (1/2/4) and Adam7 interlace raise the declared NotImplementedError."""
     import zlib
 
     _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
     if len(data) < 29:  # _decode_png needs 26 bytes; interlace sits at 28
         raise NotImplementedError("malformed PNG: IHDR truncated before interlace byte")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
-    if bit_depth != 8:
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
         raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")
-    if color_type == 3:
-        raise NotImplementedError("PNG palette images need PLTE handling: real codec territory")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG: real codec territory")
     idat: list[bytes] = []
+    plte: bytes | None = None
     pos = 8
     try:
         while pos + 8 <= len(data):
@@ -159,6 +163,8 @@ def _png_pixels(data: bytes) -> np.ndarray:
             typ = data[pos + 4 : pos + 8]
             if typ == b"IDAT":
                 idat.append(data[pos + 8 : pos + 8 + ln])
+            elif typ == b"PLTE":
+                plte = data[pos + 8 : pos + 8 + ln]
             if typ == b"IEND":
                 break
             pos += 12 + ln  # len + type + payload + crc
@@ -167,7 +173,10 @@ def _png_pixels(data: bytes) -> np.ndarray:
         raise
     except Exception as exc:  # noqa: BLE001 — corrupt chunk table / deflate stream
         raise NotImplementedError(f"malformed PNG pixel data: {exc}") from exc
-    bpp = channels  # bytes per pixel at bit depth 8
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise NotImplementedError("malformed PNG: palette image without a valid PLTE chunk")
+    bpp = channels * (bit_depth // 8)  # filter offset = bytes per pixel
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
@@ -204,6 +213,15 @@ def _png_pixels(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"malformed PNG: filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if color_type == 3:  # palette indices -> RGB via PLTE
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(table):
+            raise NotImplementedError("malformed PNG: palette index out of PLTE range")
+        return table[idx]
+    if bit_depth == 16:  # big-endian sample pairs -> uint16
+        b16 = out.reshape(h, w, channels, 2).astype(np.uint16)
+        return (b16[..., 0] << 8) | b16[..., 1]
     return out.reshape(h, w, bpp)
 
 
@@ -236,7 +254,8 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     [-1, 1] to [0, 1] (std is scale-only, kept as-is). JPEG pixels and
     other formats need a real codec -> declared NotImplementedError."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
-        px = _png_pixels(data).astype(np.float64) / 255.0
+        px = _png_pixels(data)
+        px = px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
         chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s, _ = _wav_samples(data)
@@ -255,17 +274,20 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
 
 
 def encode_png(px: np.ndarray) -> bytes:
-    """Encode a (h, w, channels) uint8 array as an 8-bit non-interlaced
-    PNG (filter 0 scanlines + one zlib IDAT) — the write side of
-    ``_png_pixels``, used by the real resize path. Channel count picks
-    the color type (1=gray 2=gray+alpha 3=RGB 4=RGBA per the PNG spec)."""
+    """Encode a (h, w, channels) uint8 or uint16 array as a
+    non-interlaced PNG (filter 0 scanlines + one zlib IDAT, bit depth 8
+    or 16 by dtype, 16-bit samples big-endian per the spec) — the write
+    side of ``_png_pixels``, used by the real resize path. Channel count
+    picks the color type (1=gray 2=gray+alpha 3=RGB 4=RGBA)."""
     import zlib
 
     h, w, c = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if color_type is None:
         raise NotImplementedError(f"PNG encode: {c} channels unsupported")
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    bit_depth = 16 if px.dtype == np.uint16 else 8
+    rows = px.astype(">u2") if bit_depth == 16 else px
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -273,7 +295,7 @@ def encode_png(px: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -1078,3 +1078,68 @@ class TestWatermarkLateData:
             assert day1_after == 2, "too-late row must not reopen the emitted window"
         finally:
             q.stop()
+
+
+class TestPngDeepFormats:
+    """Round-4 stub narrowing: 16-bit PNGs decode to uint16 (big-endian
+    samples) and 8-bit palette PNGs decode through PLTE to RGB."""
+
+    def test_16bit_roundtrip_and_resize(self):
+        rng = np.random.RandomState(23)
+        for c in (1, 3, 4):
+            px = rng.randint(0, 65536, size=(5, 4, c)).astype(np.uint16)
+            data = multimodal.encode_png(px)
+            got = multimodal._png_pixels(data)
+            assert got.dtype == np.uint16
+            np.testing.assert_array_equal(got, px)
+        px = rng.randint(0, 65536, size=(8, 6, 3)).astype(np.uint16)
+        out = multimodal._png_pixels(multimodal.resize_real(multimodal.encode_png(px), 3, 4))
+        yi = (np.arange(4) * 8) // 4
+        xi = (np.arange(3) * 6) // 3
+        np.testing.assert_array_equal(out, px[yi][:, xi])
+        feat = multimodal.features_real(multimodal.encode_png(px), dim=16)
+        v = px[:, :, 0].astype(np.float64) / 65535.0
+        assert feat[0] == pytest.approx(v.mean(), abs=1e-6)
+
+    @staticmethod
+    def _palette_png(idx: np.ndarray, table: np.ndarray) -> bytes:
+        import struct as st
+        import zlib
+
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+        h, w = idx.shape
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", table.astype(np.uint8).tobytes())
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_palette_decode(self):
+        rng = np.random.RandomState(24)
+        table = rng.randint(0, 256, size=(7, 3), dtype=np.uint8)
+        idx = rng.randint(0, 7, size=(6, 5), dtype=np.uint8)
+        got = multimodal._png_pixels(self._palette_png(idx, table))
+        np.testing.assert_array_equal(got, table[idx])
+        # palette index past the PLTE -> declared error
+        bad_idx = np.full((2, 2), 9, dtype=np.uint8)
+        with pytest.raises(NotImplementedError):
+            multimodal._png_pixels(self._palette_png(bad_idx, table))
+        # palette image with NO PLTE chunk -> declared error
+        import struct as st
+        import zlib
+
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+        no_plte = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+            + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            multimodal._png_pixels(no_plte)

@@ -77,25 +77,29 @@ def tile_y(lat: Column, zoom: int) -> Column:
     return F.greatest(F.least(t, F.lit(n - 1)), F.lit(0))
 
 
-def _spread_bits16(c: Column) -> Column:
-    """Interleave-ready bit spread (x -> bits at even positions) for values
-    < 2^16 — four shift/mask rounds, classic Morton magic numbers."""
-    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
-    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
-    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+def _spread_bits(c: Column) -> Column:
+    """Interleave-ready bit spread (x -> bits at even positions) for
+    values < 2^32 — five shift/mask rounds with 64-bit Morton magic
+    numbers (the 32-bit variant silently dropped tile bits past zoom
+    16; see the matching 64-bit _compress_bits inverse)."""
+    c = c.bitwiseAND(F.lit(0x00000000FFFFFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
     return c
 
 
 def morton_cell(tx: Column, ty: Column, zoom: int) -> Column:
     """Zoom-prefixed Morton cell id — matches kernels.quadkey.cell_id.
 
-    Supported for zoom <= 16 (join/rollup range; the numpy kernel goes to
-    26 for fine-grained work).
-    """
-    if zoom > 16:
-        raise ValueError("expression morton_cell supports zoom <= 16")
-    return F.lit(1 << (2 * zoom)).cast("long") + _spread_bits16(tx) + F.shiftleft(_spread_bits16(ty), 1)
+    Supported for zoom <= 30 (marker bit 2z + interleaved bits stay in
+    int64; the numpy kernel caps at 26) — parity-tested against the
+    kernel through zoom 26 (tests/test_spark_pipeline.py)."""
+    if zoom > 30:
+        raise ValueError("expression morton_cell supports zoom <= 30")
+    return F.lit(1 << (2 * zoom)).cast("long") + _spread_bits(tx) + F.shiftleft(_spread_bits(ty), 1)
 
 
 def cell_of(lat: Column, lon: Column, zoom: int) -> Column:

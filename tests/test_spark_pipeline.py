@@ -68,7 +68,7 @@ class TestExprKernelParity:
         lat = rng.uniform(-85.05, 85.05, 300)
         pdf = pd.DataFrame({"lon": lon, "lat": lat})
         df = spark.createDataFrame(pdf)
-        for zoom in (3, 8, 12, 16):
+        for zoom in (3, 8, 12, 16, 17, 20, 26):  # >16: 64-bit spread path
             got = tiles.with_tile(df, zoom).select("tile_x", "tile_y", "cell_id").toPandas()
             ktx, kty = quadkey.latlon_to_tile(lat, lon, zoom)
             kcell = quadkey.cell_id(lat, lon, zoom)

@@ -134,56 +134,23 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
 # need a real codec and stay behind the declared NotImplementedError.
 
 
-def _png_pixels(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced PNG to a (h, w, channels) array: walk
-    chunks, inflate the concatenated IDAT stream, undo the per-scanline
-    filter (0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the
-    per-residue-class cumsum mod 256, Up is vectorized, Average/Paeth are
-    sequential by spec — PNG filters operate on BYTES with a
-    bytes-per-pixel offset regardless of bit depth). Supported: bit depth
-    8 (uint8 out), bit depth 16 (uint16 out, big-endian samples), and
-    8-bit palette (PLTE lookup -> (h, w, 3) uint8). Sub-byte depths
-    (1/2/4) and Adam7 interlace raise the declared NotImplementedError."""
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
-    if len(data) < 29:  # _decode_png needs 26 bytes; interlace sits at 28
-        raise NotImplementedError("malformed PNG: IHDR truncated before interlace byte")
-    bit_depth, color_type, interlace = data[24], data[25], data[28]
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-        raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG: real codec territory")
-    idat: list[bytes] = []
-    plte: bytes | None = None
-    pos = 8
-    try:
-        while pos + 8 <= len(data):
-            (ln,) = struct.unpack(">I", data[pos : pos + 4])
-            typ = data[pos + 4 : pos + 8]
-            if typ == b"IDAT":
-                idat.append(data[pos + 8 : pos + 8 + ln])
-            elif typ == b"PLTE":
-                plte = data[pos + 8 : pos + 8 + ln]
-            if typ == b"IEND":
-                break
-            pos += 12 + ln  # len + type + payload + crc
-        raw = zlib.decompress(b"".join(idat))
-    except NotImplementedError:
-        raise
-    except Exception as exc:  # noqa: BLE001 — corrupt chunk table / deflate stream
-        raise NotImplementedError(f"malformed PNG pixel data: {exc}") from exc
-    if color_type == 3:
-        if plte is None or len(plte) % 3 or not plte:
-            raise NotImplementedError("malformed PNG: palette image without a valid PLTE chunk")
-    bpp = channels * (bit_depth // 8)  # filter offset = bytes per pixel
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
+
+def _unfilter_scanlines(arr: np.ndarray, n_rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filters on one (sub-)image: ``arr`` is
+    (n_rows, stride+1) raw bytes with the filter type in column 0.
+    0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the per-residue-class
+    cumsum mod 256, Up is vectorized, Average/Paeth are sequential by
+    spec — filters operate on BYTES with a ``bpp`` offset regardless of
+    bit depth, and each pass/image starts with a zero prior row."""
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
+    for y in range(n_rows):
         f = int(arr[y, 0])
         line = arr[y, 1:].astype(np.int64)
         if f == 0:
@@ -213,6 +180,78 @@ def _png_pixels(data: bytes) -> np.ndarray:
             raise NotImplementedError(f"malformed PNG: filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    """Decode a PNG to a (h, w, channels) array: walk chunks, inflate the
+    concatenated IDAT stream, undo the per-scanline filters
+    (_unfilter_scanlines), and for Adam7-interlaced images unfilter each
+    of the 7 passes independently and scatter it into the raster
+    (out[y0::dy, x0::dx] — each pass restarts filtering with a zero
+    prior row, per the spec). Supported: bit depth 8 (uint8 out), bit
+    depth 16 (uint16 out, big-endian samples), 8-bit palette (PLTE
+    lookup -> (h, w, 3) uint8), interlace 0 and 1. Sub-byte depths
+    (1/2/4) raise the declared NotImplementedError."""
+    import zlib
+
+    _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
+    if len(data) < 29:  # _decode_png needs 26 bytes; interlace sits at 28
+        raise NotImplementedError("malformed PNG: IHDR truncated before interlace byte")
+    bit_depth, color_type, interlace = data[24], data[25], data[28]
+    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
+        raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"malformed PNG: interlace method {interlace}")
+    idat: list[bytes] = []
+    plte: bytes | None = None
+    pos = 8
+    try:
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat.append(data[pos + 8 : pos + 8 + ln])
+            elif typ == b"PLTE":
+                plte = data[pos + 8 : pos + 8 + ln]
+            if typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + payload + crc
+        raw = zlib.decompress(b"".join(idat))
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — corrupt chunk table / deflate stream
+        raise NotImplementedError(f"malformed PNG pixel data: {exc}") from exc
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise NotImplementedError("malformed PNG: palette image without a valid PLTE chunk")
+    bpp = channels * (bit_depth // 8)  # filter offset = bytes per pixel
+    stride = w * bpp
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        out = _unfilter_scanlines(arr, h, stride, bpp)
+        out = out.reshape(h, w, bpp)
+    else:  # Adam7: 7 independent sub-images, scattered into the raster
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images
+            pstride = pw * bpp
+            seg_len = ph * (pstride + 1)
+            if off + seg_len > len(raw):
+                raise NotImplementedError("malformed PNG: truncated Adam7 pass data")
+            seg = np.frombuffer(raw, dtype=np.uint8, count=seg_len, offset=off).reshape(
+                ph, pstride + 1
+            )
+            off += seg_len
+            out[y0::dy, x0::dx] = _unfilter_scanlines(seg, ph, pstride, bpp).reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise NotImplementedError("malformed PNG: Adam7 pass data size mismatch")
     if color_type == 3:  # palette indices -> RGB via PLTE
         table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out.reshape(h, w)

@@ -1143,3 +1143,74 @@ class TestPngDeepFormats:
             + chunk(b"IEND", b""))
         with pytest.raises(NotImplementedError):
             multimodal._png_pixels(no_plte)
+
+
+class TestPngAdam7:
+    """Adam7 interlace decode: the test ENCODER extracts the 7 passes and
+    filters each independently; the engine deinterlaces by scatter."""
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+    @classmethod
+    def _encode_interlaced(cls, px: np.ndarray, rng) -> bytes:
+        import struct as st
+        import zlib
+
+        h, w, c = px.shape
+        bit_depth = 16 if px.dtype == np.uint16 else 8
+        bpp = c * (bit_depth // 8)
+        body = b""
+        for x0, y0, dx, dy in cls.PASSES:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            rows = sub.astype(">u2") if bit_depth == 16 else sub
+            prev = np.zeros(pw * bpp, dtype=np.int64)
+            for y in range(ph):
+                cur = np.frombuffer(rows[y].tobytes(), dtype=np.uint8).astype(np.int64)
+                f = int(rng.choice([0, 1, 2]))  # vectorizable filters in the encoder
+                if f == 0:
+                    filt = cur
+                elif f == 1:
+                    left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+                    filt = (cur - left) & 0xFF
+                else:
+                    filt = (cur - prev) & 0xFF
+                body += bytes([f]) + bytes(filt.astype(np.uint8))
+                prev = cur
+
+        def chunk(tag, b):
+            return st.pack(">I", len(b)) + tag + b + st.pack(">I", zlib.crc32(tag + b) & 0xFFFFFFFF)
+
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1)  # interlace=1
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    def test_roundtrip_shapes_and_depths(self):
+        rng = np.random.RandomState(25)
+        for (h, w), c in [((9, 7), 3), ((8, 8), 1), ((3, 2), 4), ((1, 1), 3), ((16, 5), 2)]:
+            px = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+            got = multimodal._png_pixels(self._encode_interlaced(px, rng))
+            np.testing.assert_array_equal(got, px)
+        px16 = rng.randint(0, 65536, size=(6, 9, 3)).astype(np.uint16)
+        got16 = multimodal._png_pixels(self._encode_interlaced(px16, rng))
+        assert got16.dtype == np.uint16
+        np.testing.assert_array_equal(got16, px16)
+
+    def test_truncated_interlaced_declared_error(self):
+        rng = np.random.RandomState(26)
+        px = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+        good = self._encode_interlaced(px, rng)
+        import struct as st
+        import zlib
+
+        # re-wrap with a short IDAT: drop the last pass's bytes pre-compress
+        for cut in (1, 20):
+            bad = bytearray(good)
+            # simplest: truncate the whole file; decode must stay declared
+            try:
+                multimodal._png_pixels(bytes(bad[: len(bad) - cut]))
+            except NotImplementedError:
+                pass

@@ -190,19 +190,24 @@ def _png_pixels(data: bytes) -> np.ndarray:
     of the 7 passes independently and scatter it into the raster
     (out[y0::dy, x0::dx] — each pass restarts filtering with a zero
     prior row, per the spec). Supported: bit depth 8 (uint8 out), bit
-    depth 16 (uint16 out, big-endian samples), 8-bit palette (PLTE
-    lookup -> (h, w, 3) uint8), interlace 0 and 1. Sub-byte depths
-    (1/2/4) raise the declared NotImplementedError."""
+    depth 16 (uint16 out, big-endian samples), palette at depths
+    1/2/4/8 (PLTE lookup -> (h, w, 3) uint8), sub-byte grayscale
+    (MSB-first unpack + spec scaling to 8-bit), interlace 0 and 1 —
+    i.e. every IHDR shape the spec allows except sub-byte Adam7;
+    ancillary chunks (tRNS, gAMA, ...) are ignored."""
     import zlib
 
     _, w, h, channels = _decode_png(data)  # validates magic + IHDR + dims
     if len(data) < 29:  # _decode_png needs 26 bytes; interlace sits at 28
         raise NotImplementedError("malformed PNG: IHDR truncated before interlace byte")
     bit_depth, color_type, interlace = data[24], data[25], data[28]
-    if bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8):
-        raise NotImplementedError(f"PNG bit depth {bit_depth}: real codec territory")
+    sub_byte = bit_depth in (1, 2, 4) and color_type in (0, 3)
+    if not sub_byte and (bit_depth not in (8, 16) or (color_type == 3 and bit_depth != 8)):
+        raise NotImplementedError(f"PNG bit depth {bit_depth}/color {color_type}: real codec territory")
     if interlace not in (0, 1):
         raise NotImplementedError(f"malformed PNG: interlace method {interlace}")
+    if sub_byte and interlace != 0:
+        raise NotImplementedError("sub-byte Adam7 PNG: real codec territory")
     idat: list[bytes] = []
     plte: bytes | None = None
     pos = 8
@@ -225,6 +230,26 @@ def _png_pixels(data: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise NotImplementedError("malformed PNG: palette image without a valid PLTE chunk")
+    if sub_byte:
+        # filters at sub-byte depths use a ONE-byte offset (spec: bpp is
+        # rounded up to one byte); samples pack MSB-first within bytes
+        stride = (w * bit_depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        rows = _unfilter_scanlines(arr, h, stride, 1)
+        bits = np.unpackbits(rows, axis=1)[:, : w * bit_depth].reshape(h, w, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        vals = (bits * weights).sum(axis=2).astype(np.uint8)  # (h, w) sample values
+        if color_type == 3:
+            table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(vals.max(initial=0)) >= len(table):
+                raise NotImplementedError("malformed PNG: palette index out of PLTE range")
+            return table[vals]
+        # grayscale: scale to full 8-bit range (spec sample scaling)
+        return ((vals.astype(np.uint16) * 255) // ((1 << bit_depth) - 1)).astype(np.uint8)[
+            :, :, None
+        ]
     bpp = channels * (bit_depth // 8)  # filter offset = bytes per pixel
     stride = w * bpp
     if interlace == 0:

@@ -1214,3 +1214,58 @@ class TestPngAdam7:
                 multimodal._png_pixels(bytes(bad[: len(bad) - cut]))
             except NotImplementedError:
                 pass
+
+
+class TestPngSubByteDepths:
+    """1/2/4-bit grayscale and palette PNGs: one-byte filter offset,
+    MSB-first sample packing, spec gray scaling to 8-bit."""
+
+    @staticmethod
+    def _encode_subbyte(vals: np.ndarray, bit_depth: int, color_type: int, plte: bytes | None, filters) -> bytes:
+        import struct as st
+        import zlib
+
+        h, w = vals.shape
+        body = b""
+        prev = None
+        for y, f in zip(range(h), filters):
+            bits = ((vals[y][:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1).astype(np.uint8)
+            packed = np.packbits(bits.reshape(-1))
+            cur = packed.astype(np.int64)
+            if f == 0 or prev is None:
+                filt, f = cur, 0
+            else:  # Up
+                filt = (cur - prev) & 0xFF
+            body += bytes([f]) + bytes(filt.astype(np.uint8))
+            prev = cur
+
+        def chunk(tag, b):
+            return st.pack(">I", len(b)) + tag + b + st.pack(">I", zlib.crc32(tag + b) & 0xFFFFFFFF)
+
+        ihdr = st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    def test_gray_depths(self):
+        rng = np.random.RandomState(27)
+        for d in (1, 2, 4):
+            vals = rng.randint(0, 1 << d, size=(5, 11), dtype=np.uint8)  # 11: partial last byte
+            data = self._encode_subbyte(vals, d, 0, None, [0, 2, 0, 2, 2])
+            got = multimodal._png_pixels(data)
+            exp = ((vals.astype(np.uint16) * 255) // ((1 << d) - 1)).astype(np.uint8)[:, :, None]
+            np.testing.assert_array_equal(got, exp)
+
+    def test_palette_depths(self):
+        rng = np.random.RandomState(28)
+        table = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+        for d in (2, 4):
+            vals = rng.randint(0, 1 << d, size=(4, 7), dtype=np.uint8)
+            data = self._encode_subbyte(vals, d, 3, table.tobytes(), [0, 0, 2, 2])
+            np.testing.assert_array_equal(multimodal._png_pixels(data), table[vals])
+        # out-of-palette index stays the declared error
+        small = table[:2].tobytes()
+        vals = np.full((2, 3), 3, dtype=np.uint8)
+        with pytest.raises(NotImplementedError):
+            multimodal._png_pixels(self._encode_subbyte(vals, 2, 3, small, [0, 0]))

@@ -1,0 +1,541 @@
+"""Baseline JPEG (ITU T.81 sequential DCT) codec from scratch — numpy only.
+
+Public-spec implementation for the multimodal real path: huffman-coded
+8x8 DCT blocks, standard zigzag order, JFIF YCbCr. Decoder supports
+baseline/extended-sequential scans (SOF0/SOF1) with arbitrary sampling
+factors (4:4:4, 4:2:2, 4:2:0, grayscale), restart intervals, and the
+usual APPn/COM/DQT/DHT segment soup. Progressive (SOF2), arithmetic
+coding and 12-bit precision raise NotImplementedError — the same single
+declared exception type as the rest of operators/multimodal.
+
+The encoder (used by the real resize path and the round-trip tests)
+writes baseline 4:4:4 or grayscale with the Annex K example quantization
+and huffman tables, quality-scaled per the common IJG convention.
+
+All table constants below are from the published standard (Annex K).
+
+Performance note: the entropy coder is a scalar Python bit loop — fine
+for the sandbox's small test payloads and correctness work, but a
+production cluster decoding megapixel corpora should swap in a
+vectorized/library codec at this call site (the IDCT/color math is
+already numpy). The declared-exception contract is what transfers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag order: index i of the zigzag sequence -> position in the 8x8 block
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 example quantization tables (luminance, chrominance)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 example huffman tables: (counts per code length 1..16, symbols)
+_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+# 8x8 DCT-II basis matrix A: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# forward DCT = A @ block @ A.T, inverse = A.T @ coeff @ A (orthonormal)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _canonical_codes(counts, symbols):
+    """(counts per length 1..16, symbols) -> {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(counts, symbols):
+    """symbol -> (code, length) for the encoder."""
+    dec = _canonical_codes(counts, symbols)
+    return {sym: (code, length) for (length, code), sym in dec.items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-stuffing removal; stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.n <= 24 and self.marker is None:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF  # zero-pad past EOI
+                self.n += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.marker = nxt  # RSTn — caller consumes via sync()
+                    continue
+                else:
+                    self.marker = nxt  # EOI / next segment
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill()
+        if self.n < k:
+            raise NotImplementedError("malformed JPEG: entropy data exhausted")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huffman(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("malformed JPEG: invalid huffman code")
+
+    def sync_restart(self) -> None:
+        """Discard pad bits and consume the RSTn marker between restart
+        intervals. The marker may or may not have been seen by _fill yet
+        (the interval can end on an exact byte boundary), so scan forward
+        from the current byte position either way."""
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise NotImplementedError("malformed JPEG: missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map a t-bit magnitude to its signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline/extended-sequential JPEG to (h, w, 3) RGB uint8
+    (or (h, w, 1) for single-component scans). Progressive, arithmetic
+    and 12-bit inputs raise NotImplementedError (the one declared type,
+    like every malformed-payload path)."""
+    try:
+        return _decode(data)
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — corrupt segment/entropy data
+        raise NotImplementedError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise NotImplementedError("malformed JPEG: no SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise NotImplementedError("malformed JPEG: segment desync")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — multiple tables per segment
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables: not baseline")
+                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = zz
+                qt[tq] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT — multiple tables per segment
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                counts = tuple(body[b + 1 : b + 17])
+                n = sum(counts)
+                symbols = tuple(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _canonical_codes(counts, symbols)
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline / extended sequential
+            precision = body[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG: not baseline")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("progressive/hierarchical/arithmetic JPEG: not baseline")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise NotImplementedError("malformed JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(data, pos + 2 + seg_len, frame, scan, qt, huff, restart)
+        pos += 2 + seg_len
+    raise NotImplementedError("malformed JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise NotImplementedError("malformed JPEG: zero frame dims")
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if hmax == 0 or vmax == 0:
+        raise NotImplementedError("malformed JPEG: zero sampling factor")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for comp, _, _ in scan:
+        planes.append(np.zeros((mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8), dtype=np.float64))
+    reader = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.sync_restart()
+                pred = [0] * len(scan)
+            for ci, (comp, td, ta) in enumerate(scan):
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                q = qt.get(comp["tq"])
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    raise NotImplementedError("malformed JPEG: missing huffman/quant table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = reader.huffman(dc_tbl)
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huffman(ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError("malformed JPEG: AC index overflow")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int64)
+                        block[_ZIGZAG] = zz
+                        coeff = block.reshape(8, 8) * q
+                        px = _A.T @ coeff @ _A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample each component to full MCU-grid resolution (replication)
+    full = []
+    for ci, (comp, _, _) in enumerate(scan):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG: not JFIF YCbCr")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# --- encoder (baseline, 4:4:4 or grayscale; Annex K tables) -------------------
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-convention quality scaling of the Annex K tables."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_Q_LUMA.reshape(8, 8) * scale + 50) // 100, 1, 255)
+    qc = np.clip((_Q_CHROMA.reshape(8, 8) * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        if k == 0:
+            return
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.bits((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
+    coeff = np.rint((_A @ (block - 128.0) @ _A.T) / q).astype(np.int64)
+    zz = coeff.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = int(diff != 0 and int(np.abs(diff)).bit_length() or 0)
+    code, length = dc_codes[t]
+    bw.bits(code, length)
+    if t:
+        bw.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.bits(c, ln)
+            run -= 16
+        s = int(np.abs(v)).bit_length()
+        c, ln = ac_codes[(run << 4) | s]
+        bw.bits(c, ln)
+        bw.bits(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.bits(c, ln)
+    return int(zz[0])
+
+
+def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
+    """8x8 tile at (ys, xs) with edge-replication padding."""
+    blk = np.zeros((8, 8))
+    tile = plane[ys : ys + 8, xs : xs + 8]
+    blk[: tile.shape[0], : tile.shape[1]] = tile
+    if 0 < tile.shape[0] < 8:
+        blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+    if 0 < tile.shape[1] < 8:
+        blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1][:, None]
+    return blk
+
+
+def encode_baseline(
+    px: np.ndarray, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Encode (h, w, 1|3) uint8 as baseline JFIF — 4:4:4 by default,
+    4:2:0 with ``subsample=True`` (2x2-mean chroma), grayscale for one
+    channel; optional DRI/RSTn restart markers every
+    ``restart_interval`` MCUs (resets DC predictors, as the spec
+    requires)."""
+    h, w, nc = px.shape
+    if nc not in (1, 3):
+        raise NotImplementedError(f"JPEG encode: {nc} channels unsupported")
+    ql, qc = _quality_tables(quality)
+    if nc == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # 2x2 mean chroma (pad odd dims by edge replication first)
+            def down2(p):
+                if h % 2:
+                    p = np.vstack([p, p[-1:]])
+                if w % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+            chans = [(y, ql, 0, 2, 2), (down2(cb), qc, 1, 1, 1), (down2(cr), qc, 1, 1, 1)]
+        else:
+            chans = [(y, ql, 0, 1, 1), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+    else:
+        chans = [(px[:, :, 0].astype(np.float64), ql, 0, 1, 1)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    for tq, q in ((0, ql), (1, qc))[: 1 if nc == 1 else 2]:
+        zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zz.tobytes())
+    comp_spec = b"".join(
+        bytes([i + 1, (ch[3] << 4) | ch[4], 0 if i == 0 else 1]) for i, ch in enumerate(chans)
+    )
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
+    tables = ((_DC_LUMA, 0x00), (_AC_LUMA, 0x10)) + (
+        ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if nc == 3 else ()
+    )
+    for (counts, symbols), tcth in tables:
+        out += seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(symbols))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([nc]) + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(nc)) + b"\x00\x3f\x00")
+    dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
+    dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
+    hmax = max(ch[3] for ch in chans)
+    vmax = max(ch[4] for ch in chans)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+    scan_bytes = bytearray()
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                scan_bytes += bytes(bw.out) + bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * nc
+            for ci, (plane, q, is_chroma, ch_h, ch_v) in enumerate(chans):
+                for by in range(ch_v):
+                    for bx in range(ch_h):
+                        ys = (my * ch_v + by) * 8
+                        xs = (mx * ch_h + bx) * 8
+                        preds[ci] = _encode_block(
+                            bw,
+                            _pad_block(plane, ys, xs),
+                            q,
+                            dc_c if is_chroma else dc_l,
+                            ac_c if is_chroma else ac_l,
+                            preds[ci],
+                        )
+            mcu_count += 1
+    bw.flush()
+    scan_bytes += bytes(bw.out)
+    return out + bytes(scan_bytes) + b"\xff\xd9"

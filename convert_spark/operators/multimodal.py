@@ -15,11 +15,13 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   and 16 plus 8-bit palette (zlib inflate of IDAT + scanline unfilter +
   PLTE lookup, feeding real channel statistics into
   ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics +
-  fixed-stride frame windows in ``sample_frames``); nearest-neighbor
-  RESIZE re-encoded in the source format. Everything past that — JPEG
-  pixels, sub-byte/interlaced PNG, non-PCM audio, video rasters — needs
-  a full codec (Pillow/ffmpeg/pyav) and raises the one declared
-  NotImplementedError.
+  fixed-stride frame windows in ``sample_frames``); JPEG PIXELS via the
+  from-scratch baseline codec (kernels/jpeg.py — huffman + dequant +
+  IDCT + YCbCr, any sampling factors, restart intervals);
+  nearest-neighbor RESIZE re-encoded in the source format. Everything
+  past that — progressive/arithmetic JPEG, non-PCM audio, video
+  rasters — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
+  declared NotImplementedError.
 """
 
 from __future__ import annotations
@@ -126,12 +128,14 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
     raise NotImplementedError("media codec unavailable in this container for this format")
 
 
-# --- real pixel/sample decode (stdlib-only) ----------------------------------
+# --- real pixel/sample decode (stdlib + from-scratch codecs) ------------------
 #
-# One level deeper than the headers: PNG pixels via zlib-inflate of the
-# IDAT stream + per-scanline unfiltering (PNG spec filters 0-4), WAV PCM
-# samples via wave.readframes. JPEG pixels and video rasters genuinely
-# need a real codec and stay behind the declared NotImplementedError.
+# Beyond the headers: PNG pixels via zlib-inflate of the IDAT stream +
+# per-scanline unfiltering (PNG spec filters 0-4, all IHDR shapes except
+# sub-byte Adam7), JPEG pixels via the baseline codec in kernels/jpeg.py,
+# WAV PCM samples via wave.readframes. Progressive JPEG and video rasters
+# genuinely need a real codec and stay behind the declared
+# NotImplementedError.
 
 
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec order
@@ -313,19 +317,26 @@ def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
 def features_real(data: bytes, dim: int) -> np.ndarray:
     """Fixed-``dim`` float32 feature vector from REAL decoded content:
     per-channel (mean, std, min, max) in channel-major order, zero-padded
-    / truncated to ``dim``. PNG stats are over uint8 pixels scaled to
-    [0, 1]; WAV stats are over PCM samples with mean/min/max mapped from
-    [-1, 1] to [0, 1] (std is scale-only, kept as-is). JPEG pixels and
-    other formats need a real codec -> declared NotImplementedError."""
+    / truncated to ``dim``. PNG/JPEG stats are over pixels scaled to
+    [0, 1] (JPEG via the from-scratch baseline codec, kernels/jpeg.py);
+    WAV stats are over PCM samples with mean/min/max mapped from [-1, 1]
+    to [0, 1] (std is scale-only, kept as-is). Formats past that (video,
+    progressive JPEG, ...) need a real codec -> declared
+    NotImplementedError."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         px = _png_pixels(data)
         px = px.astype(np.float64) / (65535.0 if px.dtype == np.uint16 else 255.0)
+        chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
+    elif data[:3] == b"\xff\xd8\xff":
+        from ..kernels import jpeg
+
+        px = jpeg.decode_baseline(data).astype(np.float64) / 255.0
         chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s, _ = _wav_samples(data)
         chans = [(s[:, c] + 1.0) / 2.0 for c in range(s.shape[1])]
     else:
-        raise NotImplementedError("feature encoder: only PNG/WAV decode without a real codec")
+        raise NotImplementedError("feature encoder: only PNG/JPEG/WAV decode without a real codec")
     stats: list[float] = []
     for ch in chans:
         if ch.size:
@@ -387,6 +398,14 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         yi = (np.arange(th, dtype=np.int64) * h) // th
         xi = (np.arange(tw, dtype=np.int64) * w) // tw
         return encode_png(np.ascontiguousarray(px[yi][:, xi]))
+    if data[:3] == b"\xff\xd8\xff":
+        from ..kernels import jpeg
+
+        px = jpeg.decode_baseline(data)
+        h, w, _ = px.shape
+        yi = (np.arange(th, dtype=np.int64) * h) // th
+        xi = (np.arange(tw, dtype=np.int64) * w) // tw
+        return jpeg.encode_baseline(np.ascontiguousarray(px[yi][:, xi]))
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 
@@ -406,7 +425,7 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
             return out.getvalue()
         except Exception as exc:  # noqa: BLE001
             raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
-    raise NotImplementedError("resize: only PNG/WAV decode without a real codec")
+    raise NotImplementedError("resize: only PNG/JPEG/WAV decode without a real codec")
 
 
 def frames_real(data: bytes, n_frames: int) -> list[str]:

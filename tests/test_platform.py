@@ -746,7 +746,7 @@ class TestRealPixelDecode:
         import struct as st
 
         with pytest.raises(NotImplementedError):
-            multimodal.features_real(TestRealCodecs._jpeg_bytes(), dim=16)  # JPEG pixels: real codec
+            multimodal.features_real(TestRealCodecs._jpeg_bytes(), dim=16)  # header-only fixture: no scan
         with pytest.raises(NotImplementedError):
             multimodal.frames_real(TestRealCodecs._jpeg_bytes(), n_frames=3)
         # ADVICE: IHDR dims past int32 must be the declared error, not OverflowError
@@ -899,7 +899,7 @@ class TestResizeStage:
         up = multimodal._png_pixels(multimodal.resize_real(data, 12, 20))
         assert up.shape == (20, 12, 3)
         with pytest.raises(NotImplementedError):
-            multimodal.resize_real(TestRealCodecs._jpeg_bytes(), 4, 4)  # JPEG pixels: real codec
+            multimodal.resize_real(TestRealCodecs._jpeg_bytes(), 4, 4)  # header-only fixture: no scan
 
     def test_resize_real_wav(self):
         import io as _io
@@ -1269,3 +1269,94 @@ class TestPngSubByteDepths:
         vals = np.full((2, 3), 3, dtype=np.uint8)
         with pytest.raises(NotImplementedError):
             multimodal._png_pixels(self._encode_subbyte(vals, 2, 3, small, [0, 0]))
+
+
+class TestJpegCodec:
+    """From-scratch baseline JPEG (kernels/jpeg.py): encoder and decoder
+    are inverse transforms built independently from the published spec —
+    round trips bound the quantization error; constants are exact."""
+
+    @staticmethod
+    def _gradient(h, w, phases=(0.0, 1.0, 2.0)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(128 + 90 * np.sin(xx / 7.0 + yy / 11.0 + p)).astype(np.uint8) for p in phases],
+            axis=2,
+        )
+
+    def test_roundtrip_444(self):
+        from convert_spark.kernels import jpeg
+
+        px = self._gradient(24, 33)
+        out = jpeg.decode_baseline(jpeg.encode_baseline(px, quality=95))
+        assert out.shape == px.shape
+        err = np.abs(out.astype(int) - px.astype(int))
+        assert err.max() <= 8 and err.mean() < 1.5
+
+    def test_roundtrip_420_and_restart(self):
+        from convert_spark.kernels import jpeg
+
+        px = self._gradient(37, 29)  # odd dims: partial MCUs both axes
+        out = jpeg.decode_baseline(
+            jpeg.encode_baseline(px, quality=92, subsample=True, restart_interval=2)
+        )
+        err = np.abs(out.astype(int) - px.astype(int))
+        assert err.max() <= 24 and err.mean() < 4.0  # 4:2:0 chroma loss bounded
+
+    def test_constant_and_gray_exact(self):
+        from convert_spark.kernels import jpeg
+
+        const = np.full((8, 8, 3), 77, dtype=np.uint8)
+        assert (jpeg.decode_baseline(jpeg.encode_baseline(const)) == 77).all()
+        yy = np.mgrid[0:16, 0:12][0]
+        g = (yy * 9).astype(np.uint8)[:, :, None]
+        out = jpeg.decode_baseline(jpeg.encode_baseline(g, quality=95, restart_interval=1))
+        assert out.shape == (16, 12, 1)
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+    def test_spark_jpeg_feature_and_resize(self, spark):
+        import hashlib
+
+        from convert_spark.kernels import jpeg
+
+        px = self._gradient(20, 16)
+        data = jpeg.encode_baseline(px, quality=95)
+        df = spark.createDataFrame([("jpg://r", data)], "url string, html binary")
+        feat = multimodal.extract_features(df, deterministic_fake=False).collect()[0]["feat"]
+        decoded = jpeg.decode_baseline(data)
+        assert feat[0] == pytest.approx(decoded[:, :, 0].mean() / 255.0, abs=1e-6)
+        row = multimodal.resize_media(df, target=(8, 10), deterministic_fake=False).collect()[0]
+        exp = jpeg.encode_baseline(
+            np.ascontiguousarray(decoded[(np.arange(10) * 20) // 10][:, (np.arange(8) * 16) // 8])
+        )
+        assert row["resized_sha"] == hashlib.sha256(exp).hexdigest()[:16]
+
+    def test_mutation_fuzz_declared_errors(self):
+        from convert_spark.kernels import jpeg
+
+        rng = np.random.RandomState(43)
+        good = jpeg.encode_baseline(self._gradient(17, 13), quality=85)
+        for _ in range(200):
+            data = bytearray(good)
+            op = rng.randint(3)
+            if op == 0:
+                for _ in range(rng.randint(1, 8)):
+                    data[rng.randint(len(data))] = rng.randint(256)
+            elif op == 1:
+                data = data[: rng.randint(2, len(data))]
+            else:
+                pos = rng.randint(2, len(data))
+                data = data[:pos] + bytes(rng.randint(0, 256, rng.randint(1, 30), dtype=np.uint8)) + data[pos:]
+            try:
+                jpeg.decode_baseline(bytes(data))
+            except NotImplementedError:
+                pass  # the single declared error type
+
+    def test_progressive_rejected(self):
+        from convert_spark.kernels import jpeg
+
+        import struct as st
+
+        sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + st.pack("BBB", 1, 0x11, 0)
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_baseline(b"\xff\xd8" + sof2 + b"\xff\xd9")

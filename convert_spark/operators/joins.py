@@ -285,6 +285,11 @@ def knn_join(
         # rows are discarded (the doubled ring re-ranks a superset). The
         # loop is driven off the straggler count — a second, tiny job over
         # the checkpointed rows + an anti-join, never re-touching the join.
+        # Checkpoint-block lifetime: the returned union's plan references
+        # these RDDs, so Spark's ContextCleaner unpersists them once the
+        # caller drops the result (JVM GC) — bounded per call and
+        # result-scoped, the same lifecycle CacheScope gives the
+        # similarity paths' persists.
         dlat = F.col("q_lat") - F.col("r_lat")
         dlon = F.col("q_lon") - F.col("r_lon")
         w_rank = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(ref_id).asc())

@@ -131,8 +131,8 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
 # --- real pixel/sample decode (stdlib + from-scratch codecs) ------------------
 #
 # Beyond the headers: PNG pixels via zlib-inflate of the IDAT stream +
-# per-scanline unfiltering (PNG spec filters 0-4, all IHDR shapes except
-# sub-byte Adam7), JPEG pixels via the baseline codec in kernels/jpeg.py,
+# per-scanline unfiltering (PNG spec filters 0-4, EVERY IHDR shape the
+# spec allows), JPEG pixels via the baseline codec in kernels/jpeg.py,
 # WAV PCM samples via wave.readframes. Progressive JPEG and video rasters
 # genuinely need a real codec and stay behind the declared
 # NotImplementedError.
@@ -196,8 +196,8 @@ def _png_pixels(data: bytes) -> np.ndarray:
     prior row, per the spec). Supported: bit depth 8 (uint8 out), bit
     depth 16 (uint16 out, big-endian samples), palette at depths
     1/2/4/8 (PLTE lookup -> (h, w, 3) uint8), sub-byte grayscale
-    (MSB-first unpack + spec scaling to 8-bit), interlace 0 and 1 —
-    i.e. every IHDR shape the spec allows except sub-byte Adam7;
+    (MSB-first unpack + spec scaling to 8-bit), interlace 0 and 1 in
+    every combination — i.e. EVERY IHDR shape the spec allows;
     ancillary chunks (tRNS, gAMA, ...) are ignored."""
     import zlib
 
@@ -210,8 +210,6 @@ def _png_pixels(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG bit depth {bit_depth}/color {color_type}: real codec territory")
     if interlace not in (0, 1):
         raise NotImplementedError(f"malformed PNG: interlace method {interlace}")
-    if sub_byte and interlace != 0:
-        raise NotImplementedError("sub-byte Adam7 PNG: real codec territory")
     idat: list[bytes] = []
     plte: bytes | None = None
     pos = 8
@@ -236,15 +234,40 @@ def _png_pixels(data: bytes) -> np.ndarray:
             raise NotImplementedError("malformed PNG: palette image without a valid PLTE chunk")
     if sub_byte:
         # filters at sub-byte depths use a ONE-byte offset (spec: bpp is
-        # rounded up to one byte); samples pack MSB-first within bytes
-        stride = (w * bit_depth + 7) // 8
-        if len(raw) != h * (stride + 1):
-            raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
-        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-        rows = _unfilter_scanlines(arr, h, stride, 1)
-        bits = np.unpackbits(rows, axis=1)[:, : w * bit_depth].reshape(h, w, bit_depth)
+        # rounded up to one byte); samples pack MSB-first within bytes,
+        # each scanline (and each Adam7 pass scanline) padded to a byte
         weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        vals = (bits * weights).sum(axis=2).astype(np.uint8)  # (h, w) sample values
+
+        def unpack(seg: np.ndarray, ph: int, pw: int) -> np.ndarray:
+            pstride = (pw * bit_depth + 7) // 8
+            rows = _unfilter_scanlines(seg, ph, pstride, 1)
+            bits = np.unpackbits(rows, axis=1)[:, : pw * bit_depth].reshape(ph, pw, bit_depth)
+            return (bits * weights).sum(axis=2).astype(np.uint8)
+
+        if interlace == 0:
+            stride = (w * bit_depth + 7) // 8
+            if len(raw) != h * (stride + 1):
+                raise NotImplementedError("malformed PNG: pixel data size != h * (stride + 1)")
+            vals = unpack(np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1), h, w)
+        else:  # sub-byte Adam7: per-pass bit strides, scattered like the byte path
+            vals = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * bit_depth + 7) // 8
+                seg_len = ph * (pstride + 1)
+                if off + seg_len > len(raw):
+                    raise NotImplementedError("malformed PNG: truncated Adam7 pass data")
+                seg = np.frombuffer(raw, dtype=np.uint8, count=seg_len, offset=off).reshape(
+                    ph, pstride + 1
+                )
+                off += seg_len
+                vals[y0::dy, x0::dx] = unpack(seg, ph, pw)
+            if off != len(raw):
+                raise NotImplementedError("malformed PNG: Adam7 pass data size mismatch")
         if color_type == 3:
             table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
             if int(vals.max(initial=0)) >= len(table):

@@ -1360,3 +1360,45 @@ class TestJpegCodec:
         sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + st.pack("BBB", 1, 0x11, 0)
         with pytest.raises(NotImplementedError):
             jpeg.decode_baseline(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+class TestPngSubByteAdam7:
+    """Sub-byte Adam7: the final IHDR combination — per-pass bit strides."""
+
+    @staticmethod
+    def _encode(vals: np.ndarray, bit_depth: int, color_type: int, plte: bytes | None) -> bytes:
+        import struct as st
+        import zlib
+
+        h, w = vals.shape
+        body = b""
+        for x0, y0, dx, dy in TestPngAdam7.PASSES:
+            sub = vals[y0::dy, x0::dx]
+            ph, pw = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                bits = ((sub[y][:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1).astype(np.uint8)
+                body += b"\x00" + np.packbits(bits.reshape(-1)).tobytes()
+
+        def chunk(tag, b):
+            return st.pack(">I", len(b)) + tag + b + st.pack(">I", zlib.crc32(tag + b) & 0xFFFFFFFF)
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", st.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 1)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    def test_gray_and_palette(self):
+        rng = np.random.RandomState(29)
+        for d in (1, 2, 4):
+            vals = rng.randint(0, 1 << d, size=(9, 7), dtype=np.uint8)
+            got = multimodal._png_pixels(self._encode(vals, d, 0, None))
+            exp = ((vals.astype(np.uint16) * 255) // ((1 << d) - 1)).astype(np.uint8)[:, :, None]
+            np.testing.assert_array_equal(got, exp)
+        table = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+        vals = rng.randint(0, 4, size=(6, 11), dtype=np.uint8)
+        got = multimodal._png_pixels(self._encode(vals, 2, 3, table.tobytes()))
+        np.testing.assert_array_equal(got, table[vals])

@@ -971,11 +971,12 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (leftmost-first alternation in Java regex and RE2 alike).
 
     Non-ASCII markers (the zh CJK set — unsegmented, so \\b boundaries
-    don't apply) are scored by substring-count ARITHMETIC instead:
-    (length(lt) - length(replace(lt, m, ''))) / length(m) per marker —
-    the non-overlapping occurrence count, identical on both engines
-    (both length() functions count CHARACTERS, not bytes), matching the
-    kernel twin's str.count(re.escape(m)) (kernels/textkit.py:104)."""
+    don't apply) are all SINGLE characters, so their summed count is ONE
+    character-class regex scan ([m1m2...]) per document — not one
+    replace() pass per marker; identical on both engines and on the
+    kernel twin's per-marker str.count sum (kernels/textkit.py:104).
+    Multi-char non-ASCII markers (none today) would fall back to
+    substring-count arithmetic (length - length(replace))."""
     _load(spark, sf_dir, "documents")
     d = spark.table("documents").withColumn("lt", F.lower(F.col("text")))
 
@@ -983,12 +984,19 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pat = "\\\\b(" + "|".join(words) + ")\\\\b"
         return F.size(F.expr(f"regexp_extract_all(lt, '{pat}', 0)"))
 
-    def cnt_substr(words):
-        total = None
+    def cnt_wide(words):
+        singles = [m for m in words if len(m) == 1]
+        total = (
+            F.size(F.expr(f"regexp_extract_all(lt, '[{''.join(singles)}]', 0)"))
+            if singles
+            else F.lit(0)
+        )
         for m in words:
-            c = (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(m), F.lit("")))) / F.lit(len(m))
-            total = c if total is None else total + c
-        return total.cast("int")
+            if len(m) > 1:  # fallback: non-overlapping substring count
+                total = total + (
+                    (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(m), F.lit("")))) / F.lit(len(m))
+                ).cast("int")
+        return total
 
     from .kernels.textkit import _LANG_MARKERS
 
@@ -998,7 +1006,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide_markers = [m for m in markers if not m.isascii()]
         score = cnt(ascii_markers) if ascii_markers else F.lit(0)
         if wide_markers:
-            score = score + cnt_substr(wide_markers)
+            score = score + cnt_wide(wide_markers)
         scored = scored.withColumn(f"s_{lang}", score)
     order = list(_LANG_MARKERS)
     # build argmax with first-wins tie order (en, fr, es, de, zh)
@@ -1030,11 +1038,15 @@ def _sql_langid() -> str:
         if ascii_markers:
             alt = "|".join(ascii_markers)
             terms.append(f"len(regexp_extract_all(lower(text), '\\b({alt})\\b'))")
+        singles = "".join(m for m in wide_markers if len(m) == 1)
+        if singles:
+            # one character-class scan for all single-char CJK markers
+            terms.append(f"len(regexp_extract_all(lower(text), '[{singles}]'))")
         for m in wide_markers:
-            # substring-count arithmetic: DuckDB length() is chars, like Spark
-            terms.append(
-                f"cast((length(lower(text)) - length(replace(lower(text), '{m}', ''))) / {len(m)} as int)"
-            )
+            if len(m) > 1:  # substring-count arithmetic fallback
+                terms.append(
+                    f"cast((length(lower(text)) - length(replace(lower(text), '{m}', ''))) / {len(m)} as int)"
+                )
         s = " + ".join(terms) if terms else "0"
         score_exprs.append(f"({s}) as s_{lang}")
     cases = []

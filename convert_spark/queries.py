@@ -227,6 +227,48 @@ from ({_PTS_SQL}) group by 1, 2, 3
 """
 
 
+def q_tile_assign_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-zoom (z20) tile assignment grouped by the FULL Morton cell id
+    — exercises the round-4 64-bit bit spread (functions/exprs.py
+    _spread_bits; the old 32-bit masks were silently wrong past z16)
+    under the driver's oracle gate. The oracle restates the interleave as
+    a CTE chain of the same five shift/mask rounds in DuckDB bigint
+    arithmetic — an independent re-derivation, not a KAT."""
+    pts = _points(spark, sf_dir)
+    t = tiles.with_tile(pts, 20)
+    return t.groupBy("zoom", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_tile_assign_deep() -> str:
+    zoom = 20
+    rounds = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+    ctes = [
+        "b0 as (select cast("
+        + exprs.sql_tile_x("lon", zoom)
+        + " as bigint) & 4294967295 as x0, cast("
+        + exprs.sql_tile_y("lat", zoom)
+        + f" as bigint) & 4294967295 as y0 from ({_PTS_SQL}))"
+    ]
+    for i, (sh, mask) in enumerate(rounds, 1):
+        p = i - 1
+        ctes.append(
+            f"b{i} as (select ((x{p} | (x{p} << {sh})) & {mask}) as x{i}, "
+            f"((y{p} | (y{p} << {sh})) & {mask}) as y{i} from b{p})"
+        )
+    n = len(rounds)
+    return (
+        "with " + ", ".join(ctes) + f" select {zoom} as zoom, "
+        f"({1 << (2 * zoom)} + x{n} + 2 * y{n}) as cell_id, count(*) as n "
+        f"from b{n} group by 1, 2"
+    )
+
+
 def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-level multi-resolution rollup: counts at zooms 12..9, rolled up
     level-by-level (partials re-aggregated, never the raw data)."""
@@ -1508,6 +1550,7 @@ QUERIES = {
     "q_extract": q_extract,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
+    "q_tile_assign_deep": q_tile_assign_deep,
     "q_tile_rollup": q_tile_rollup,
     "q_tile_join": q_tile_join,
     "q_compact_cells": q_compact_cells,
@@ -1561,6 +1604,7 @@ def oracles() -> dict[str, str]:
         "q_extract": _sql_extract(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
+        "q_tile_assign_deep": _sql_tile_assign_deep(),
         "q_tile_rollup": SQL_TILE_ROLLUP,
         "q_tile_join": SQL_TILE_JOIN,
         "q_compact_cells": _sql_compact_cells(),

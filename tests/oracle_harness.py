@@ -58,6 +58,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             print(f"ROWS  {name:18s} rows={len(sdf)} (rows-only, no oracle)")
             assert len(sdf) >= 0
             continue
+        if "/tests/kats/" in oracle_map[name] and "sf0.01" not in sf_dir:
+            # KAT parquets pin the sf0.01 driver gate; at other scale
+            # factors the engine-vs-twin agreement is verified directly
+            # by tests/test_kat_cross_sf.py (no committed pin involved)
+            print(f"KAT   {name:18s} rows={len(sdf)} (sf0.01-pinned oracle; cross-SF via test_kat_cross_sf)")
+            continue
         try:
             ddf = con.execute(oracle_map[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
@@ -82,5 +88,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
 
 
 if __name__ == "__main__":
-    only = sys.argv[1:] or None
-    raise SystemExit(1 if main(only=only) else 0)
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and "/" in args[0]:  # first arg may be the scale-factor dir
+        sf_dir = args.pop(0)
+    raise SystemExit(1 if main(sf_dir, only=args or None) else 0)

@@ -113,10 +113,11 @@ def cell_parent(cell: Column, steps: int = 1) -> Column:
 def _compress_bits(c: Column) -> Column:
     """Inverse of _spread_bits16 widened to the FULL long Morton range:
     gather bits at even positions of a 64-bit value into a compact 32-bit
-    value — five shift/or/mask rounds. The expression-side ENCODER
-    (morton_cell) still guards zoom <= 16, but cells built by the numpy
-    kernel (kernels.quadkey, zoom <= 26) decode correctly here; the old
-    32-bit masks silently dropped the high Morton bits past zoom 16."""
+    value — five shift/or/mask rounds. Covers everything the encoders
+    produce: the expression-side morton_cell encodes through zoom 30
+    (64-bit spread since round 4) and the numpy kernel
+    (kernels.quadkey) through zoom 26; the old 32-bit masks silently
+    dropped the high Morton bits past zoom 16."""
     c = c.bitwiseAND(F.lit(0x5555555555555555))
     c = c.bitwiseOR(F.shiftright(c, 1)).bitwiseAND(F.lit(0x3333333333333333))
     c = c.bitwiseOR(F.shiftright(c, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))

@@ -1,24 +1,38 @@
-"""Baseline JPEG (ITU T.81 sequential DCT) codec from scratch — numpy only.
+"""JPEG (ITU T.81 DCT) codec from scratch — numpy only.
 
 Public-spec implementation for the multimodal real path: huffman-coded
-8x8 DCT blocks, standard zigzag order, JFIF YCbCr. Decoder supports
-baseline/extended-sequential scans (SOF0/SOF1) with arbitrary sampling
-factors (4:4:4, 4:2:2, 4:2:0, grayscale), restart intervals, and the
-usual APPn/COM/DQT/DHT segment soup. Progressive (SOF2), arithmetic
-coding and 12-bit precision raise NotImplementedError — the same single
-declared exception type as the rest of operators/multimodal.
+8x8 DCT blocks, standard zigzag order, JFIF YCbCr. The decoder is
+coefficient-domain and multi-scan: it accumulates every scan's
+coefficients per component, then dequantizes / IDCTs / upsamples /
+color-converts once at EOI. Supported scan shapes:
+
+* baseline / extended sequential (SOF0/SOF1), interleaved or
+  per-component (multi-scan sequential), arbitrary sampling factors
+  (4:4:4, 4:2:2, 4:2:0, grayscale), restart intervals;
+* progressive (SOF2, ITU T.81 Annex G): DC/AC spectral selection and
+  successive approximation — first scans and refinement scans, EOB
+  runs, interleaved DC / per-component AC geometry, restart intervals;
+* Adobe APP14 color transforms: transform=1 (YCbCr) and transform=0
+  (RGB passthrough); YCCK (transform=2) and 4-component CMYK raise.
+
+Arithmetic coding, 12-bit precision, lossless and hierarchical modes
+raise NotImplementedError — the same single declared exception type as
+the rest of operators/multimodal. Truncated entropy data raises (never
+silently zero-pads to a black remainder).
 
 The encoder (used by the real resize path and the round-trip tests)
-writes baseline 4:4:4 or grayscale with the Annex K example quantization
-and huffman tables, quality-scaled per the common IJG convention.
+writes baseline 4:4:4 / 4:2:0 / grayscale — or spectral-selection
+progressive with ``progressive=True`` — with the Annex K example
+quantization and huffman tables, quality-scaled per the common IJG
+convention.
 
 All table constants below are from the published standard (Annex K).
 
 Performance note: the entropy coder is a scalar Python bit loop — fine
 for the sandbox's small test payloads and correctness work, but a
 production cluster decoding megapixel corpora should swap in a
-vectorized/library codec at this call site (the IDCT/color math is
-already numpy). The declared-exception contract is what transfers.
+vectorized/library codec at this call site (the block IDCT/color math
+is batched numpy). The declared-exception contract is what transfers.
 """
 
 from __future__ import annotations
@@ -153,9 +167,11 @@ class _BitReader:
         d = self.data
         while self.n <= 24 and self.marker is None:
             if self.pos >= len(d):
-                self.acc = (self.acc << 8) & 0xFFFFFFFF  # zero-pad past EOI
-                self.n += 8
-                continue
+                # Truncated entropy stream (no terminating marker): stop
+                # filling — bits() raises the declared malformed-payload
+                # error instead of silently decoding a zero-padded
+                # black/garbage remainder.
+                return
             b = d[self.pos]
             if b == 0xFF:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
@@ -215,10 +231,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential JPEG to (h, w, 3) RGB uint8
-    (or (h, w, 1) for single-component scans). Progressive, arithmetic
-    and 12-bit inputs raise NotImplementedError (the one declared type,
-    like every malformed-payload path)."""
+    """Decode a sequential OR progressive JPEG to (h, w, 3) RGB uint8
+    (or (h, w, 1) for single-component frames). Arithmetic-coded,
+    12-bit, lossless and hierarchical inputs raise NotImplementedError
+    (the one declared type, like every malformed-payload path). The name
+    keeps the original call-site contract; progressive support was added
+    on top of the same entry point."""
     try:
         return _decode(data)
     except NotImplementedError:
@@ -227,15 +245,51 @@ def decode_baseline(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"malformed JPEG: {exc}") from exc
 
 
+def _parse_sof(body: bytes, progressive: bool) -> dict:
+    precision = body[0]
+    if precision != 8:
+        raise NotImplementedError(f"{precision}-bit JPEG: unsupported precision")
+    h, w = struct.unpack(">HH", body[1:5])
+    if h == 0 or w == 0:
+        raise NotImplementedError("malformed JPEG: zero frame dims")
+    ncomp = body[5]
+    comps = []
+    for i in range(ncomp):
+        cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+        ch, cv = samp >> 4, samp & 0x0F
+        if ch == 0 or cv == 0:
+            raise NotImplementedError("malformed JPEG: zero sampling factor")
+        comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        # component dims (T.81 A.1.1) and its non-interleaved block grid
+        c["bw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["bh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        # MCU-padded storage grid (superset of the non-interleaved grid)
+        c["sw"] = mcus_x * c["h"]
+        c["sh"] = mcus_y * c["v"]
+    return {
+        "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+        "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive,
+        "dc_done": [False] * ncomp,
+    }
+
+
 def _decode(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise NotImplementedError("malformed JPEG: no SOI")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
+    coeffs: list[np.ndarray] | None = None  # per comp: (sh, sw, 64) zigzag-order
     restart = 0
+    adobe_transform: int | None = None
+    scans_seen = 0
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("malformed JPEG: segment desync")
         marker = data[pos + 1]
@@ -245,8 +299,10 @@ def _decode(data: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI — finalize whatever scans accumulated
             break
+        if pos + 4 > len(data):
+            raise NotImplementedError("malformed JPEG: truncated segment header")
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT — multiple tables per segment
@@ -269,21 +325,19 @@ def _decode(data: bytes) -> np.ndarray:
                 symbols = tuple(body[b + 17 : b + 17 + n])
                 huff[(tc, th)] = _canonical_codes(counts, symbols)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline / extended sequential
-            precision = body[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG: not baseline")
-            h, w = struct.unpack(">HH", body[1:5])
-            ncomp = body[5]
-            comps = []
-            for i in range(ncomp):
-                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("progressive/hierarchical/arithmetic JPEG: not baseline")
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential (SOF0/1) / progressive (SOF2)
+            if frame is not None:
+                raise NotImplementedError("multi-frame (hierarchical) JPEG: unsupported")
+            frame = _parse_sof(body, progressive=(marker == 0xC2))
+            coeffs = [
+                np.zeros((c["sh"], c["sw"], 64), dtype=np.int32) for c in frame["comps"]
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("lossless/hierarchical/arithmetic JPEG: unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # APP14: 0=RGB, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise NotImplementedError("malformed JPEG: SOS before SOF")
@@ -291,74 +345,212 @@ def _decode(data: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cid)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(data, pos + 2 + seg_len, frame, scan, qt, huff, restart)
+                ci = next(
+                    (j for j, c in enumerate(frame["comps"]) if c["id"] == cid), None
+                )
+                if ci is None:
+                    raise NotImplementedError("malformed JPEG: scan references unknown component")
+                scan.append((ci, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = _decode_scan(
+                data, pos + 2 + seg_len, frame, scan, ss, se, ah, al, huff, restart, coeffs
+            )
+            scans_seen += 1
+            continue
         pos += 2 + seg_len
-    raise NotImplementedError("malformed JPEG: no SOS marker")
+    if frame is None or scans_seen == 0:
+        raise NotImplementedError("malformed JPEG: no SOS marker")
+    return _finalize(frame, coeffs, qt, adobe_transform)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    if h == 0 or w == 0:
-        raise NotImplementedError("malformed JPEG: zero frame dims")
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    if hmax == 0 or vmax == 0:
-        raise NotImplementedError("malformed JPEG: zero sampling factor")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for comp, _, _ in scan:
-        planes.append(np.zeros((mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8), dtype=np.float64))
+def _decode_scan(data, pos, frame, scan, ss, se, ah, al, huff, restart, coeffs) -> int:
+    """Decode ONE scan's entropy data into the per-component zigzag
+    coefficient arrays; returns the byte position of the next marker.
+    Handles every T.81 scan geometry: interleaved (ns>1, MCU order) and
+    non-interleaved (ns=1, the component's own block raster), sequential
+    full-band and progressive DC/AC first/refinement scans."""
+    progressive = frame["progressive"]
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0  # fixed for sequential; bytes are ignored
+    else:
+        if ss == 0 and se != 0:
+            raise NotImplementedError("malformed JPEG: progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise NotImplementedError("malformed JPEG: interleaved progressive AC scan")
+        if se > 63 or ss > 63 or al > 13 or ah > 13:
+            raise NotImplementedError("malformed JPEG: scan band/shift out of range")
+        for ci, _, _ in scan:
+            if ss == 0 and ah == 0:
+                frame["dc_done"][ci] = True
+            elif not frame["dc_done"][ci]:
+                raise NotImplementedError(
+                    "malformed JPEG: AC/refinement scan before the component's first DC scan"
+                )
+    # resolve huffman tables up front (DC tables for bands containing 0,
+    # AC tables for AC bands; refinement DC scans need no table at all)
+    tables = []
+    for ci, td, ta in scan:
+        dc_tbl = huff.get((0, td)) if ss == 0 and ah == 0 else None
+        ac_tbl = huff.get((1, ta)) if se > 0 else None
+        if ss == 0 and ah == 0 and dc_tbl is None:
+            raise NotImplementedError("malformed JPEG: missing DC huffman table")
+        if se > 0 and ac_tbl is None and (progressive is False or ss > 0):
+            raise NotImplementedError("malformed JPEG: missing AC huffman table")
+        tables.append((dc_tbl, ac_tbl))
+
     reader = _BitReader(data, pos)
     pred = [0] * len(scan)
+    state = {"eobrun": 0}
+
+    def decode_unit(ci_idx: int, blk: np.ndarray) -> None:
+        """One 8x8 block's worth of this scan's band into ``blk`` (the
+        int32 zigzag view for that block)."""
+        dc_tbl, ac_tbl = tables[ci_idx]
+        if not progressive:
+            t = reader.huffman(dc_tbl)
+            diff = _extend(reader.bits(t), t) if t else 0
+            pred[ci_idx] += diff
+            blk[0] = pred[ci_idx]
+            k = 1
+            while k < 64:
+                rs = reader.huffman(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise NotImplementedError("malformed JPEG: AC index overflow")
+                blk[k] = _extend(reader.bits(s), s)
+                k += 1
+        elif ss == 0:  # progressive DC
+            if ah == 0:
+                t = reader.huffman(dc_tbl)
+                diff = _extend(reader.bits(t), t) if t else 0
+                pred[ci_idx] += diff
+                blk[0] = pred[ci_idx] << al
+            elif reader.bits(1):
+                blk[0] |= 1 << al
+        elif ah == 0:  # progressive AC first scan
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = reader.huffman(ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise NotImplementedError("malformed JPEG: AC index past Se")
+                blk[k] = _extend(reader.bits(s), s) << al
+                k += 1
+        else:  # progressive AC refinement (T.81 G.1.2.3.2)
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    rs = reader.huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += reader.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise NotImplementedError(
+                                "malformed JPEG: refinement magnitude != 1"
+                            )
+                        val = p1 if reader.bits(1) else m1
+                    while k <= se:
+                        if blk[k] != 0:  # nonzero history: correction bit
+                            if reader.bits(1) and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                if val:
+                                    blk[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if state["eobrun"] > 0:
+                while k <= se:  # EOB span: correction bits only
+                    if blk[k] != 0 and reader.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        c = frame["comps"][scan[0][0]]
+        units = c["bw"] * c["bh"]
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu_count and mcu_count % restart == 0:
-                reader.sync_restart()
-                pred = [0] * len(scan)
-            for ci, (comp, td, ta) in enumerate(scan):
-                dc_tbl = huff.get((0, td))
-                ac_tbl = huff.get((1, ta))
-                q = qt.get(comp["tq"])
-                if dc_tbl is None or ac_tbl is None or q is None:
-                    raise NotImplementedError("malformed JPEG: missing huffman/quant table")
+    for u in range(units):
+        if restart and mcu_count and mcu_count % restart == 0:
+            reader.sync_restart()
+            pred = [0] * len(scan)
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(u, frame["mcus_x"])
+            for idx, (ci, _, _) in enumerate(scan):
+                comp = frame["comps"][ci]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = reader.huffman(dc_tbl)
-                        diff = _extend(reader.bits(t), t) if t else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huffman(ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise NotImplementedError("malformed JPEG: AC index overflow")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int64)
-                        block[_ZIGZAG] = zz
-                        coeff = block.reshape(8, 8) * q
-                        px = _A.T @ coeff @ _A + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_count += 1
-    # upsample each component to full MCU-grid resolution (replication)
+                        decode_unit(idx, coeffs[ci][my * comp["v"] + by, mx * comp["h"] + bx])
+        else:
+            ci = scan[0][0]
+            comp = frame["comps"][ci]
+            by, bx = divmod(u, comp["bw"])
+            decode_unit(0, coeffs[ci][by, bx])
+        mcu_count += 1
+    # advance to the next marker (pad bits / stuffed bytes in between)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(data)
+
+
+def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
+    """Dequantize + batched IDCT + upsample + color-convert the
+    accumulated coefficient arrays into the output raster."""
+    h, w = frame["h"], frame["w"]
     full = []
-    for ci, (comp, _, _) in enumerate(scan):
-        p = planes[ci]
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
+    for comp, cz in zip(frame["comps"], coeffs):
+        q = qt.get(comp["tq"])
+        if q is None:
+            raise NotImplementedError("malformed JPEG: missing quantization table")
+        qzz = q.reshape(-1)[_ZIGZAG]  # quant values in zigzag order
+        sh, sw = comp["sh"], comp["sw"]
+        zz = cz.reshape(sh * sw, 64).astype(np.int64) * qzz
+        nat = np.zeros((sh * sw, 64), dtype=np.int64)
+        nat[:, _ZIGZAG] = zz
+        blocks = _A.T @ nat.reshape(-1, 8, 8).astype(np.float64) @ _A + 128.0
+        p = (
+            blocks.reshape(sh, sw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(sh * 8, sw * 8)
+        )
+        ry, rx = frame["vmax"] // comp["v"], frame["hmax"] // comp["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
@@ -366,6 +558,10 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart) -> np.ndarray:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[:, :, None]
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG: not JFIF YCbCr")
+    if adobe_transform == 0:  # Adobe APP14: components are literal RGB
+        return np.clip(np.rint(np.stack(full, axis=2)), 0, 255).astype(np.uint8)
+    if adobe_transform is not None and adobe_transform != 1:
+        raise NotImplementedError(f"Adobe APP14 transform {adobe_transform}: unsupported")
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -409,15 +605,23 @@ class _BitWriter:
             self.bits((1 << pad) - 1, pad)  # pad with 1s per spec
 
 
-def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
-    coeff = np.rint((_A @ (block - 128.0) @ _A.T) / q).astype(np.int64)
-    zz = coeff.reshape(-1)[_ZIGZAG]
-    diff = int(zz[0]) - pred
+def _block_zz(plane, ys, xs, q) -> np.ndarray:
+    """Quantized zigzag-order coefficients for the 8x8 tile at (ys, xs)."""
+    coeff = np.rint((_A @ (_pad_block(plane, ys, xs) - 128.0) @ _A.T) / q).astype(np.int64)
+    return coeff.reshape(-1)[_ZIGZAG]
+
+
+def _emit_dc(bw, zz0: int, pred: int, dc_codes) -> int:
+    diff = int(zz0) - pred
     t = int(diff != 0 and int(np.abs(diff)).bit_length() or 0)
     code, length = dc_codes[t]
     bw.bits(code, length)
     if t:
         bw.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+    return int(zz0)
+
+
+def _emit_ac(bw, zz, ac_codes) -> None:
     run = 0
     last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
     for k in range(1, last_nz + 1):
@@ -435,8 +639,15 @@ def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
         bw.bits(v if v > 0 else v + (1 << s) - 1, s)
         run = 0
     if last_nz < 63:
-        c, ln = ac_codes[0x00]  # EOB
+        c, ln = ac_codes[0x00]  # EOB (== EOB0 in progressive AC scans)
         bw.bits(c, ln)
+
+
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
+    coeff = np.rint((_A @ (block - 128.0) @ _A.T) / q).astype(np.int64)
+    zz = coeff.reshape(-1)[_ZIGZAG]
+    _emit_dc(bw, int(zz[0]), pred, dc_codes)
+    _emit_ac(bw, zz, ac_codes)
     return int(zz[0])
 
 
@@ -453,13 +664,22 @@ def _pad_block(plane: np.ndarray, ys: int, xs: int) -> np.ndarray:
 
 
 def encode_baseline(
-    px: np.ndarray, quality: int = 90, subsample: bool = False, restart_interval: int = 0
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w, 1|3) uint8 as baseline JFIF — 4:4:4 by default,
+    """Encode (h, w, 1|3) uint8 as JFIF — baseline 4:4:4 by default,
     4:2:0 with ``subsample=True`` (2x2-mean chroma), grayscale for one
     channel; optional DRI/RSTn restart markers every
     ``restart_interval`` MCUs (resets DC predictors, as the spec
-    requires)."""
+    requires). With ``progressive=True``, writes a spectral-selection
+    progressive file (SOF2): one interleaved DC scan (Ss=Se=0) followed
+    by one full-band AC scan per component (Ss=1, Se=63, no successive
+    approximation) — pixel-identical to the baseline encoding of the
+    same image, since the coefficients are the same and only the scan
+    order differs."""
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise NotImplementedError(f"JPEG encode: {nc} channels unsupported")
@@ -494,7 +714,7 @@ def encode_baseline(
     comp_spec = b"".join(
         bytes([i + 1, (ch[3] << 4) | ch[4], 0 if i == 0 else 1]) for i, ch in enumerate(chans)
     )
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
+    out += seg(0xC2 if progressive else 0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
     tables = ((_DC_LUMA, 0x00), (_AC_LUMA, 0x10)) + (
         ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if nc == 3 else ()
     )
@@ -502,40 +722,111 @@ def encode_baseline(
         out += seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(symbols))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([nc]) + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(nc)) + b"\x00\x3f\x00")
     dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
     dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
     hmax = max(ch[3] for ch in chans)
     vmax = max(ch[4] for ch in chans)
     mcus_y = -(-h // (8 * vmax))
     mcus_x = -(-w // (8 * hmax))
-    scan_bytes = bytearray()
-    bw = _BitWriter()
+
+    class _ScanWriter:
+        """Entropy bytes for one scan with RSTn handling between units."""
+
+        def __init__(self) -> None:
+            self.bytes = bytearray()
+            self.bw = _BitWriter()
+            self.rst_n = 0
+
+        def restart(self) -> None:
+            self.bw.flush()
+            self.bytes += bytes(self.bw.out) + bytes([0xFF, 0xD0 + self.rst_n])
+            self.rst_n = (self.rst_n + 1) % 8
+            self.bw = _BitWriter()
+
+        def finish(self) -> bytes:
+            self.bw.flush()
+            return bytes(self.bytes + self.bw.out)
+
+    if not progressive:
+        out += seg(
+            0xDA,
+            bytes([nc])
+            + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(nc))
+            + b"\x00\x3f\x00",
+        )
+        sw = _ScanWriter()
+        preds = [0] * nc
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    sw.restart()
+                    preds = [0] * nc
+                for ci, (plane, q, is_chroma, ch_h, ch_v) in enumerate(chans):
+                    for by in range(ch_v):
+                        for bx in range(ch_h):
+                            ys = (my * ch_v + by) * 8
+                            xs = (mx * ch_h + bx) * 8
+                            preds[ci] = _encode_block(
+                                sw.bw,
+                                _pad_block(plane, ys, xs),
+                                q,
+                                dc_c if is_chroma else dc_l,
+                                ac_c if is_chroma else ac_l,
+                                preds[ci],
+                            )
+                mcu_count += 1
+        return out + sw.finish() + b"\xff\xd9"
+
+    # progressive: precompute quantized coefficients on the MCU-padded grid,
+    # then entropy-code scan by scan (DC interleaved, AC per component)
+    zz_all = []
+    for plane, q, _, ch_h, ch_v in chans:
+        arr = np.zeros((mcus_y * ch_v, mcus_x * ch_h, 64), dtype=np.int64)
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                arr[by, bx] = _block_zz(plane, by * 8, bx * 8, q)
+        zz_all.append(arr)
+    # DC scan: Ss=Se=0, all components interleaved in MCU order
+    out += seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x10]) for i in range(nc))
+        + b"\x00\x00\x00",
+    )
+    sw = _ScanWriter()
     preds = [0] * nc
     mcu_count = 0
-    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                scan_bytes += bytes(bw.out) + bytes([0xFF, 0xD0 + rst_n])
-                rst_n = (rst_n + 1) % 8
-                bw = _BitWriter()
+                sw.restart()
                 preds = [0] * nc
-            for ci, (plane, q, is_chroma, ch_h, ch_v) in enumerate(chans):
+            for ci, (_, _, is_chroma, ch_h, ch_v) in enumerate(chans):
                 for by in range(ch_v):
                     for bx in range(ch_h):
-                        ys = (my * ch_v + by) * 8
-                        xs = (mx * ch_h + bx) * 8
-                        preds[ci] = _encode_block(
-                            bw,
-                            _pad_block(plane, ys, xs),
-                            q,
-                            dc_c if is_chroma else dc_l,
-                            ac_c if is_chroma else ac_l,
+                        preds[ci] = _emit_dc(
+                            sw.bw,
+                            int(zz_all[ci][my * ch_v + by, mx * ch_h + bx, 0]),
                             preds[ci],
+                            dc_c if is_chroma else dc_l,
                         )
             mcu_count += 1
-    bw.flush()
-    scan_bytes += bytes(bw.out)
-    return out + bytes(scan_bytes) + b"\xff\xd9"
+    out += sw.finish()
+    # AC scans: one per component, Ss=1 Se=63, the component's own
+    # (non-MCU-padded) block raster per T.81 non-interleaved geometry
+    for ci, (plane, _, is_chroma, _, _) in enumerate(chans):
+        out += seg(
+            0xDA,
+            bytes([1, ci + 1, 0x00 if not is_chroma else 0x11]) + b"\x01\x3f\x00",
+        )
+        nby = -(-plane.shape[0] // 8)
+        nbx = -(-plane.shape[1] // 8)
+        sw = _ScanWriter()
+        for u in range(nby * nbx):
+            if restart_interval and u and u % restart_interval == 0:
+                sw.restart()
+            by, bx = divmod(u, nbx)
+            _emit_ac(sw.bw, zz_all[ci][by, bx], ac_c if is_chroma else ac_l)
+        out += sw.finish()
+    return out + b"\xff\xd9"

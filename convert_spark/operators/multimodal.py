@@ -16,12 +16,13 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   PLTE lookup, feeding real channel statistics into
   ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics +
   fixed-stride frame windows in ``sample_frames``); JPEG PIXELS via the
-  from-scratch baseline codec (kernels/jpeg.py — huffman + dequant +
-  IDCT + YCbCr, any sampling factors, restart intervals);
+  from-scratch codec (kernels/jpeg.py — huffman + dequant + IDCT +
+  YCbCr, any sampling factors, restart intervals, multi-scan
+  sequential AND progressive with successive approximation);
   nearest-neighbor RESIZE re-encoded in the source format. Everything
-  past that — progressive/arithmetic JPEG, non-PCM audio, video
-  rasters — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
-  declared NotImplementedError.
+  past that — arithmetic-coded JPEG, non-PCM audio, video rasters —
+  needs a full codec (Pillow/ffmpeg/pyav) and raises the one declared
+  NotImplementedError.
 """
 
 from __future__ import annotations
@@ -344,7 +345,7 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     [0, 1] (JPEG via the from-scratch baseline codec, kernels/jpeg.py);
     WAV stats are over PCM samples with mean/min/max mapped from [-1, 1]
     to [0, 1] (std is scale-only, kept as-is). Formats past that (video,
-    progressive JPEG, ...) need a real codec -> declared
+    non-PCM audio, arithmetic-coded JPEG) need a real codec -> declared
     NotImplementedError."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         px = _png_pixels(data)
@@ -523,9 +524,11 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, det
     """Feature-extract stage: binary -> fixed-dim float vector. Fake path:
     bytes of the sha256 digest scaled to [0,1). Real path
     (``deterministic_fake=False``): per-channel pixel/sample statistics
-    from the stdlib decode (``features_real`` — PNG via zlib-inflated
-    IDAT + unfilter, WAV via PCM frames); formats needing a real codec
-    (JPEG pixels, video) raise the declared NotImplementedError."""
+    from the real decode (``features_real`` — PNG via zlib-inflated IDAT
+    + unfilter, JPEG via the from-scratch kernels/jpeg.py codec
+    [sequential AND progressive], WAV via PCM frames); formats needing a
+    real codec (video, non-PCM audio) raise the declared
+    NotImplementedError."""
 
     def run(batches):
         for pdf in batches:

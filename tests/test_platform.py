@@ -1352,7 +1352,9 @@ class TestJpegCodec:
             except NotImplementedError:
                 pass  # the single declared error type
 
-    def test_progressive_rejected(self):
+    def test_progressive_header_only_raises(self):
+        """A SOF2 frame with no SOS at all is malformed (progressive
+        DECODE is supported as of round 5 — see TestProgressiveJpeg)."""
         from convert_spark.kernels import jpeg
 
         import struct as st
@@ -1360,6 +1362,253 @@ class TestJpegCodec:
         sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + st.pack("BBB", 1, 0x11, 0)
         with pytest.raises(NotImplementedError):
             jpeg.decode_baseline(b"\xff\xd8" + sof2 + b"\xff\xd9")
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) decode: spectral selection via the paired
+    progressive encoder; successive approximation via a hand-assembled
+    scan sequence checked against the directly-computed pixel block."""
+
+    @staticmethod
+    def _gradient(h, w, phases=(0.0, 1.0, 2.0)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(128 + 90 * np.sin(xx / 7.0 + yy / 11.0 + p)).astype(np.uint8) for p in phases],
+            axis=2,
+        )
+
+    @pytest.mark.parametrize(
+        "h,w,kw",
+        [
+            (24, 33, {"quality": 95}),
+            (37, 29, {"quality": 92, "subsample": True}),  # 4:2:0 partial MCUs
+            (21, 19, {"quality": 85, "restart_interval": 3}),
+        ],
+    )
+    def test_spectral_selection_equals_baseline(self, h, w, kw):
+        """Same coefficients, different scan order -> identical pixels."""
+        from convert_spark.kernels import jpeg
+
+        px = self._gradient(h, w)
+        base = jpeg.decode_baseline(jpeg.encode_baseline(px, **kw))
+        prog = jpeg.decode_baseline(jpeg.encode_baseline(px, progressive=True, **kw))
+        assert (prog == base).all()
+
+    def test_gray_spectral_selection(self):
+        from convert_spark.kernels import jpeg
+
+        g = (np.mgrid[0:16, 0:12][0] * 9).astype(np.uint8)[:, :, None]
+        base = jpeg.decode_baseline(jpeg.encode_baseline(g, quality=95))
+        prog = jpeg.decode_baseline(jpeg.encode_baseline(g, quality=95, progressive=True))
+        assert (prog == base).all()
+
+    def test_mutation_fuzz_progressive(self):
+        from convert_spark.kernels import jpeg
+
+        rng = np.random.RandomState(47)
+        good = jpeg.encode_baseline(self._gradient(17, 13), quality=85, progressive=True)
+        for _ in range(200):
+            data = bytearray(good)
+            op = rng.randint(3)
+            if op == 0:
+                for _ in range(rng.randint(1, 8)):
+                    data[rng.randint(len(data))] = rng.randint(256)
+            elif op == 1:
+                data = data[: rng.randint(2, len(data))]
+            else:
+                pos = rng.randint(2, len(data))
+                data = data[:pos] + bytes(rng.randint(0, 256, rng.randint(1, 30), dtype=np.uint8)) + data[pos:]
+            try:
+                jpeg.decode_baseline(bytes(data))
+            except NotImplementedError:
+                pass  # the single declared error type
+
+    @staticmethod
+    def _seg(marker: int, body: bytes) -> bytes:
+        import struct as st
+
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    def _sa_file(self) -> tuple[bytes, np.ndarray]:
+        """Hand-assemble a single-block grayscale progressive file using
+        successive approximation: DC first at Al=1 + DC refinement, AC
+        first (Ss=1..4, Al=1) + AC refinement (Ah=1, Al=0) with a
+        newly-significant coefficient behind a zero-history run and
+        correction bits for the two nonzero-history coefficients.
+        Returns (file bytes, expected 8x8 pixel block)."""
+        from convert_spark.kernels import jpeg
+
+        # target zigzag coefficients (quant table all ones => identity)
+        # dc=5, zz1=3, zz2=-2, zz3=0, zz4=1
+        dc, z1, z2, z4 = 5, 3, -2, 1
+        dc_codes = jpeg._encode_codes(*jpeg._DC_LUMA)
+        ac_codes = jpeg._encode_codes(*jpeg._AC_LUMA)
+
+        def scan_bits(emit) -> bytes:
+            bw = jpeg._BitWriter()
+            emit(bw)
+            bw.flush()
+            return bytes(bw.out)
+
+        # scan 1: DC first, Al=1 -> encode dc>>1 = 2 (diff from pred 0)
+        def dc_first(bw):
+            v = dc >> 1
+            t = v.bit_length()
+            c, ln = dc_codes[t]
+            bw.bits(c, ln)
+            bw.bits(v, t)
+
+        # scan 2: DC refinement, Al=0 -> the low bit of dc (1)
+        def dc_refine(bw):
+            bw.bits(dc & 1, 1)
+
+        # scan 3: AC first, Ss=1 Se=4, Al=1 -> values >> 1 toward zero:
+        # zz1 -> 1, zz2 -> -1, zz3 -> 0, zz4 -> 0; then EOB0
+        def ac_first(bw):
+            for v in (z1 // 2, -((-z2) // 2)):  # 1, -1 (truncate toward zero)
+                s = abs(v).bit_length()
+                c, ln = ac_codes[(0 << 4) | s]
+                bw.bits(c, ln)
+                bw.bits(v if v > 0 else v + (1 << s) - 1, s)
+            c, ln = ac_codes[0x00]  # EOB for the zero tail
+            bw.bits(c, ln)
+
+        # scan 4: AC refinement, Ah=1 Al=0: zz4 newly significant behind
+        # one zero-history coeff (r=1, s=1) + sign, then correction bits
+        # for zz1 (|3| bit0 = 1) and zz2 (|-2| bit0 = 0) in k order
+        def ac_refine(bw):
+            c, ln = ac_codes[(1 << 4) | 1]
+            bw.bits(c, ln)
+            bw.bits(1, 1)  # zz4 positive
+            bw.bits(1, 1)  # zz1 correction: 2 -> 3
+            bw.bits(0, 1)  # zz2 correction: -2 stays
+
+        qt_ones = self._seg(0xDB, bytes([0]) + bytes([1] * 64))
+        import struct as st
+
+        sof2 = self._seg(0xC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        counts, symbols = jpeg._DC_LUMA
+        dht_dc = self._seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symbols))
+        counts, symbols = jpeg._AC_LUMA
+        dht_ac = self._seg(0xC4, bytes([0x10]) + bytes(counts) + bytes(symbols))
+        data = (
+            b"\xff\xd8" + qt_ones + sof2 + dht_dc + dht_ac
+            + self._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + scan_bits(dc_first)
+            + self._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + scan_bits(dc_refine)
+            + self._seg(0xDA, bytes([1, 1, 0x00, 1, 4, 0x01])) + scan_bits(ac_first)
+            + self._seg(0xDA, bytes([1, 1, 0x00, 1, 4, 0x10])) + scan_bits(ac_refine)
+            + b"\xff\xd9"
+        )
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0], zz[1], zz[2], zz[4] = dc, z1, z2, z4
+        nat = np.zeros(64, dtype=np.int64)
+        nat[jpeg._ZIGZAG] = zz
+        px = jpeg._A.T @ nat.reshape(8, 8).astype(np.float64) @ jpeg._A + 128.0
+        expected = np.clip(np.rint(px), 0, 255).astype(np.uint8)[:, :, None]
+        return data, expected
+
+    def test_successive_approximation_hand_stream(self):
+        from convert_spark.kernels import jpeg
+
+        data, expected = self._sa_file()
+        got = jpeg.decode_baseline(data)
+        assert got.shape == (8, 8, 1)
+        assert (got == expected).all()
+
+    def test_ac_before_dc_raises(self):
+        """T.81 G.1.1.1.1: a component's first scan must be DC."""
+        from convert_spark.kernels import jpeg
+
+        data, _ = self._sa_file()
+        # drop the two DC scans: file = headers + AC scans only
+        idx = data.index(b"\xff\xda")
+        # find the third SOS (first AC scan)
+        second = data.index(b"\xff\xda", idx + 2)
+        third = data.index(b"\xff\xda", second + 2)
+        broken = data[:idx] + data[third:]
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_baseline(broken)
+
+
+class TestMultiScanSequential:
+    """Baseline sequential files whose components arrive in separate
+    per-component (non-interleaved) scans — the round-4 ADVICE gap: these
+    were silently mis-decoded as 1-channel MCU-interleaved data."""
+
+    @staticmethod
+    def _per_component_file(px: np.ndarray, subsample: bool) -> bytes:
+        """Re-layout the interleaved baseline encoding of ``px`` as three
+        single-component scans (same tables, same coefficients)."""
+        import struct as st
+
+        from convert_spark.kernels import jpeg
+
+        h, w, _ = px.shape
+        ql, qc = jpeg._quality_tables(90)
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down2(p):
+                if h % 2:
+                    p = np.vstack([p, p[-1:]])
+                if w % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+            chans = [(y, ql, 0, 2, 2), (down2(cb), qc, 1, 1, 1), (down2(cr), qc, 1, 1, 1)]
+        else:
+            chans = [(y, ql, 0, 1, 1), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+        out = b"\xff\xd8"
+        for tq, q in ((0, ql), (1, qc)):
+            zz = q.reshape(-1)[jpeg._ZIGZAG].astype(np.uint8)
+            out += seg(0xDB, bytes([tq]) + zz.tobytes())
+        comp_spec = b"".join(
+            bytes([i + 1, (ch[3] << 4) | ch[4], 0 if i == 0 else 1]) for i, ch in enumerate(chans)
+        )
+        out += seg(0xC0, st.pack(">BHHB", 8, h, w, 3) + comp_spec)
+        for (counts, symbols), tcth in (
+            (jpeg._DC_LUMA, 0x00), (jpeg._AC_LUMA, 0x10),
+            (jpeg._DC_CHROMA, 0x01), (jpeg._AC_CHROMA, 0x11),
+        ):
+            out += seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(symbols))
+        dc_l, ac_l = jpeg._encode_codes(*jpeg._DC_LUMA), jpeg._encode_codes(*jpeg._AC_LUMA)
+        dc_c, ac_c = jpeg._encode_codes(*jpeg._DC_CHROMA), jpeg._encode_codes(*jpeg._AC_CHROMA)
+        for ci, (plane, q, is_chroma, _, _) in enumerate(chans):
+            out += seg(0xDA, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00")
+            bw = jpeg._BitWriter()
+            pred = 0
+            nby, nbx = -(-plane.shape[0] // 8), -(-plane.shape[1] // 8)
+            for u in range(nby * nbx):
+                by, bx = divmod(u, nbx)
+                pred = jpeg._encode_block(
+                    bw, jpeg._pad_block(plane, by * 8, bx * 8), q,
+                    dc_c if is_chroma else dc_l, ac_c if is_chroma else ac_l, pred,
+                )
+            bw.flush()
+            out += bytes(bw.out)
+        return out + b"\xff\xd9"
+
+    @pytest.mark.parametrize("subsample", [False, True])
+    def test_per_component_scans_equal_interleaved(self, subsample):
+        from convert_spark.kernels import jpeg
+
+        yy, xx = np.mgrid[0:22, 0:18]
+        px = np.stack(
+            [(128 + 80 * np.sin(xx / 5.0 + yy / 9.0 + p)).astype(np.uint8) for p in (0, 1, 2)],
+            axis=2,
+        )
+        multi = jpeg.decode_baseline(self._per_component_file(px, subsample))
+        inter = jpeg.decode_baseline(
+            jpeg.encode_baseline(px, quality=90, subsample=subsample)
+        )
+        assert multi.shape == inter.shape == px.shape
+        assert (multi == inter).all()
 
 
 class TestPngSubByteAdam7:

@@ -40,6 +40,10 @@ DECODE_SCHEMA = (
     "n_channels int, sha256 string"
 )
 FEATURE_SCHEMA = "url string, feat array<float>"
+STATS_SCHEMA = (
+    "url string, media_kind string, channel int, n_values long, "
+    "v_sum long, v_min long, v_max long"
+)
 FRAME_SCHEMA = "url string, frame_idx int, frame_sha string"
 RESIZE_SCHEMA = "url string, out_w int, out_h int, resized_sha string"
 
@@ -370,6 +374,97 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     vec = np.zeros(dim, dtype=np.float32)
     vec[: min(dim, len(stats))] = np.asarray(stats[:dim], dtype=np.float32)
     return vec
+
+
+def _wav_ints(data: bytes) -> np.ndarray:
+    """WAV PCM as RAW integer samples, (n_frames, n_channels): int16 for
+    16-bit, uint8 (unsigned, midpoint 128) for 8-bit — the integer-exact
+    twin of ``_wav_samples`` used by the stats stage so the oracle
+    comparison never touches floats."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            nch, sw = wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except Exception as exc:  # noqa: BLE001
+        raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
+    if sw == 1:
+        return np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)
+    raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+
+
+def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
+    """Per-channel INTEGER statistics (n, sum, min, max) from the real
+    decode — exact arithmetic end to end, so the KAT oracle comparison
+    is immune to float summation-order effects. PNG pixels at native
+    depth (palette expanded to RGB, sub-byte grayscale scaled to 8-bit),
+    JPEG uint8 pixels via kernels/jpeg.py, WAV raw PCM integers."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        px = _png_pixels(data)
+        kind = "png"
+    elif data[:3] == b"\xff\xd8\xff":
+        from ..kernels import jpeg
+
+        px = jpeg.decode_baseline(data)
+        kind = "jpeg"
+    elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        s = _wav_ints(data)
+        return "wav", [
+            (s.shape[0], int(s[:, c].sum()), int(s[:, c].min()), int(s[:, c].max()))
+            for c in range(s.shape[1])
+        ]
+    else:
+        raise NotImplementedError("stats: only PNG/JPEG/WAV decode without a real codec")
+    arr = px.astype(np.int64)
+    return kind, [
+        (
+            arr.shape[0] * arr.shape[1],
+            int(arr[:, :, c].sum()),
+            int(arr[:, :, c].min()),
+            int(arr[:, :, c].max()),
+        )
+        for c in range(arr.shape[2])
+    ]
+
+
+def media_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Stats stage over REAL decoded content: one output row per decoded
+    channel (1->N fan-out like ``sample_frames``), integer-exact columns
+    so the twin-derived KAT oracle compares without float tolerance.
+    Decode is per-payload by nature (variable-size compressed bytes);
+    the batch assembly around it is columnar."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            urls, kinds, chans, ns, sums, mins, maxs = [], [], [], [], [], [], []
+            for url, p in zip(pdf["url"], pdf[binary_col]):
+                kind, stats = stats_real(bytes(p) if p is not None else b"")
+                for c, (n, s, mn, mx) in enumerate(stats):
+                    urls.append(url)
+                    kinds.append(kind)
+                    chans.append(c)
+                    ns.append(n)
+                    sums.append(s)
+                    mins.append(mn)
+                    maxs.append(mx)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "media_kind": kinds,
+                    "channel": np.asarray(chans, dtype=np.int32),
+                    "n_values": np.asarray(ns, dtype=np.int64),
+                    "v_sum": np.asarray(sums, dtype=np.int64),
+                    "v_min": np.asarray(mins, dtype=np.int64),
+                    "v_max": np.asarray(maxs, dtype=np.int64),
+                }
+            )
+
+    return df.select("url", binary_col).mapInPandas(run, schema=STATS_SCHEMA)
 
 
 def encode_png(px: np.ndarray) -> bytes:

@@ -1379,6 +1379,55 @@ from documents
 """
 
 
+def _media_real_input(spark: SparkSession, sf_dir: str):
+    """Genuine media payloads keyed by the documents table: every other
+    doc_id carries one payload whose bytes are a pure function of
+    seed = doc_id/2, cycling through all 16 mediagen format classes
+    (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts)
+    at every scale factor."""
+    from . import mediagen
+
+    _load(spark, sf_dir, "documents")
+    d = (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.concat(F.lit("media://"), F.col("doc_id")).alias("url"),
+            (F.col("doc_id") / 2).cast("long").alias("seed"),
+        )
+    )
+    return mediagen.payload_df(d)
+
+
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under the driver's hash gate: genuine
+    PNG/JPEG/WAV payloads (convert_spark.mediagen, seeded from doc_id)
+    -> header decode via the production codecs
+    (``deterministic_fake=False``). Oracle: KAT parquet derived from the
+    independent scalar twin (tests/media_reference_impl.py — pure-Python
+    per-pixel re-implementation of the public specs), regenerated and
+    engine-compared at all three scale factors by
+    tests/test_kat_cross_sf.py."""
+    from .operators import multimodal
+
+    d = _media_real_input(spark, sf_dir)
+    return multimodal.decode_media(d, binary_col="payload", deterministic_fake=False)
+
+
+def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel/sample content under the hash gate: per-channel
+    INTEGER statistics (count/sum/min/max — exact arithmetic, no float
+    tolerance needed) of the fully decoded payloads: PNG scanline
+    unfilter + sub-byte unpack + palette + Adam7, JPEG huffman + IDCT
+    (sequential AND progressive), WAV PCM. One row per decoded channel
+    (1->N fan-out). Oracle: twin-derived KAT (independent scalar
+    decoders), cross-checked at all three SFs."""
+    from .operators import multimodal
+
+    d = _media_real_input(spark, sf_dir)
+    return multimodal.media_stats(d, binary_col="payload")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering (the last step of every dedup family): BUCKETED
     near-dup pairs (ann.neardup_lsh over the planted corpus, the same
@@ -1582,6 +1631,8 @@ QUERIES = {
     "q_media_decode": q_media_decode,
     "q_media_frames": q_media_frames,
     "q_media_resize": q_media_resize,
+    "q_media_decode_real": q_media_decode_real,
+    "q_media_stats_real": q_media_stats_real,
     "q_asof_events": q_asof_events,
     "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
@@ -1643,5 +1694,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real")},
     }

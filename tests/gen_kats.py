@@ -125,6 +125,75 @@ def kat_ann_ivf(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def _media_ids(sf_dir: str) -> list[int]:
+    return [
+        int(r[0])
+        for r in duckdb.sql(
+            f"select doc_id from '{sf_dir}/documents.parquet' where doc_id % 2 = 0 order by doc_id"
+        ).fetchall()
+    ]
+
+
+def kat_media_decode_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """Genuine payloads (mediagen, shared input-gen) -> INDEPENDENT
+    scalar header decode (media_reference_impl: manual IHDR/SOF/RIFF
+    parsing, no numpy, no stdlib wave)."""
+    import hashlib
+
+    import media_reference_impl as mref
+
+    from convert_spark import mediagen
+
+    rows = []
+    for doc_id in _media_ids(sf_dir):
+        payload = mediagen.payload_for(doc_id // 2)
+        kind, w, h, ch = mref.header(payload)
+        rows.append(
+            {
+                "url": f"media://{doc_id}",
+                "media_kind": kind,
+                "n_bytes": len(payload),
+                "width": w,
+                "height": h,
+                "n_channels": ch,
+                "sha256": hashlib.sha256(payload).hexdigest(),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_bytes": "int64", "width": "int32", "height": "int32", "n_channels": "int32"}
+    )
+
+
+def kat_media_stats_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """Genuine payloads -> INDEPENDENT scalar PIXEL/SAMPLE decode
+    (media_reference_impl: per-byte PNG unfilter, bit-cursor JPEG
+    huffman + per-pixel IDCT incl. progressive scans, manual RIFF PCM)
+    -> per-channel integer stats. Exact integer arithmetic end to end."""
+    import media_reference_impl as mref
+
+    from convert_spark import mediagen
+
+    rows = []
+    for doc_id in _media_ids(sf_dir):
+        payload = mediagen.payload_for(doc_id // 2)
+        kind, stats = mref.channel_stats(payload)
+        for c, (n, s, mn, mx) in enumerate(stats):
+            rows.append(
+                {
+                    "url": f"media://{doc_id}",
+                    "media_kind": kind,
+                    "channel": c,
+                    "n_values": n,
+                    "v_sum": s,
+                    "v_min": mn,
+                    "v_max": mx,
+                }
+            )
+    return pd.DataFrame(rows).astype(
+        {"channel": "int32", "n_values": "int64", "v_sum": "int64", "v_min": "int64", "v_max": "int64"}
+    )
+
+
 KAT_BUILDERS = {
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
@@ -132,6 +201,8 @@ KAT_BUILDERS = {
     "q_fingerprint": kat_fingerprint,
     "q_ann_lsh": kat_ann_lsh,
     "q_ann_ivf": kat_ann_ivf,
+    "q_media_decode_real": kat_media_decode_real,
+    "q_media_stats_real": kat_media_stats_real,
 }
 KAT_QUERIES = list(KAT_BUILDERS)
 

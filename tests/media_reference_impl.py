@@ -1,0 +1,646 @@
+"""Independent scalar twin decoders for the real-media KAT oracles.
+
+Pure-Python, per-pixel/per-sample re-implementations of the PUBLIC
+specs — PNG (RFC 2083 / W3C), JPEG (ITU T.81), WAV (RIFF/PCM) —
+structurally disjoint from the vectorized production kernels
+(convert_spark/operators/multimodal.py, convert_spark/kernels/jpeg.py):
+
+* PNG here unfilters byte-by-byte in plain lists, unpacks sub-byte
+  samples with integer shifts, walks Adam7 passes scalar; production is
+  numpy cumsum/unpackbits/scatter.
+* JPEG here reads the entropy stream bit-by-bit with an index/bit
+  cursor, stores blocks as plain 64-lists and evaluates the IDCT with
+  explicit u/v loops; production is a 32-bit accumulator reader and
+  batched matrix IDCT.
+* WAV here parses the RIFF chunk list manually; production uses the
+  stdlib ``wave`` module.
+
+The twin covers exactly the payload corpus convert_spark.mediagen
+emits (all ten PNG IHDR shapes, sequential + spectral-selection
+progressive JPEG, 8/16-bit PCM WAV). Everything else raises ValueError
+— the KAT builder should never hit it.
+
+Float-parity note (JPEG): both sides compute the IDCT and YCbCr
+transform in float64 from the same published constants and round
+half-to-even; summation-order ulp differences could in principle flip
+a pixel sitting exactly on a rounding boundary, but the payload corpus
+is deterministic, and tests/test_kat_cross_sf.py proves agreement on
+every payload at all three scale factors — a one-time check, not a
+flaky one.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+# ---------------------------------------------------------------- PNG ---
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        yield typ, data[pos + 8 : pos + 8 + ln]
+        if typ == b"IEND":
+            return
+        pos += 12 + ln
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, off: int, n_rows: int, stride: int, bpp: int):
+    """Scalar PNG unfilter: returns (rows as lists of ints, bytes used)."""
+    rows = []
+    prev = [0] * stride
+    p = off
+    for _ in range(n_rows):
+        if p + 1 + stride > len(raw):
+            raise ValueError("png: truncated image data")
+        ftype = raw[p]
+        cur = []
+        for i in range(stride):
+            x = raw[p + 1 + i]
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = (x + a) & 0xFF
+            elif ftype == 2:
+                v = (x + b) & 0xFF
+            elif ftype == 3:
+                v = (x + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                v = (x + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"png: filter {ftype}")
+            cur.append(v)
+        rows.append(cur)
+        prev = cur
+        p += 1 + stride
+    return rows, p - off
+
+
+def _rows_to_samples(rows, width: int, bit_depth: int, channels: int):
+    """Byte rows -> per-pixel sample tuples (ints, native bit depth)."""
+    out = []
+    for row in rows:
+        pix = []
+        if bit_depth < 8:
+            per_byte = 8 // bit_depth
+            mask = (1 << bit_depth) - 1
+            for x in range(width):
+                byte = row[x // per_byte]
+                shift = 8 - bit_depth * (x % per_byte + 1)
+                pix.append(((byte >> shift) & mask,))
+        elif bit_depth == 8:
+            for x in range(width):
+                pix.append(tuple(row[x * channels + c] for c in range(channels)))
+        else:  # 16
+            for x in range(width):
+                base = x * channels * 2
+                pix.append(
+                    tuple(
+                        (row[base + 2 * c] << 8) | row[base + 2 * c + 1]
+                        for c in range(channels)
+                    )
+                )
+        out.append(pix)
+    return out
+
+
+def png_pixels(data: bytes):
+    """Decode a PNG to (pixels, bit_depth) where pixels is a list of
+    rows of per-channel int tuples (palette expanded to RGB, sub-byte
+    grayscale scaled to 8-bit — mirroring the engine's output contract,
+    which is part of the schema, not of the algorithm under test)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("png: bad magic")
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for typ, body in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat += body
+    if ihdr is None:
+        raise ValueError("png: no IHDR")
+    w, h = struct.unpack(">II", ihdr[0:8])
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = _PNG_NCH[color_type]
+    raw = zlib.decompress(bytes(idat))
+
+    def stride_of(width: int) -> tuple[int, int]:
+        if bit_depth < 8:
+            return (width * bit_depth + 7) // 8, 1
+        return width * channels * (bit_depth // 8), channels * (bit_depth // 8)
+
+    if interlace == 0:
+        stride, bpp = stride_of(w)
+        rows, used = _unfilter(raw, 0, h, stride, bpp)
+        if used != len(raw):
+            raise ValueError("png: trailing image data")
+        grid = _rows_to_samples(rows, w, bit_depth, channels)
+    elif interlace == 1:
+        grid = [[None] * w for _ in range(h)]
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride, bpp = stride_of(pw)
+            rows, used = _unfilter(raw, off, ph, stride, bpp)
+            off += used
+            sub = _rows_to_samples(rows, pw, bit_depth, channels)
+            for j in range(ph):
+                for i in range(pw):
+                    grid[y0 + j * dy][x0 + i * dx] = sub[j][i]
+        if off != len(raw):
+            raise ValueError("png: adam7 size mismatch")
+    else:
+        raise ValueError("png: interlace method")
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("png: palette without PLTE")
+        table = [tuple(plte[i : i + 3]) for i in range(0, len(plte), 3)]
+        grid = [[table[px[0]] for px in row] for row in grid]
+        return grid, 8
+    if bit_depth < 8:
+        hi = (1 << bit_depth) - 1
+        grid = [[((px[0] * 255) // hi,) for px in row] for row in grid]
+        return grid, 8
+    return grid, bit_depth
+
+
+def png_header(data: bytes):
+    if data[:8] != _PNG_MAGIC or data[12:16] != b"IHDR":
+        raise ValueError("png: bad header")
+    w, h = struct.unpack(">II", data[16:24])
+    return "png", w, h, _PNG_NCH[data[25]]
+
+
+# --------------------------------------------------------------- JPEG ---
+
+_ZZ = [  # zigzag index -> (row, col), from the published order
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+_COS = [
+    [
+        (math.sqrt(0.125) if u == 0 else 0.5) * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+class _JBits:
+    """Bit cursor over the entropy stream: index + bit offset, 0xFF00
+    unstuffing, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.b = 0
+
+    def _cur(self) -> int:
+        if self.p >= len(self.d):
+            raise ValueError("jpeg: entropy exhausted")
+        v = self.d[self.p]
+        if v == 0xFF:
+            nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
+            if nxt != 0x00:
+                raise ValueError("jpeg: marker inside entropy read")
+        return v
+
+    def bit(self) -> int:
+        v = (self._cur() >> (7 - self.b)) & 1
+        self.b += 1
+        if self.b == 8:
+            self.b = 0
+            self.p += 2 if self.d[self.p] == 0xFF else 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Skip pad bits + find the next marker byte pair."""
+        if self.b:
+            self.b = 0
+            self.p += 2 if self.d[self.p] == 0xFF else 1
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and self.d[self.p + 1] != 0x00:
+                return
+            self.p += 1
+        self.p = len(self.d)
+
+    def take_rst(self) -> None:
+        self.align_to_marker()
+        if not (self.p + 1 < len(self.d) and 0xD0 <= self.d[self.p + 1] <= 0xD7):
+            raise ValueError("jpeg: expected RST")
+        self.p += 2
+
+
+def _huff_dict(counts, symbols):
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_sym(bits: _JBits, table) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("jpeg: bad huffman code")
+
+
+def _ext(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixels(data: bytes):
+    """Scalar JPEG decode -> list rows of channel tuples (uint8 range).
+    Sequential (interleaved or per-component scans) + spectral-selection
+    progressive; successive approximation / arithmetic raise ValueError
+    (not in the mediagen corpus)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: no SOI")
+    qts = {}
+    huffs = {}
+    frame = None
+    coeffs = None
+    restart = 0
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: desync")
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if m == 0xDB:
+            b = 0
+            while b < len(body):
+                tq = body[b] & 0x0F
+                tab = [[0] * 8 for _ in range(8)]
+                for k in range(64):
+                    r, c = _ZZ[k]
+                    tab[r][c] = body[b + 1 + k]
+                qts[tq] = tab
+                b += 65
+        elif m == 0xC4:
+            b = 0
+            while b < len(body):
+                tcth = body[b]
+                counts = list(body[b + 1 : b + 17])
+                n = sum(counts)
+                huffs[(tcth >> 4, tcth & 0x0F)] = _huff_dict(
+                    counts, list(body[b + 17 : b + 17 + n])
+                )
+                b += 17 + n
+        elif m in (0xC0, 0xC1, 0xC2):
+            h, w = struct.unpack(">HH", body[1:5])
+            comps = []
+            for i in range(body[5]):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "hs": samp >> 4, "vs": samp & 0x0F, "tq": tq}
+                )
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                cw = (w * c["hs"] + hmax - 1) // hmax
+                chh = (h * c["vs"] + vmax - 1) // vmax
+                c["nbx"] = (cw + 7) // 8
+                c["nby"] = (chh + 7) // 8
+            frame = {
+                "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mx": mx, "my": my, "prog": m == 0xC2,
+            }
+            coeffs = [{} for _ in comps]  # (by,bx) -> zigzag list[64]
+        elif m == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                ci = next(j for j, c in enumerate(frame["comps"]) if c["id"] == cid)
+                sel.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, aa = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            pos = _jscan(data, pos + 2 + ln, frame, sel, ss, se, aa >> 4, aa & 0x0F,
+                         huffs, restart, coeffs)
+            continue
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: unsupported SOF")
+        pos += 2 + ln
+    if frame is None or coeffs is None:
+        raise ValueError("jpeg: no frame")
+    return _jfinish(frame, coeffs, qts)
+
+
+def _block(coeffs, ci, by, bx):
+    key = (by, bx)
+    if key not in coeffs[ci]:
+        coeffs[ci][key] = [0] * 64
+    return coeffs[ci][key]
+
+
+def _jscan(data, pos, frame, sel, ss, se, ah, al, huffs, restart, coeffs) -> int:
+    prog = frame["prog"]
+    if not prog:
+        ss, se, ah, al = 0, 63, 0, 0
+    if prog and ah != 0:
+        raise ValueError("jpeg: successive approximation not in twin scope")
+    bits = _JBits(data, pos)
+    preds = {ci: 0 for ci, _, _ in sel}
+    eobrun = [0]
+
+    def one_block(ci, td, ta, zz):
+        if ss == 0:  # DC (plus full band when sequential)
+            t = _read_sym(bits, huffs[(0, td)])
+            diff = _ext(bits.bits(t), t) if t else 0
+            preds[ci] += diff
+            zz[0] = preds[ci] << al
+        if se == 0:
+            return
+        if prog and eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = max(ss, 1)
+        actab = huffs[(1, ta)]
+        while k <= se:
+            sym = _read_sym(bits, actab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                if prog:
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += bits.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("jpeg: band overflow")
+            zz[k] = _ext(bits.bits(s), s) << al
+            k += 1
+
+    if len(sel) > 1:
+        units = frame["mx"] * frame["my"]
+    else:
+        c = frame["comps"][sel[0][0]]
+        units = c["nbx"] * c["nby"]
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            bits.take_rst()
+            for ci in preds:
+                preds[ci] = 0
+            eobrun[0] = 0
+        if len(sel) > 1:
+            my, mx = divmod(u, frame["mx"])
+            for ci, td, ta in sel:
+                c = frame["comps"][ci]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        one_block(ci, td, ta,
+                                  _block(coeffs, ci, my * c["vs"] + by, mx * c["hs"] + bx))
+        else:
+            ci, td, ta = sel[0]
+            c = frame["comps"][ci]
+            by, bx = divmod(u, c["nbx"])
+            one_block(ci, td, ta, _block(coeffs, ci, by, bx))
+    bits.align_to_marker()
+    return bits.p
+
+
+def _jfinish(frame, coeffs, qts):
+    w, h = frame["w"], frame["h"]
+    planes = []
+    for ci, comp in enumerate(frame["comps"]):
+        q = qts[comp["tq"]]
+        blocks = {}
+        for (by, bx), zz in coeffs[ci].items():
+            nat = [[0.0] * 8 for _ in range(8)]
+            for k in range(64):
+                r, c = _ZZ[k]
+                nat[r][c] = float(zz[k] * q[r][c])
+            # two-stage IDCT mirroring the production association order:
+            # tmp[x][v] = sum_u COS[u][x] * nat[u][v]; px = tmp @ COS
+            tmp = [
+                [sum(_COS[u][x] * nat[u][v] for u in range(8)) for v in range(8)]
+                for x in range(8)
+            ]
+            px = [
+                [sum(tmp[x][v] * _COS[v][y] for v in range(8)) + 128.0 for y in range(8)]
+                for x in range(8)
+            ]
+            blocks[(by, bx)] = px
+        planes.append(blocks)
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            samples = []
+            for ci, comp in enumerate(frame["comps"]):
+                ry = frame["vmax"] // comp["vs"]
+                rx = frame["hmax"] // comp["hs"]
+                py, pxx = y // ry, x // rx
+                blk = planes[ci].get((py // 8, pxx // 8))
+                v = 128.0 if blk is None else blk[py % 8][pxx % 8]
+                samples.append(v)
+            row.append(tuple(samples))
+        rows.append(row)
+
+    def to8(v: float) -> int:
+        r = round(v)  # round-half-even, same as np.rint
+        return 0 if r < 0 else (255 if r > 255 else int(r))
+
+    ncomp = len(frame["comps"])
+    if ncomp == 1:
+        return [[(to8(px[0]),) for px in row] for row in rows]
+    if ncomp != 3:
+        raise ValueError("jpeg: component count")
+    out = []
+    for row in rows:
+        orow = []
+        for y, cb, cr in row:
+            cb -= 128.0
+            cr -= 128.0
+            orow.append(
+                (
+                    to8(y + 1.402 * cr),
+                    to8(y - 0.344136 * cb - 0.714136 * cr),
+                    to8(y + 1.772 * cb),
+                )
+            )
+        out.append(orow)
+    return out
+
+
+def jpeg_header(data: bytes):
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m == 0xD8 or 0xD0 <= m <= 0xD7 or m == 0x01:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+            return "jpeg", w, h, data[pos + 9]
+        pos += 2 + ln
+    raise ValueError("jpeg: no SOF")
+
+
+# ---------------------------------------------------------------- WAV ---
+
+
+def wav_parse(data: bytes):
+    """Manual RIFF walk (no stdlib wave): returns (n_channels,
+    samp_width, rate, frames, pcm_bytes)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF header")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    audio_fmt, nch, rate = struct.unpack("<HHI", fmt[0:8])
+    bits_per = struct.unpack("<H", fmt[14:16])[0]
+    if audio_fmt != 1:
+        raise ValueError("wav: non-PCM")
+    sw = bits_per // 8
+    frames = len(pcm) // (nch * sw)
+    return nch, sw, rate, frames, pcm
+
+
+def wav_header(data: bytes):
+    nch, _, rate, frames, _ = wav_parse(data)
+    return "wav", frames, rate, nch
+
+
+def wav_samples(data: bytes):
+    """Per-channel raw integer sample lists (int16 signed / uint8)."""
+    nch, sw, _, frames, pcm = wav_parse(data)
+    chans = [[] for _ in range(nch)]
+    for f in range(frames):
+        for c in range(nch):
+            off = (f * nch + c) * sw
+            if sw == 2:
+                (v,) = struct.unpack_from("<h", pcm, off)
+            elif sw == 1:
+                v = pcm[off]
+            else:
+                raise ValueError("wav: sample width")
+            chans[c].append(v)
+    return chans
+
+
+# ----------------------------------------------------- twin interfaces ---
+
+
+def header(data: bytes):
+    """(kind, width, height, n_channels) — mirrors the engine's
+    decode_real schema mapping (WAV: width=frames, height=rate)."""
+    if data[:8] == _PNG_MAGIC:
+        return png_header(data)
+    if data[:3] == b"\xff\xd8\xff":
+        return jpeg_header(data)
+    if data[:4] == b"RIFF":
+        return wav_header(data)
+    raise ValueError("unknown payload format")
+
+
+def channel_stats(data: bytes):
+    """Per-channel (n, sum, min, max) over raw integer samples: PNG
+    pixels at native depth (palette expanded, sub-byte scaled to 8-bit),
+    JPEG uint8 pixels, WAV int16/uint8 PCM samples."""
+    if data[:8] == _PNG_MAGIC:
+        grid, _ = png_pixels(data)
+        nch = len(grid[0][0])
+        chans = [[px[c] for row in grid for px in row] for c in range(nch)]
+        kind = "png"
+    elif data[:3] == b"\xff\xd8\xff":
+        grid = jpeg_pixels(data)
+        nch = len(grid[0][0])
+        chans = [[px[c] for row in grid for px in row] for c in range(nch)]
+        kind = "jpeg"
+    elif data[:4] == b"RIFF":
+        chans = wav_samples(data)
+        kind = "wav"
+    else:
+        raise ValueError("unknown payload format")
+    return kind, [
+        (len(ch), sum(ch), min(ch), max(ch)) for ch in chans
+    ]

@@ -62,6 +62,43 @@ def run_pipeline(spark, n_pages: int) -> int:
     return int(n)
 
 
+def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
+    """Measured single-core throughput of the REAL media decode path
+    (full pixel/sample decode via stats_real), per format family — the
+    quantified boundary for the documented scalar-codec stages (the
+    PNG Average/Paeth pixel loop and the JPEG entropy bit loop). The
+    cluster-scale fix is a native codec (Pillow/libpng/turbojpeg) at
+    the same mapInPandas call site; until then this number says exactly
+    what the from-scratch path sustains per core."""
+    import time as _t
+
+    from convert_spark import mediagen
+    from convert_spark.operators import multimodal
+
+    fam_fmt = {"png": range(0, 10), "jpeg": range(10, 14), "wav": range(14, 16)}
+    out: dict[str, dict[str, float]] = {}
+    for fam, fmts in fam_fmt.items():
+        payloads = []
+        seed = 0
+        while len(payloads) < per_family:
+            if seed % mediagen.N_FORMATS in fmts:
+                payloads.append(mediagen.payload_for(seed))
+            seed += 1
+        for p in payloads[:4]:
+            multimodal.stats_real(p)  # warm imports/caches
+        t0 = _t.time()
+        values = 0
+        for p in payloads:
+            _, stats = multimodal.stats_real(p)
+            values += sum(n for n, _, _, _ in stats)
+        dt = _t.time() - t0
+        out[fam] = {
+            "payloads_per_sec": round(len(payloads) / dt, 1) if dt > 0 else None,
+            "samples_per_sec": round(values / dt, 0) if dt > 0 else None,
+        }
+    return out
+
+
 def main() -> None:
     from convert_spark import queries as Q
     from convert_spark.session import get_session
@@ -114,6 +151,9 @@ def main() -> None:
         "pipeline_rows": rows,
         "pipeline_rows_per_sec": round(rows / headline, 1) if headline > 0 else None,
         "headline_walls": [round(x, 3) for x in walls],
+        # single-core real-codec decode rates (the documented scalar
+        # boundary, measured — see media_codec_rates docstring)
+        "media_codec_rates": media_codec_rates(),
         "cpus": CPUS,
     }
     print(json.dumps(result))

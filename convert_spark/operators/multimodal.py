@@ -154,9 +154,21 @@ def _unfilter_scanlines(arr: np.ndarray, n_rows: int, stride: int, bpp: int) -> 
     """Undo PNG per-scanline filters on one (sub-)image: ``arr`` is
     (n_rows, stride+1) raw bytes with the filter type in column 0.
     0=None 1=Sub 2=Up 3=Average 4=Paeth; Sub is the per-residue-class
-    cumsum mod 256, Up is vectorized, Average/Paeth are sequential by
-    spec — filters operate on BYTES with a ``bpp`` offset regardless of
-    bit depth, and each pass/image starts with a zero prior row."""
+    cumsum mod 256, Up is vectorized. Average/Paeth depend on the
+    RECONSTRUCTED left neighbor, so they are sequential along x by
+    spec — but only across PIXELS: the ``bpp`` byte lanes inside a
+    pixel are independent, so both filters step one pixel at a time
+    with the byte lane vectorized (w iterations instead of w*bpp —
+    3-8x fewer Python-level steps for RGB/RGBA/16-bit rows; identical
+    arithmetic). Each pass/image starts with a zero prior row.
+
+    Scale note: like the JPEG entropy loop (kernels/jpeg.py), this is
+    the test-scale implementation of a per-payload scalar stage; a
+    production cluster decoding megapixel corpora should swap a native
+    codec (Pillow/libpng) into the SAME mapInPandas call site
+    (decode_media/media_stats deterministic_fake=False). bench.py
+    measures and reports the real payloads/sec of this path so the
+    boundary is quantified, not guessed."""
     out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(n_rows):
@@ -170,21 +182,28 @@ def _unfilter_scanlines(arr: np.ndarray, n_rows: int, stride: int, bpp: int) -> 
                 cur[b::bpp] = np.cumsum(cur[b::bpp]) & 0xFF
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif f == 3:  # Average (sequential: left is the RECONSTRUCTED byte)
+        elif f == 3:  # Average: left is reconstructed -> per-pixel steps,
+            # byte lane vectorized
             cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth (sequential)
+            cur[:bpp] = (line[:bpp] + prev[:bpp] // 2) & 0xFF
+            for i in range(bpp, stride, bpp):
+                j = min(i + bpp, stride)
+                cur[i:j] = (
+                    line[i:j] + (cur[i - bpp : i - bpp + (j - i)] + prev[i:j]) // 2
+                ) & 0xFF
+        elif f == 4:  # Paeth: same per-pixel stepping, vector byte lane
             cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b2 = prev[i]
-                c2 = prev[i - bpp] if i >= bpp else 0
+            # first pixel: a = c = 0 -> predictor reduces to prev (b)
+            cur[:bpp] = (line[:bpp] + prev[:bpp]) & 0xFF
+            for i in range(bpp, stride, bpp):
+                j = min(i + bpp, stride)
+                a = cur[i - bpp : i - bpp + (j - i)]
+                b2 = prev[i:j]
+                c2 = prev[i - bpp : i - bpp + (j - i)]
                 p = a + b2 - c2
-                pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c2)
-                pred = a if (pa <= pb and pa <= pc) else (b2 if pb <= pc else c2)
-                cur[i] = (line[i] + pred) & 0xFF
+                pa, pb, pc = np.abs(p - a), np.abs(p - b2), np.abs(p - c2)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b2, c2))
+                cur[i:j] = (line[i:j] + pred) & 0xFF
         else:
             raise NotImplementedError(f"malformed PNG: filter type {f}")
         out[y] = cur.astype(np.uint8)

@@ -386,6 +386,12 @@ def neardup_lsh(
     use ``neardup_blocked`` (exact, all-pairs) there and accept the
     quadratic cost, because that's what the semantics cost.
     """
+    # SLIM candidate plan (round 5): the (band, bucket) self-join and the
+    # pair dedup carry ONLY ids — never the vectors. Carrying embeddings
+    # through the candidate shuffle multiplies the exchanged bytes by the
+    # vector width (~60x for 64-dim doubles vs two longs), which is the
+    # difference between shuffling pair IDs and shuffling the corpus
+    # itself at 100 TB. Vectors re-join by id for the rerank only.
     keyed = (
         with_lsh_keys(
             vectors.select(
@@ -393,27 +399,33 @@ def neardup_lsh(
             ),
             "__v", dim, bands, bits_per_band,
         )
-        .withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
         # one signature pass shared by both self-join branches AND the
         # hot-bucket count; released by CacheScope when the result
         # DataFrame is dropped, so sessions no longer accumulate
         # signature tables call over call.
+        .select(F.col(id_col), "band", "bucket")
         .persist()
     )
-    a = keyed.select(
-        F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n"), "band", "bucket"
-    )
-    b = keyed.select(
-        F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), F.col("__n").alias("b_n"), "band", "bucket"
-    )
+    vecs = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
+    a = keyed.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    b = keyed.select(F.col(id_col).alias("b_id"), "band", "bucket")
     join_keys = ["band", "bucket"]
     if bucket_cap:
         a, b, join_keys = salt_hot_keys(a, b, join_keys, bucket_cap, "b_id")
     cand = (
         a.join(b, join_keys, "inner")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v", "a_n", "b_n")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        vecs.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n")),
+        "a_id",
+    ).join(
+        vecs.select(F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), F.col("__n").alias("b_n")),
+        "b_id",
     )
     sim = _dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
     out = (
@@ -444,16 +456,23 @@ def ann_lsh_topk(
     (queries.q_ann_cosine) so results are comparable. Hot buckets (one
     dense cluster sharing a band key) are salted into <= bucket_cap
     shards (salt_hot_keys) — identical candidates, bounded reducers."""
+    # SLIM candidate plan (round 5): ids only through the bucket join and
+    # the pair dedup; vectors re-join by id for the rerank (see
+    # neardup_lsh — shuffling pair ids, not the corpus)
     q = with_lsh_keys(
-        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
-        .withColumn("q_n", _norm_expr(F.col("q_emb"))),  # norm once per vector
+        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")),
         "q_emb", dim, bands, bits_per_band,
-    )
+    ).select(F.col(id_q), "band", "bucket")
     r = with_lsh_keys(
-        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
-        .withColumn("r_n", _norm_expr(F.col("r_emb"))),
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")),
         "r_emb", dim, bands, bits_per_band,
-    )
+    ).select(F.col(id_r), "band", "bucket")
+    q_vecs = queries.select(
+        F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")
+    ).withColumn("q_n", _norm_expr(F.col("q_emb")))  # norm once per vector
+    r_vecs = refs.select(
+        F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")
+    ).withColumn("r_n", _norm_expr(F.col("r_emb")))
     join_keys = ["band", "bucket"]
     cached = []
     if bucket_cap:
@@ -466,8 +485,10 @@ def ann_lsh_topk(
     cand = (
         q.join(r, join_keys, "inner")
         .filter(F.col(id_q) != F.col(id_r))
-        .select(id_q, id_r, "q_emb", "r_emb", "q_n", "r_n")
+        .select(id_q, id_r)
         .dropDuplicates([id_q, id_r])
+        .join(q_vecs, id_q)
+        .join(r_vecs, id_r)
     )
     sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
     ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
@@ -622,17 +643,25 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, c.shape[0])]
         return pd.Series(list(order.astype(np.int32)))
 
+    # SLIM candidate plan (round 5): the centroid equi-join carries only
+    # (id, centroid); vectors re-join by id for the rerank (see
+    # neardup_lsh — shuffling pair ids, not the corpus)
     r = (
         refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
         .withColumn("centroid", nearest_centroid(F.col("r_emb")))
-        .withColumn("r_n", _norm_expr(F.col("r_emb")))  # norm once per vector
+        .select(id_r, "centroid")
     )
+    r_vecs = refs.select(
+        F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")
+    ).withColumn("r_n", _norm_expr(F.col("r_emb")))  # norm once per vector
     q = (
         queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
         .withColumn("probes", probe_centroids(F.col("q_emb")))
-        .withColumn("q_n", _norm_expr(F.col("q_emb")))
-        .select(id_q, "q_emb", "q_n", F.explode("probes").alias("centroid"))
+        .select(id_q, F.explode("probes").alias("centroid"))
     )
+    q_vecs = queries.select(
+        F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")
+    ).withColumn("q_n", _norm_expr(F.col("q_emb")))
     join_keys = ["centroid"]
     cached = []
     if bucket_cap:
@@ -642,7 +671,13 @@ def ivf_topk(
         r = r.persist()
         cached.append(r)
         q, r, join_keys = salt_hot_keys(q, r, join_keys, bucket_cap, id_r)
-    cand = q.join(r, join_keys, "inner").filter(F.col(id_q) != F.col(id_r))
+    cand = (
+        q.join(r, join_keys, "inner")
+        .filter(F.col(id_q) != F.col(id_r))
+        .select(id_q, id_r)
+        .join(q_vecs, id_q)
+        .join(r_vecs, id_r)
+    )
     sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
     ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
         "rank",

@@ -161,12 +161,20 @@ def salted_tile_join(
     tiles: DataFrame,
     n_salt: int = 8,
     on: list[str] | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe variant (north_rule: hot cells salted explicitly).
 
-    Points get ``salt = pmod(hash(monotonic row fingerprint), n_salt)``;
-    the tile side is replicated n_salt times so the join key
-    (cell, salt) spreads each hot cell over n_salt reducers.
+    Points get ``salt = pmod(hash(row fingerprint), n_salt)``; the tile
+    side is replicated n_salt times so the join key (cell, salt) spreads
+    each hot cell over n_salt reducers.
+
+    ``salt_cols`` names the columns hashed into the salt — pass the
+    row's id column when rows are wide: hashing every column pulls the
+    whole payload (and, after Catalyst projection collapse, any
+    expensive expressions that COMPUTE it) into the salt expression,
+    which can cost more than the skew it removes. Default: all columns
+    (safe for slim rows).
     """
     keys = on or ["zoom", "cell_id"]
     # deterministic salt from the row's own columns: monotonically_
@@ -174,7 +182,8 @@ def salted_tile_join(
     # (executor loss re-salts rows differently than surviving shuffle
     # files -> silent row loss/duplication)
     salted_points = points.withColumn(
-        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]), F.lit(n_salt))
+        "salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in (salt_cols or points.columns)]), F.lit(n_salt)),
     )
     salt_values = points.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
     salted_tiles = tiles.crossJoin(F.broadcast(salt_values))

@@ -154,6 +154,23 @@ def main() -> None:
         inputs=["tiled"],
         params=p,
     )
+    run_stage(
+        spark,
+        log,
+        "tile_json",
+        # per-tile MineAR-style Datasets JSON document (S6) — the job's
+        # user-facing output, golden-diffed byte-for-byte at sf0.1 scale
+        # by tests/test_job_golden.py
+        lambda: tiles.assemble_dataset_json(
+            tiled.withColumn(
+                "feature_id", F.concat_ws("_", F.col("page_id"), F.col("mention_idx"))
+            ),
+            datasets,
+            keys=["zoom", "cell_id"],
+        ),
+        inputs=["tiled", "tile_datasets"],
+        params=p,
+    )
     print(
         json.dumps(
             {

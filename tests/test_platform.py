@@ -875,6 +875,47 @@ class TestIvfAutoScale:
         pairs = set(zip(got["query_id"], got["ref_id"]))
         assert len(exact_pairs & pairs) / len(exact_pairs) >= 0.8
 
+    def test_auto_recall_sweep_sf01(self, spark):
+        """Round-5 (VERDICT item 6): recall@k evidence for the AUTO path
+        (n_centroids=None, sqrt-n sizing + executor-side refinement) at
+        sf0.1 across widening probes — converges toward brute force as
+        the probe fraction grows, and at an equal probe FRACTION the
+        auto path is at least as good as the explicit-16 configuration
+        (more, finer cells at the same scanned share of the corpus)."""
+        sf_dir = "/root/testdata/sf0.1"
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+        exact = ann.brute_topk_broadcast(q, r, k=5).toPandas()
+        exact_pairs = set(zip(exact["query_id"], exact["ref_id"]))
+        n = r.count()
+        k_auto = ann._auto_n_centroids(n)
+        assert k_auto > 16  # sf0.1 corpus is big enough that auto > explicit-16
+
+        def recall(df) -> float:
+            pairs = set(zip(df["query_id"], df["ref_id"]))
+            return len(exact_pairs & pairs) / len(exact_pairs)
+
+        fracs = (1 / 16, 1 / 4, 1 / 2, 1.0)
+        auto_recalls = []
+        for f in fracs:
+            probe = max(1, round(k_auto * f))
+            got = ann.ivf_topk(q, r, k=5, n_centroids=None, n_probe=probe).toPandas()
+            auto_recalls.append(recall(got))
+        # converges to brute force when every bucket is probed
+        assert auto_recalls[-1] >= 0.999
+        # widening monotone up to sampling noise
+        assert auto_recalls[-1] >= auto_recalls[0]
+        assert all(b >= a - 0.05 for a, b in zip(auto_recalls, auto_recalls[1:]))
+        # equal probe fraction (1/4): auto >= explicit-16 within noise
+        explicit = ann.ivf_topk(q, r, k=5, n_centroids=16, n_probe=4).toPandas()
+        assert auto_recalls[1] >= recall(explicit) - 0.02, (
+            auto_recalls,
+            recall(explicit),
+        )
+
 
 class TestResizeStage:
     """Round-4: the resize stage (the fourth task-brief multimodal op).

@@ -466,7 +466,11 @@ def _decode_scan(data, pos, frame, scan, ss, se, ah, al, huff, restart, coeffs) 
                     val = 0
                     if s == 0:
                         if r < 15:
-                            state["eobrun"] = (1 << r) - 1
+                            # refinement EOBn counts the CURRENT block —
+                            # its remaining band still consumes
+                            # correction bits below (unlike the
+                            # exclusive first-scan convention)
+                            state["eobrun"] = 1 << r
                             if r:
                                 state["eobrun"] += reader.bits(r)
                             break
@@ -621,11 +625,19 @@ def _emit_dc(bw, zz0: int, pred: int, dc_codes) -> int:
     return int(zz0)
 
 
-def _emit_ac(bw, zz, ac_codes) -> None:
+def _emit_ac(bw, zz, ac_codes, al: int = 0) -> None:
+    """AC band (1..63) of one block — sequential scans and progressive
+    AC FIRST scans (T.81 G.1.2.2: the point transform divides AC values
+    by 2^al with truncation toward zero)."""
+    def pt(v: int) -> int:
+        v = int(v)
+        return v >> al if v >= 0 else -((-v) >> al)
+
+    vals = [pt(zz[k]) for k in range(64)]
     run = 0
-    last_nz = max([k for k in range(1, 64) if zz[k]], default=0)
+    last_nz = max([k for k in range(1, 64) if vals[k]], default=0)
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = vals[k]
         if v == 0:
             run += 1
             continue
@@ -641,6 +653,69 @@ def _emit_ac(bw, zz, ac_codes) -> None:
     if last_nz < 63:
         c, ln = ac_codes[0x00]  # EOB (== EOB0 in progressive AC scans)
         bw.bits(c, ln)
+
+
+def _emit_ac_refine(bw, zz, ac_codes, al: int) -> None:
+    """AC successive-approximation REFINEMENT scan for one block (T.81
+    G.1.2.3): newly-significant coefficients as (run, 1) symbols + sign;
+    already-significant coefficients contribute one correction bit each,
+    emitted in the exact positional order the decoder's walk consumes
+    them — a ZRL span covers corrections up to and including its 16th
+    zero-history position, a (run, 1) symbol covers sign first then the
+    corrections up to the placed coefficient, and a trailing EOB0 covers
+    the corrections of the remaining band."""
+    toks: list[tuple[str, int]] = []
+    for k in range(1, 64):
+        a = abs(int(zz[k])) >> al
+        if a == 0:
+            toks.append(("z", 0))  # zero history, stays zero this pass
+        elif a == 1:
+            toks.append(("n", 1 if zz[k] > 0 else 0))  # newly significant
+        else:
+            toks.append(("h", a & 1))  # history: correction bit
+    i = 0
+    n_tok = len(toks)
+    while True:
+        j = i
+        zeros = 0
+        nxt = None
+        while j < n_tok:
+            t, _ = toks[j]
+            if t == "n":
+                nxt = j
+                break
+            if t == "z":
+                zeros += 1
+            j += 1
+        if nxt is None:
+            if i < n_tok:  # positions remain: EOB0 + their corrections
+                c, ln = ac_codes[0x00]
+                bw.bits(c, ln)
+                for t, b in toks[i:]:
+                    if t == "h":
+                        bw.bits(b, 1)
+            return
+        while zeros > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: consume through the 16th zero
+            bw.bits(c, ln)
+            zcount = 0
+            while i < n_tok:
+                t, b = toks[i]
+                i += 1
+                if t == "h":
+                    bw.bits(b, 1)
+                else:
+                    zcount += 1
+                    if zcount == 16:
+                        break
+            zeros -= 16
+        c, ln = ac_codes[(zeros << 4) | 1]
+        bw.bits(c, ln)
+        bw.bits(toks[nxt][1], 1)  # sign precedes the span's corrections
+        for t, b in toks[i:nxt]:
+            if t == "h":
+                bw.bits(b, 1)
+        i = nxt + 1
 
 
 def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
@@ -669,6 +744,7 @@ def encode_baseline(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    sa_levels: int = 0,
 ) -> bytes:
     """Encode (h, w, 1|3) uint8 as JFIF — baseline 4:4:4 by default,
     4:2:0 with ``subsample=True`` (2x2-mean chroma), grayscale for one
@@ -676,10 +752,12 @@ def encode_baseline(
     ``restart_interval`` MCUs (resets DC predictors, as the spec
     requires). With ``progressive=True``, writes a spectral-selection
     progressive file (SOF2): one interleaved DC scan (Ss=Se=0) followed
-    by one full-band AC scan per component (Ss=1, Se=63, no successive
-    approximation) — pixel-identical to the baseline encoding of the
-    same image, since the coefficients are the same and only the scan
-    order differs."""
+    by one full-band AC scan per component (Ss=1, Se=63); add
+    ``sa_levels=1`` for SUCCESSIVE APPROXIMATION — the first scans carry
+    the high bits (Al=1) and a refinement pass (Ah=1, Al=0) the low
+    bits. Either way the encoding is pixel-identical to the baseline
+    encoding of the same image, since the coefficients are the same and
+    only the scan layout differs."""
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise NotImplementedError(f"JPEG encode: {nc} channels unsupported")
@@ -779,7 +857,13 @@ def encode_baseline(
         return out + sw.finish() + b"\xff\xd9"
 
     # progressive: precompute quantized coefficients on the MCU-padded grid,
-    # then entropy-code scan by scan (DC interleaved, AC per component)
+    # then entropy-code scan by scan (DC interleaved, AC per component);
+    # with sa_levels=1 the first scans carry the high bits (Al=1) and a
+    # refinement pass (Ah=1, Al=0) delivers the low bit of every
+    # coefficient — full T.81 successive approximation
+    if sa_levels not in (0, 1):
+        raise NotImplementedError("JPEG encode: sa_levels must be 0 or 1")
+    al0 = sa_levels
     zz_all = []
     for plane, q, _, ch_h, ch_v in chans:
         arr = np.zeros((mcus_y * ch_v, mcus_x * ch_h, 64), dtype=np.int64)
@@ -787,46 +871,63 @@ def encode_baseline(
             for bx in range(arr.shape[1]):
                 arr[by, bx] = _block_zz(plane, by * 8, bx * 8, q)
         zz_all.append(arr)
-    # DC scan: Ss=Se=0, all components interleaved in MCU order
-    out += seg(
-        0xDA,
-        bytes([nc])
-        + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x10]) for i in range(nc))
-        + b"\x00\x00\x00",
-    )
-    sw = _ScanWriter()
-    preds = [0] * nc
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                sw.restart()
-                preds = [0] * nc
-            for ci, (_, _, is_chroma, ch_h, ch_v) in enumerate(chans):
-                for by in range(ch_v):
-                    for bx in range(ch_h):
-                        preds[ci] = _emit_dc(
-                            sw.bw,
-                            int(zz_all[ci][my * ch_v + by, mx * ch_h + bx, 0]),
-                            preds[ci],
-                            dc_c if is_chroma else dc_l,
-                        )
-            mcu_count += 1
-    out += sw.finish()
-    # AC scans: one per component, Ss=1 Se=63, the component's own
-    # (non-MCU-padded) block raster per T.81 non-interleaved geometry
-    for ci, (plane, _, is_chroma, _, _) in enumerate(chans):
-        out += seg(
-            0xDA,
-            bytes([1, ci + 1, 0x00 if not is_chroma else 0x11]) + b"\x01\x3f\x00",
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        """Interleaved DC scan: first (Ah=0; diffs of dc >> Al, the
+        arithmetic-shift DC point transform) or refinement (one low bit
+        per block)."""
+        body = bytes([nc]) + b"".join(
+            bytes([i + 1, 0x00 if i == 0 else 0x10]) for i in range(nc)
+        ) + bytes([0, 0, (ah << 4) | al])
+        sw = _ScanWriter()
+        preds = [0] * nc
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    sw.restart()
+                    preds = [0] * nc
+                for ci, (_, _, is_chroma, ch_h, ch_v) in enumerate(chans):
+                    for by in range(ch_v):
+                        for bx in range(ch_h):
+                            dc = int(zz_all[ci][my * ch_v + by, mx * ch_h + bx, 0])
+                            if ah == 0:
+                                preds[ci] = _emit_dc(
+                                    sw.bw, dc >> al, preds[ci],
+                                    dc_c if is_chroma else dc_l,
+                                )
+                            else:
+                                sw.bw.bits((dc >> al) & 1, 1)
+                mcu_count += 1
+        return seg(0xDA, body) + sw.finish()
+
+    def ac_scan(ci: int, ah: int, al: int) -> bytes:
+        """Per-component AC scan over the component's own
+        (non-MCU-padded) block raster per T.81 non-interleaved
+        geometry: first (Ah=0) or successive-approximation refinement."""
+        plane, _, is_chroma, _, _ = chans[ci]
+        body = bytes([1, ci + 1, 0x00 if not is_chroma else 0x11]) + bytes(
+            [1, 63, (ah << 4) | al]
         )
         nby = -(-plane.shape[0] // 8)
         nbx = -(-plane.shape[1] // 8)
         sw = _ScanWriter()
+        codes = ac_c if is_chroma else ac_l
         for u in range(nby * nbx):
             if restart_interval and u and u % restart_interval == 0:
                 sw.restart()
             by, bx = divmod(u, nbx)
-            _emit_ac(sw.bw, zz_all[ci][by, bx], ac_c if is_chroma else ac_l)
-        out += sw.finish()
+            if ah == 0:
+                _emit_ac(sw.bw, zz_all[ci][by, bx], codes, al=al)
+            else:
+                _emit_ac_refine(sw.bw, zz_all[ci][by, bx], codes, al=al)
+        return seg(0xDA, body) + sw.finish()
+
+    out += dc_scan(0, al0)
+    for ci in range(nc):
+        out += ac_scan(ci, 0, al0)
+    if sa_levels:
+        out += dc_scan(1, 0)
+        for ci in range(nc):
+            out += ac_scan(ci, 1, 0)
     return out + b"\xff\xd9"

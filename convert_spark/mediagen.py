@@ -197,7 +197,8 @@ def payload_for(seed: int) -> bytes:
             return jpeg.encode_baseline(px, quality=85)  # 4:4:4
         if fmt == 12:
             return jpeg.encode_baseline(px, quality=75, subsample=True, restart_interval=2)
-        return jpeg.encode_baseline(px, quality=85, progressive=True)
+        # progressive WITH successive approximation (the hardest scan shape)
+        return jpeg.encode_baseline(px, quality=85, progressive=True, sa_levels=1)
     # WAV
     import wave
 

@@ -405,13 +405,58 @@ def _jscan(data, pos, frame, sel, ss, se, ah, al, huffs, restart, coeffs) -> int
     prog = frame["prog"]
     if not prog:
         ss, se, ah, al = 0, 63, 0, 0
-    if prog and ah != 0:
-        raise ValueError("jpeg: successive approximation not in twin scope")
     bits = _JBits(data, pos)
     preds = {ci: 0 for ci, _, _ in sel}
     eobrun = [0]
 
+    def refine_block(ta, zz):
+        """Progressive AC successive-approximation refinement (scalar
+        re-derivation of T.81 G.1.2.3.2, independent of the kernel)."""
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        actab = huffs[(1, ta)]
+        if eobrun[0] == 0:
+            while k <= se:
+                sym = _read_sym(bits, actab)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun[0] = 1 << r  # inclusive of this block
+                        if r:
+                            eobrun[0] += bits.bits(r)
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError("jpeg: refinement magnitude")
+                    val = p1 if bits.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if bits.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                zz[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                if zz[k] != 0 and bits.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+            eobrun[0] -= 1
+
     def one_block(ci, td, ta, zz):
+        if prog and ah != 0:  # refinement scans
+            if ss == 0:
+                if bits.bit():
+                    zz[0] |= 1 << al
+                return
+            refine_block(ta, zz)
+            return
         if ss == 0:  # DC (plus full band when sequential)
             t = _read_sym(bits, huffs[(0, td)])
             diff = _ext(bits.bits(t), t) if t else 0

@@ -1548,6 +1548,32 @@ class TestProgressiveJpeg:
         expected = np.clip(np.rint(px), 0, 255).astype(np.uint8)[:, :, None]
         return data, expected
 
+    def test_sa_encoder_roundtrip_sweep(self):
+        """Round-5: the paired SA encoder (sa_levels=1 — Al=1 first
+        scans + Ah=1/Al=0 refinement) must land on pixel-identical
+        output vs the baseline encoding across content that stresses
+        EOB runs, ZRL-with-interleaved-corrections and restarts."""
+        from convert_spark.kernels import jpeg
+
+        rng = np.random.RandomState(5)
+        for _ in range(25):
+            h, w = rng.randint(8, 48, 2)
+            nc = int(rng.choice([1, 3]))
+            px = rng.randint(0, 256, (h, w, nc)).astype(np.uint8)
+            q = int(rng.choice([20, 60, 90]))
+            sub = bool(rng.randint(2)) and nc == 3
+            ri = int(rng.choice([0, 0, 2]))
+            base = jpeg.decode_baseline(
+                jpeg.encode_baseline(px, quality=q, subsample=sub, restart_interval=ri)
+            )
+            sa = jpeg.decode_baseline(
+                jpeg.encode_baseline(
+                    px, quality=q, subsample=sub, restart_interval=ri,
+                    progressive=True, sa_levels=1,
+                )
+            )
+            assert (sa == base).all(), (h, w, nc, q, sub, ri)
+
     def test_successive_approximation_hand_stream(self):
         from convert_spark.kernels import jpeg
 

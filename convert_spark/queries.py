@@ -1395,6 +1395,12 @@ def _media_real_input(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("media://"), F.col("doc_id")).alias("url"),
             (F.col("doc_id") / 2).cast("long").alias("seed"),
         )
+        # spread the slim (url, seed) rows BEFORE payload generation:
+        # the documents parquet arrives in O(1) partitions, which would
+        # pin the whole per-payload decode stage to one core — the
+        # per-row work here is the scalar codec, so partition count is
+        # the parallelism (hash on seed: deterministic layout)
+        .repartition(spark.sparkContext.defaultParallelism, "seed")
     )
     return mediagen.payload_df(d)
 

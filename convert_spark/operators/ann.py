@@ -392,6 +392,13 @@ def neardup_lsh(
     # vector width (~60x for 64-dim doubles vs two longs), which is the
     # difference between shuffling pair IDs and shuffling the corpus
     # itself at 100 TB. Vectors re-join by id for the rerank only.
+    #
+    # The input may itself be a COMPUTED corpus (joins/UDFs), and the slim
+    # plan reads it three times (signature pass + both rerank vector
+    # branches) — persist it for the operator's lifetime (CacheScope
+    # releases with the result; at cluster scale the materialized corpus
+    # is a storage-backed artifact instead).
+    vectors = vectors.persist()
     keyed = (
         with_lsh_keys(
             vectors.select(
@@ -433,8 +440,8 @@ def neardup_lsh(
         .filter(F.col("sim_r") >= threshold)
         .select("a_id", "b_id", "sim_r")
     )
-    # the signature cache lives as long as the result object (CacheScope)
-    return scope_caches(out, keyed)
+    # the signature + corpus caches live as long as the result (CacheScope)
+    return scope_caches(out, keyed, vectors)
 
 
 def ann_lsh_topk(

@@ -57,6 +57,19 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
 
+def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Ensure at least default-parallelism partitions ahead of a
+    per-row-expensive stage (signature/codec UDFs, heavy regex): the
+    small test-scale parquets scan as O(1) partitions, which would pin
+    that stage to one core. No-op — no shuffle added — when the scan
+    already provides enough partitions, which is the production case
+    (a 100 TB table arrives in thousands of splits)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, *key_cols) if key_cols else df.repartition(p)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "lineitem")
     return spark.sql(_PTS_SQL)
@@ -970,7 +983,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ann import scope_caches
 
     _load(spark, sf_dir, "documents")
-    d = spark.table("documents").select("doc_id", "text").withColumn("keys", udfs.lsh_keys(F.col("text")))
+    d = _spread(spark.table("documents").select("doc_id", "text"), "doc_id").withColumn("keys", udfs.lsh_keys(F.col("text")))
     # compute the exploded band keys ONCE across the self-join's branches:
     # both would otherwise re-run the signature UDF (measured 1.7x on the
     # whole query). persist(), not an eager localCheckpoint — building the
@@ -994,13 +1007,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per document (rows-only; kernel-unit-tested)."""
     _load(spark, sf_dir, "documents")
-    return spark.table("documents").select("doc_id", udfs.simhash64(F.col("text")).alias("simhash"))
+    return _spread(spark.table("documents").select("doc_id", "text"), "doc_id").select("doc_id", udfs.simhash64(F.col("text")).alias("simhash"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (rows-only; kernel-unit-tested)."""
     _load(spark, sf_dir, "documents")
-    return spark.table("documents").select("doc_id", udfs.fingerprint64(F.col("text")).alias("fp"))
+    return _spread(spark.table("documents").select("doc_id", "text"), "doc_id").select("doc_id", udfs.fingerprint64(F.col("text")).alias("fp"))
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,7 +1033,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-char non-ASCII markers (none today) would fall back to
     substring-count arithmetic (length - length(replace))."""
     _load(spark, sf_dir, "documents")
-    d = spark.table("documents").withColumn("lt", F.lower(F.col("text")))
+    d = _spread(spark.table("documents"), "doc_id").withColumn("lt", F.lower(F.col("text")))
 
     def cnt(words):
         pat = "\\\\b(" + "|".join(words) + ")\\\\b"
@@ -1118,7 +1131,7 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    r = _spread(e.select(F.col("vec_id").alias("ref_id"), "embedding"), "ref_id")
     return brute_topk_broadcast(q, r, k=5)
 
 
@@ -1149,7 +1162,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    r = _spread(e.select(F.col("vec_id").alias("ref_id"), "embedding"), "ref_id")
     topk = ann_lsh_topk(q, r, k=3, bands=24, bits_per_band=4)
     return carry_scope(topk.select("query_id", "ref_id", "rank"), topk)
 
@@ -1165,7 +1178,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "embeddings")
     e = spark.table("embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
-    r = e.select(F.col("vec_id").alias("ref_id"), "embedding")
+    r = _spread(e.select(F.col("vec_id").alias("ref_id"), "embedding"), "ref_id")
     topk = ivf_topk(q, r, k=3, n_centroids=16, n_probe=6)
     return carry_scope(topk.select("query_id", "ref_id", "rank"), topk)
 
@@ -1215,6 +1228,11 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, emb) corpus with planted near-duplicates — the Spark twin of
     _NEARDUP_CORPUS_SQL (same joins, same double arithmetic order)."""
     _load(spark, sf_dir, "embeddings")
+    # NOT _spread here: the corpus is a union whose planted branches are
+    # join outputs (already at shuffle parallelism), and a repartition
+    # barrier on `e` blocks the broadcast shape of those joins — measured
+    # +3s at sf0.1 for no UDF-parallelism gain (the signature pass runs
+    # over the union's partitions, not this scan's)
     e = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )

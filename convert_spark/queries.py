@@ -1397,12 +1397,14 @@ from documents
 """
 
 
-def _media_real_input(spark: SparkSession, sf_dir: str):
+def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
     seed = doc_id/2, cycling through all 16 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts)
-    at every scale factor."""
+    at every scale factor. ``fmts`` restricts to a set of format
+    classes — filtered on the slim seed column BEFORE payload
+    generation, so excluded payloads are never synthesized."""
     from . import mediagen
 
     _load(spark, sf_dir, "documents")
@@ -1413,13 +1415,15 @@ def _media_real_input(spark: SparkSession, sf_dir: str):
             F.concat(F.lit("media://"), F.col("doc_id")).alias("url"),
             (F.col("doc_id") / 2).cast("long").alias("seed"),
         )
-        # spread the slim (url, seed) rows BEFORE payload generation:
-        # the documents parquet arrives in O(1) partitions, which would
-        # pin the whole per-payload decode stage to one core — the
-        # per-row work here is the scalar codec, so partition count is
-        # the parallelism (hash on seed: deterministic layout)
-        .repartition(spark.sparkContext.defaultParallelism, "seed")
     )
+    if fmts is not None:
+        d = d.filter(F.pmod(F.col("seed"), F.lit(mediagen.N_FORMATS)).isin(list(fmts)))
+    # spread the slim (url, seed) rows BEFORE payload generation: the
+    # documents parquet arrives in O(1) partitions, which would pin the
+    # whole per-payload decode stage to one core — the per-row work here
+    # is the scalar codec, so partition count is the parallelism (hash
+    # on seed: deterministic layout)
+    d = d.repartition(spark.sparkContext.defaultParallelism, "seed")
     return mediagen.payload_df(d)
 
 
@@ -1436,6 +1440,19 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _media_real_input(spark, sf_dir)
     return multimodal.decode_media(d, binary_col="payload", deterministic_fake=False)
+
+
+def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling under the hash gate: the WAV payloads of the
+    media corpus (format classes 14/15) split into 3 fixed-stride PCM
+    windows on frame boundaries, each identified by the sha256 of its
+    raw PCM bytes (operators/multimodal.frames_real). Oracle: twin KAT —
+    the independent decoder re-derives the PCM bytes by walking the RIFF
+    chunk list manually (no stdlib wave) and hashes the same windows."""
+    from .operators import multimodal
+
+    d = _media_real_input(spark, sf_dir, fmts=(14, 15))
+    return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 
 def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,6 +1674,7 @@ QUERIES = {
     "q_media_resize": q_media_resize,
     "q_media_decode_real": q_media_decode_real,
     "q_media_stats_real": q_media_stats_real,
+    "q_media_frames_real": q_media_frames_real,
     "q_asof_events": q_asof_events,
     "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
@@ -1718,5 +1736,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real")},
     }

@@ -194,6 +194,23 @@ def kat_media_stats_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """WAV payloads (format classes 14/15) -> INDEPENDENT PCM window
+    hashes (manual RIFF walk, no stdlib wave)."""
+    import media_reference_impl as mref
+
+    from convert_spark import mediagen
+
+    rows = []
+    for doc_id in _media_ids(sf_dir):
+        if (doc_id // 2) % mediagen.N_FORMATS not in (14, 15):
+            continue
+        payload = mediagen.payload_for(doc_id // 2)
+        for i, sha in enumerate(mref.wav_frame_windows(payload, 3)):
+            rows.append({"url": f"media://{doc_id}", "frame_idx": i, "frame_sha": sha})
+    return pd.DataFrame(rows).astype({"frame_idx": "int32"})
+
+
 KAT_BUILDERS = {
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
@@ -203,6 +220,7 @@ KAT_BUILDERS = {
     "q_ann_ivf": kat_ann_ivf,
     "q_media_decode_real": kat_media_decode_real,
     "q_media_stats_real": kat_media_stats_real,
+    "q_media_frames_real": kat_media_frames_real,
 }
 KAT_QUERIES = list(KAT_BUILDERS)
 

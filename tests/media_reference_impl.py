@@ -635,6 +635,22 @@ def wav_header(data: bytes):
     return "wav", frames, rate, nch
 
 
+def wav_frame_windows(data: bytes, n_frames: int):
+    """sha256[:16] of each of ``n_frames`` fixed-stride PCM windows
+    (split on frame boundaries, window i covering sample frames
+    [i*n/n_frames, (i+1)*n/n_frames)) — the twin of the engine's
+    frames_real, with the PCM bytes recovered by the manual RIFF walk."""
+    import hashlib
+
+    nch, sw, _, n, pcm = wav_parse(data)
+    fb = nch * sw
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    return [
+        hashlib.sha256(pcm[bounds[i] * fb : bounds[i + 1] * fb]).hexdigest()[:16]
+        for i in range(n_frames)
+    ]
+
+
 def wav_samples(data: bytes):
     """Per-channel raw integer sample lists (int16 signed / uint8)."""
     nch, sw, _, frames, pcm = wav_parse(data)

@@ -367,7 +367,15 @@ class TestLangidPlanJvmOnly:
         plan = plan_of(Q.q_langid(spark, SF))
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
-        assert plan.lstrip().startswith("*("), plan  # whole-stage codegen marker
+        # scoring is pure JVM expressions (regexp_extract_all in a
+        # Project, no eval node); the WSCG `*(n)` markers are hidden by
+        # the AdaptiveSparkPlan wrapper that appears with the exchange,
+        # so assert the expression placement instead
+        assert "regexp_extract_all" in plan, plan
+        # exactly the one intentional _spread exchange (parallelism for
+        # the regex stage over a single-partition test-scale scan) —
+        # round 5 moved the scoring off the scan's O(1) partitions
+        assert plan.count("Exchange") <= 1, plan
         # column pruning reaches the scan: only doc_id + text are read
         read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
         assert "doc_id:bigint,text:string" in read, read

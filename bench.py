@@ -8,6 +8,14 @@ page table -> extraction -> tile join) measured as wall seconds; per-query
 seconds for the operator suite follow. Set BENCH_SCALING=1 to also run the
 two-parallelism scaling protocol (local[8] vs local[32]) and report
 throughput + efficiency (north_rule evidence; see BENCH_SCALING.md).
+
+Reading note: several per-query walls include the `_spread` guard
+(convert_spark/queries.py) that repartitions a small test-scale scan to
+default parallelism before a per-row-expensive stage. At sf0.01/0.1 the
+guard's plan probe + exchange adds visible fractions of a second to
+otherwise sub-second queries (q_fingerprint ~2x on the round-5 VM); at
+production split counts it is a no-op. Treat those deltas as test-scale
+overhead, not engine regressions.
 """
 
 from __future__ import annotations

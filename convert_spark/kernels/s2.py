@@ -289,12 +289,17 @@ def vertex_neighbors(cid: int, level: int) -> list[int]:
 #
 # Documented deviations:
 #  * pole containment uses a centroid-probe crossing-parity test instead of
-#    golang/geo's OriginPoint bootstrap. As of round 5 the predicate is
-#    ROBUST: the vectorized double path handles unambiguous loops and any
-#    float tie / zero-centroid / near-zero-area row is re-decided in exact
-#    rational arithmetic (_exact_contains_scalar, fractions.Fraction — the
-#    same guarantee as golang/geo's exact-predicate fallback, different
-#    bootstrap point). May still differ from golang/geo for
+#    golang/geo's OriginPoint bootstrap. As of round 6 the predicate is
+#    ROBUST: the vectorized double path serves only loops whose predicate
+#    determinants all clear an error-bound band (~4x golang/geo's
+#    detErrorMultiplier*eps, the bound on a double triple-product's
+#    absolute rounding error); any row with a determinant inside the band
+#    — where the double sign could be WRONG, not merely land on 0.0 —
+#    plus zero-centroid / near-zero-area rows are re-decided in exact
+#    rational arithmetic (_exact_contains_scalar, fractions.Fraction —
+#    the same band-triggered-exact-fallback structure as golang/geo's
+#    predicates, different bootstrap point). May still differ from
+#    golang/geo for
 #    self-intersecting or concave loops, which this pipeline never builds.
 # Measured (rounds 4-5, tests/test_kernels_geo.py::TestS2PolarAdversarial):
 # across ~1.9k adversarial pole-enclosing / near-pole-sliver / degenerate
@@ -469,9 +474,22 @@ def _exact_contains_scalar(verts_row: np.ndarray, p: np.ndarray) -> bool:
     edges = list(zip(vs[:-1], vs[1:]))
     dets = [dot(cross(a, b), cen) for a, b in edges]
     cen_inside = sum(dets) > 0
-    # zero-area loops (out-and-back slits) contain nothing — exact test
-    v01 = cross(vs[0], vs[1])
-    if all(dot(v01, v) == 0 for v in vs[2:-1]):
+    # zero-area loops (out-and-back slits) contain nothing — exact test.
+    # The reference plane must come from a non-colinear vertex pair: if
+    # vs[0] and vs[1] are colinear/repeated their cross is the zero vector
+    # and every dot against it is 0, which would misclassify a genuine loop
+    # as zero-area (ADVICE r5). Scan for the first vertex not colinear with
+    # vs[0]; if none exists the whole chain lies on one line through the
+    # origin and truly spans no area.
+    plane = None
+    for v in vs[1:-1]:
+        cand = cross(vs[0], v)
+        if cand != (0, 0, 0):
+            plane = cand
+            break
+    if plane is None:
+        return False
+    if all(dot(plane, v) == 0 for v in vs[:-1]):
         return False
     crossings = 0
     for a, b in edges:
@@ -495,9 +513,10 @@ def _loops_contain_point(verts: np.ndarray, p: np.ndarray) -> np.ndarray:
     of sum_e det(a_e, b_e, centroid) (interior is left of the edges).
 
     Robustness: the vectorized double-precision path serves every loop
-    whose predicate signs are unambiguous; rows where any sign test is a
-    float TIE (a crossing product or the centroid-orientation sum lands
-    on 0.0, including underflow), where the centroid cancels to the zero
+    whose predicate determinants all clear the error-bound band (see the
+    ``band`` comment below); rows where any determinant magnitude falls
+    inside the band — where a double's sign can be outright wrong, not
+    merely land on 0.0 — where the centroid cancels to the zero
     vector, or where the loop is within float noise of zero area
     (every vertex within ~4 ulp of the v0/v1 great-circle plane — the
     out-and-back slits degenerate bboxes collapse to) are re-decided by
@@ -526,9 +545,25 @@ def _loops_contain_point(verts: np.ndarray, p: np.ndarray) -> np.ndarray:
     cbd = -(cd * p[None, None, :]).sum(axis=-1)
     dac = (cd * cen[:, None, :]).sum(axis=-1)
     crossing = (acb * bda > 0) & (acb * cbd > 0) & (cbd * dac > 0) & (dac * bda > 0)
+    # Ambiguity band (ADVICE r5): a double-precision triple product of
+    # (near-)unit vectors computed as dot(cross(u, v), w) carries absolute
+    # rounding error up to ~3.2321*eps (golang/geo s2predicates
+    # detErrorMultiplier for exactly this evaluation order). A product of
+    # two such determinants can therefore have the WRONG sign — not just
+    # land on 0.0 — whenever either factor's magnitude sits inside that
+    # band, so the exact re-decision must trigger on |det| <= band, not on
+    # ==0. We widen the published constant 4x for slack (inputs are
+    # normalized in doubles, so they are unit only to ~eps); a wider band
+    # only sends more rows to the exact path, never changes an answer.
+    # dets_sum accumulates one such determinant per edge plus (k-1)
+    # summation roundings, hence the per-edge band scales by edge count.
+    band = 4.0 * 3.2321 * _DBL_EPS
     ties = (
-        (acb * bda == 0) | (acb * cbd == 0) | (cbd * dac == 0) | (dac * bda == 0)
-    ).any(axis=1) | (dets_sum == 0)
+        (np.abs(acb) <= band)
+        | (np.abs(bda) <= band)
+        | (np.abs(cbd) <= band)
+        | (np.abs(dac) <= band)
+    ).any(axis=1) | (np.abs(dets_sum) <= band * (kp1 - 1))
     crossings = crossing.sum(axis=1)
     even = (crossings % 2) == 0
     inside = np.where(cen_inside, even, ~even) & ~maybe_degenerate

@@ -395,17 +395,17 @@ def neardup_lsh(
     #
     # The input may itself be a COMPUTED corpus (joins/UDFs), and the slim
     # plan reads it three times (signature pass + both rerank vector
-    # branches) — persist it for the operator's lifetime (CacheScope
-    # releases with the result; at cluster scale the materialized corpus
-    # is a storage-backed artifact instead).
-    vectors = vectors.persist()
+    # branches) — persist a PRIVATE (id, vec) projection for the
+    # operator's lifetime (CacheScope releases with the result; at
+    # cluster scale the materialized corpus is a storage-backed artifact
+    # instead). Persisting a private projection, not the caller's
+    # DataFrame, means the operator never mutates the input's cache state
+    # or collides with a caller-chosen storage level (ADVICE r5).
+    corpus = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).persist()
     keyed = (
-        with_lsh_keys(
-            vectors.select(
-                F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-            ),
-            "__v", dim, bands, bits_per_band,
-        )
+        with_lsh_keys(corpus, "__v", dim, bands, bits_per_band)
         # one signature pass shared by both self-join branches AND the
         # hot-bucket count; released by CacheScope when the result
         # DataFrame is dropped, so sessions no longer accumulate
@@ -413,9 +413,7 @@ def neardup_lsh(
         .select(F.col(id_col), "band", "bucket")
         .persist()
     )
-    vecs = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
+    vecs = corpus.withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
     a = keyed.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = keyed.select(F.col(id_col).alias("b_id"), "band", "bucket")
     join_keys = ["band", "bucket"]
@@ -441,7 +439,7 @@ def neardup_lsh(
         .select("a_id", "b_id", "sim_r")
     )
     # the signature + corpus caches live as long as the result (CacheScope)
-    return scope_caches(out, keyed, vectors)
+    return scope_caches(out, keyed, corpus)
 
 
 def ann_lsh_topk(

@@ -63,7 +63,13 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     small test-scale parquets scan as O(1) partitions, which would pin
     that stage to one core. No-op — no shuffle added — when the scan
     already provides enough partitions, which is the production case
-    (a 100 TB table arrives in thousands of splits)."""
+    (a 100 TB table arrives in thousands of splits).
+
+    Test-scale cost (accepted, documented so bench readers don't chase
+    it): the partition-count probe materializes the plan via ``.rdd``
+    and, when it fires, adds one real exchange — at sf0.01/0.1 this can
+    visibly shift sub-second walls (e.g. q_fingerprint 0.34->0.66 s on
+    the round-5 VM). The production shape is unchanged; see bench.py."""
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
         return df

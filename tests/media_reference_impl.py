@@ -16,9 +16,10 @@ structurally disjoint from the vectorized production kernels
   stdlib ``wave`` module.
 
 The twin covers exactly the payload corpus convert_spark.mediagen
-emits (all ten PNG IHDR shapes, sequential + spectral-selection
-progressive JPEG, 8/16-bit PCM WAV). Everything else raises ValueError
-— the KAT builder should never hit it.
+emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
+with both spectral selection and successive approximation; 8/16-bit
+PCM WAV). Everything else raises ValueError — the KAT builder should
+never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
 transform in float64 from the same published constants and round
@@ -304,9 +305,12 @@ def _ext(v: int, t: int) -> int:
 
 def jpeg_pixels(data: bytes):
     """Scalar JPEG decode -> list rows of channel tuples (uint8 range).
-    Sequential (interleaved or per-component scans) + spectral-selection
-    progressive; successive approximation / arithmetic raise ValueError
-    (not in the mediagen corpus)."""
+    Sequential (interleaved or per-component scans) + progressive with
+    BOTH spectral selection AND successive approximation (refine_block
+    implements the SA refinement passes; mediagen format class 13 emits
+    SA-progressive payloads with sa_levels=1 that this twin decodes for
+    the KAT oracle). Arithmetic coding raises ValueError (not in the
+    mediagen corpus)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: no SOI")
     qts = {}

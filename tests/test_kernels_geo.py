@@ -699,9 +699,18 @@ class TestS2PolarAdversarial:
         edges = list(zip(vs[:-1], vs[1:]))
         dets = [dot(cross(a, b), cen) for a, b in edges]
         cen_inside = sum(dets) > 0
-        # zero-area guard (same rule as the kernel, exact)
-        v01 = cross(vs[0], vs[1])
-        if all(dot(v01, v) == 0 for v in vs[2:-1]):
+        # zero-area guard (same rule as the kernel, exact): reference
+        # plane from the first NON-colinear vertex pair, so a repeated or
+        # colinear leading pair can't fake a zero plane (ADVICE r5)
+        plane = None
+        for v in vs[1:-1]:
+            cand = cross(vs[0], v)
+            if cand != (0, 0, 0):
+                plane = cand
+                break
+        if plane is None:
+            return False
+        if all(dot(plane, v) == 0 for v in vs[:-1]):
             return False
         crossings = 0
         for a, b in edges:
@@ -725,3 +734,72 @@ class TestS2PolarAdversarial:
             for i in range(len(verts)):
                 exact = self._exact_contains(verts[i], pole)
                 assert bool(got[i]) == exact, (i, corners[i].tolist(), pole.tolist())
+
+    def test_exact_path_colinear_leading_pair_keeps_area(self):
+        """ADVICE r5 regression: a loop whose FIRST TWO vertices are
+        repeated (cross = zero vector) but which spans genuine area must
+        not be classified zero-area by the exact predicate. Octant
+        triangle with a doubled first vertex: contains (1,1,1)/sqrt(3),
+        excludes the antipodal probe."""
+        chain = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [1.0, 0.0, 0.0],  # repeated -> cross(v0, v1) == 0
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0],
+                [1.0, 0.0, 0.0],  # closure
+            ]
+        )
+        inside = np.array([1.0, 1.0, 1.0]) / math.sqrt(3.0)
+        outside = np.array([-1.0, -2.0, -3.0]) / math.sqrt(14.0)
+        assert s2._exact_contains_scalar(chain, inside) is True
+        assert s2._exact_contains_scalar(chain, outside) is False
+        # and the vectorized entry point routes it consistently
+        got = s2._loops_contain_point(chain[None, :, :], inside)
+        assert bool(got[0]) is True
+
+    def test_truly_zero_area_chains_contain_nothing(self):
+        """All-colinear chains (every vertex on one line through the
+        origin) and out-and-back slits still contain nothing under the
+        fixed reference-plane scan."""
+        p = np.array([0.0, 0.0, 1.0])
+        colinear = np.array([[1.0, 0.0, 0.0]] * 5)
+        assert s2._exact_contains_scalar(colinear, p) is False
+        slit = np.array(
+            [
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [1.0, 0.0, 0.0],
+            ]
+        )
+        assert s2._exact_contains_scalar(slit, p) is False
+
+    def test_band_routes_near_tie_rows_to_exact(self):
+        """Sub-band determinant magnitudes (nonzero, below ~4*3.2321*eps)
+        must take the exact path, not trust the double sign. Build
+        slivers whose vertices sit within an ulp of a great-circle plane
+        and assert the vectorized answer equals the exact recomputation
+        for every row and both poles."""
+        eps = 2.220446049250313e-16
+        rng = np.random.RandomState(7)
+        quads = []
+        for _ in range(300):
+            lon = float(rng.uniform(-1.0, 1.0))
+            # quad squashed onto the meridian plane, then nudged by ~1 ulp
+            base = [
+                (lon, -0.5, 100.0),
+                (lon, 0.5, 100.0),
+                (lon + rng.choice([0.0, eps, 4 * eps]), 0.5, 100.0),
+                (lon + rng.choice([0.0, eps, 4 * eps]), -0.5, 100.0),
+            ]
+            quads.append(base)
+        corners = np.asarray(quads, dtype=np.float64)
+        pts = s2._normalize_points(corners)
+        verts = np.concatenate([pts, pts[:, :1, :]], axis=1)
+        for pole in (np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, -1.0])):
+            got = s2._loops_contain_point(verts, pole)
+            for i in range(len(verts)):
+                exact = self._exact_contains(verts[i], pole)
+                assert bool(got[i]) == exact, (i, corners[i].tolist())

@@ -279,6 +279,28 @@ class TestNeardupLsh:
         all_pairs = n * (n - 1) // 2
         assert n_cand < all_pairs / 4, (n_cand, all_pairs)
 
+    def test_does_not_mutate_caller_cache_state(self, spark):
+        """ADVICE r5 regression: the operator persists a PRIVATE
+        projection, so (a) it never flips an unpersisted input to
+        cached, and (b) it works on an input the caller already
+        persisted at a non-default storage level (re-persisting the
+        same DataFrame at a different level raises in Spark)."""
+        from pyspark import StorageLevel
+
+        from convert_spark import queries as Q
+
+        corpus = Q._neardup_corpus(spark, "/root/testdata/sf0.01")
+        assert corpus.storageLevel == StorageLevel.NONE
+        ann.neardup_lsh(corpus, threshold=Q.NEARDUP_T).count()
+        assert corpus.storageLevel == StorageLevel.NONE
+        cached = corpus.persist(StorageLevel.DISK_ONLY)
+        try:
+            out = ann.neardup_lsh(cached, threshold=Q.NEARDUP_T)
+            assert out.count() > 100
+            assert cached.storageLevel == StorageLevel.DISK_ONLY
+        finally:
+            cached.unpersist()
+
 
 class TestCompactCells:
     def test_matches_kernel(self, spark):

@@ -92,3 +92,74 @@ def features_from_csv(
         .withColumn("attr_keys", F.array(*[F.lit(c) for c in attr_cols]))
         .select("dataset_id", "feature_idx", "xyz_raw", "had_z", "attributes", "attr_keys")
     )
+
+
+def features_from_csv_dir(
+    spark: SparkSession,
+    path: str,
+    x_field: str,
+    y_field: str,
+    z_field: str = "",
+    glob: str = "*.csv",
+) -> DataFrame:
+    """Directory of point CSVs -> features, one DATASET PER FILE (the
+    reference's one-file-one-dataset model, S1 x the S8 corpus shape).
+
+    Same semantics as :func:`features_from_csv` (role binding P1,
+    errors->0.0 P2, column-encounter-order quirk), with dataset_id from
+    the file stem and feature_idx numbered in FILE order per dataset.
+    The corpus must be header-homogeneous: spark.read.csv binds one
+    schema from the first file and maps the rest by position, so mixed
+    headers would silently misbind roles (one scan per header family is
+    the contract, matching how a crawl partitions by schema).
+
+    Scale shape: a distributed JVM CSV scan; the only window is
+    PARTITIONED BY file (datasets are file-sized), so feature numbering
+    never funnels the corpus through a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.read.option("pathGlobFilter", glob)
+        .csv(path, header=True, inferSchema=False)
+        .withColumn("__file", F.input_file_name())
+    )
+    header = [c for c in df.columns if c != "__file"]
+    roles = {}
+    for col in header:
+        if col == x_field:
+            roles[col] = "x"
+        elif col == y_field:
+            roles[col] = "y"
+        elif z_field and col == z_field:
+            roles[col] = "z"
+    coord_cols = [c for c in header if c in roles]  # encounter order (quirk)
+    attr_cols = [c for c in header if c not in roles]
+    if len(coord_cols) < 2:
+        raise ValueError(
+            f"CheckCoords: fewer than 2 coordinate columns bound "
+            f"(x={x_field!r}, y={y_field!r}, z={z_field!r} vs header {header})"
+        )
+    out = (
+        df.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn(
+            "feature_idx",
+            F.row_number().over(Window.partitionBy("__file").orderBy("__mid")) - 1,
+        )
+        .withColumn(
+            "dataset_id", F.regexp_extract(F.col("__file"), r"([^/]+?)(\.[^./]*)?$", 1)
+        )
+    )
+    xyz = F.array(*[parse_double_go(c) for c in coord_cols])
+    attrs = (
+        F.create_map(*[x for c in attr_cols for x in (F.lit(c), F.coalesce(F.col(c), F.lit("")))])
+        if attr_cols
+        else F.create_map()
+    )
+    return (
+        out.withColumn("xyz_raw", xyz)
+        .withColumn("had_z", F.lit(len(coord_cols) >= 3))
+        .withColumn("attributes", attrs)
+        .withColumn("attr_keys", F.array(*[F.lit(c) for c in attr_cols]))
+        .select("dataset_id", "feature_idx", "xyz_raw", "had_z", "attributes", "attr_keys")
+    )

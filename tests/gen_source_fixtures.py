@@ -1,0 +1,207 @@
+"""Generate the committed file-source fixture corpus for the driver gate.
+
+Round-6: the file-source scans (S1 CSV, S2 GeoJSON, S4 GPX + the S8
+binaryFile corpus reader and the E1-E4 explodes) move from goldens-only
+onto the driver's hash gate (VERDICT r5 task 1). The gate needs a STABLE
+on-disk corpus both sides can read — the Spark queries scan these files
+through the real source path (spark.read.csv / binaryFile -> mapInPandas
+parse), and the DuckDB oracles re-derive the expected rows independently
+(read_csv / read_text + JSON functions / regex extraction).
+
+Deterministic: fixed seed, fixed content — regenerating must be
+byte-identical (CI-checkable with git diff). Run:
+
+    python tests/gen_source_fixtures.py
+
+Corpus design notes (each case maps to a SURVEY §2 component):
+
+* csv_xy/   P1 role binding, P2 errors->0.0 (empty / garbage / padded /
+            trailing-junk / exponent / bare-dot forms), P3 arity=3,
+            S1 + per-file dataset ids.
+* csv_yx/   the column-encounter-order quirk (convert.go:554-564): the
+            Y column precedes X in the header, so xyz_raw[0] carries the
+            LAT value — preserved faithfully, no z column (had_z=false).
+* geojson/  S2 + E1 (features explode), E2 (MultiLineString one-line-
+            per-part), E3 (polygon/multipolygon ring+part flattening),
+            F2 falsy drop (null/""/"0"-string dropped, numeric 0 KEPT),
+            F3 key routing (name/styletype/id-priority/skip keys),
+            P8 %v stringification (ints, bools, simple floats — the
+            exponent-switch cases stay in the Go-vector pytest),
+            F4/S8: a zero-feature file, an invalid-JSON file and two
+            structurally-malformed files that must be isolated.
+* gpx/      S4 + E4 (track segments flattened into one line), waypoint /
+            route features, missing <ele> -> 0.0 with had_z=true,
+            OGR <extensions> attributes, one malformed-XML file isolated.
+            Exactly one <trk> and at most one <rte> per file so the
+            DuckDB regex oracle can group points without XML parsing.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent / "fixtures" / "sources"
+
+
+def _csv_xy(d: Path) -> None:
+    rng = random.Random(61)
+    # P2 error->0.0 cases: Spark CSV reads '' as NULL -> 0.0; padded and
+    # trailing-junk strings fail Go ParseFloat -> 0.0 (DuckDB try_cast
+    # trims, hence the v=trim(v) guard in the oracle).
+    bad = ["", "n/a", " 3.5", "12abc", "--", "4,2"]
+    good = lambda: f"{rng.uniform(-180, 180):.6f}"  # noqa: E731
+    for f in range(5):
+        rows = ["rid,name,x,y,elev,note"]
+        n = 12 + 7 * f
+        for r in range(n):
+            x = good() if rng.random() < 0.8 else rng.choice(bad)
+            y = good() if rng.random() < 0.8 else rng.choice(bad)
+            z = f"{rng.uniform(0, 4000):.2f}" if rng.random() < 0.6 else rng.choice(["", "1e3", ".5", "5."])
+            x = x.replace(",", ";")  # keep the corpus quote-free
+            y = y.replace(",", ";")
+            rows.append(f"{r},pt_{f}_{r},{x},{y},{z},note {rng.randrange(100)}")
+        (d / f"points_{f}.csv").write_text("\n".join(rows) + "\n")
+
+
+def _csv_yx(d: Path) -> None:
+    rng = random.Random(62)
+    for f in range(2):
+        rows = ["rid,lat,lon,tag"]
+        for r in range(9 + 5 * f):
+            lat = f"{rng.uniform(-85, 85):.5f}" if rng.random() < 0.85 else ""
+            lon = f"{rng.uniform(-180, 180):.5f}" if rng.random() < 0.85 else "oops"
+            rows.append(f"{r},{lat},{lon},t{rng.randrange(10)}")
+        (d / f"swapped_{f}.csv").write_text("\n".join(rows) + "\n")
+
+
+def _geojson(d: Path) -> None:
+    rng = random.Random(63)
+
+    def pt(z=None):
+        c = [round(rng.uniform(-180, 180), 6), round(rng.uniform(-85, 85), 6)]
+        if z is not None:
+            c.append(round(rng.uniform(0, 1000), 2))
+        return c
+
+    def feat(geom, **props):
+        return {"type": "Feature", "geometry": geom, "properties": props}
+
+    # g0: points incl. PointZ, routing + falsy-drop properties
+    g0 = {
+        "type": "FeatureCollection",
+        "features": [
+            feat({"type": "Point", "coordinates": pt()},
+                 name="alpha", styletype="mark", id="17", uid="99",
+                 kept_zero=0, dropped_empty="", dropped_null=None,
+                 dropped_zero_str="0", tags="skipme", count=7, ok=True),
+            feat({"type": "PointZ", "coordinates": pt(z=1)},
+                 fid="f-2", osm_id="111", way="skip", ratio=2.5, flag=False),
+            feat({"type": "Point", "coordinates": pt()}, name="0"),  # name dropped (falsy "0")
+            {"type": "Feature", "geometry": None, "properties": {"name": "nogeom"}},
+            feat({"type": "Telescope", "coordinates": [1, 2]}, name="unsupported"),
+        ],
+    }
+    # g1: LineString + empty LineString + MultiLineString (E2: 3 parts)
+    g1 = {
+        "type": "FeatureCollection",
+        "features": [
+            feat({"type": "LineString", "coordinates": [pt() for _ in range(5)]}, name="road"),
+            feat({"type": "LineString", "coordinates": []}, name="emptyline"),
+            feat({"type": "MultiLineStringZ",
+                  "coordinates": [[pt(z=1) for _ in range(3)], [pt(z=1) for _ in range(2)],
+                                  [pt(z=1) for _ in range(4)]]},
+                 name="rivers", uuid="u-7", grade=3),
+        ],
+    }
+    # g2: Polygon with hole + MultiPolygon (2 polys, 3 rings total)
+    g2 = {
+        "type": "FeatureCollection",
+        "features": [
+            feat({"type": "Polygon",
+                  "coordinates": [[pt() for _ in range(5)], [pt() for _ in range(4)]]},
+                 name="lake", styletype="water", area=12.25),
+            feat({"type": "MultiPolygon",
+                  "coordinates": [[[pt() for _ in range(4)]],
+                                  [[pt() for _ in range(5)], [pt() for _ in range(4)]]]},
+                 name="islands", id="42"),
+        ],
+    }
+    g3 = {"type": "FeatureCollection", "features": []}  # F4 zero features
+    (d / "g0_points.geojson").write_text(json.dumps(g0, separators=(",", ":")))
+    (d / "g1_lines.geojson").write_text(json.dumps(g1, separators=(",", ":")))
+    (d / "g2_polys.geojson").write_text(json.dumps(g2, separators=(",", ":")))
+    (d / "g3_empty.geojson").write_text(json.dumps(g3, separators=(",", ":")))
+    # isolation cases: invalid JSON; valid JSON wrong shapes
+    (d / "g4_malformed.geojson").write_text('{"type": "FeatureCollection", "features": [')
+    (d / "g5_structural.geojson").write_text("[1,2,3]")
+    (d / "g6_badfeatures.geojson").write_text('{"type":"FeatureCollection","features":42}')
+
+
+def _gpx(d: Path) -> None:
+    rng = random.Random(64)
+
+    def p(tag: str, ele: bool) -> str:
+        lat = f"{rng.uniform(-85, 85):.5f}"
+        lon = f"{rng.uniform(-180, 180):.5f}"
+        inner = f"<ele>{rng.uniform(0, 3000):.1f}</ele>" if ele else ""
+        return f'<{tag} lat="{lat}" lon="{lon}">{inner}</{tag}>'
+
+    # t0: 2 wpts + 1 rte + 1 trk with 2 segments (E4 flatten)
+    t0 = (
+        '<?xml version="1.0"?><gpx xmlns="http://www.topografix.com/GPX/1/1">'
+        + p("wpt", True).replace("</wpt>", "<name>summit</name></wpt>")
+        + p("wpt", False).replace("</wpt>", "<name>camp</name></wpt>")
+        + "<rte><name>route one</name>"
+        + "".join(p("rtept", True) for _ in range(3))
+        + "</rte><trk><name>day hike</name><trkseg>"
+        + "".join(p("trkpt", True) for _ in range(3))
+        + "</trkseg><trkseg>"
+        + "".join(p("trkpt", False) for _ in range(2))
+        + "</trkseg></trk></gpx>"
+    )
+    # t1: trk only, 3 segments, mixed ele
+    t1 = (
+        '<?xml version="1.0"?><gpx xmlns="http://www.topografix.com/GPX/1/1">'
+        + "<trk><name>traverse</name>"
+        + "".join(
+            "<trkseg>" + "".join(p("trkpt", rng.random() < 0.5) for _ in range(k)) + "</trkseg>"
+            for k in (2, 4, 3)
+        )
+        + "</trk></gpx>"
+    )
+    # t2: single wpt with OGR extension attributes
+    t2 = (
+        '<?xml version="1.0"?><gpx xmlns="http://www.topografix.com/GPX/1/1" '
+        'xmlns:ogr="http://osgeo.org/gdal">'
+        + p("wpt", True).replace(
+            "</wpt>",
+            "<name>beacon</name><extensions><ogr:cnt>5</ogr:cnt>"
+            "<ogr:owner>parks</ogr:owner></extensions></wpt>",
+        )
+        + "</gpx>"
+    )
+    (d / "t0_mixed.gpx").write_text(t0)
+    (d / "t1_track.gpx").write_text(t1)
+    (d / "t2_wpt_ext.gpx").write_text(t2)
+    (d / "t3_malformed.gpx").write_text("<gpx><trk><trkseg><trkpt lat='1'")
+
+
+def main() -> None:
+    for name, fn in (
+        ("csv_xy", _csv_xy),
+        ("csv_yx", _csv_yx),
+        ("geojson", _geojson),
+        ("gpx", _gpx),
+    ):
+        d = OUT / name
+        d.mkdir(parents=True, exist_ok=True)
+        for old in d.iterdir():
+            old.unlink()
+        fn(d)
+        print(name, "->", sorted(x.name for x in d.iterdir()))
+
+
+if __name__ == "__main__":
+    main()

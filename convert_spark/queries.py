@@ -1989,6 +1989,105 @@ from unioned
 """
 
 
+# --- mesh drape on the gate (round 6) ------------------------------------------
+
+# Per-dataset 4326 bbox over the lineitem-derived points — the seed for the
+# mesh corpus. Restated in SQL so the KAT generator (tests/gen_kats.py)
+# derives the SAME bboxes from DuckDB without a SparkSession.
+SQL_MESH_BBOX = f"""
+select rowid % 20 as dataset_id,
+       min(lon) as lx, min(lat) as ly, max(lon) as rx, max(lat) as uy
+from ({_PTS_SQL}) group by 1 order by 1
+"""
+
+
+def mesh_features(bboxes) -> list[dict]:
+    """Deterministic 2D mesh corpus: per dataset bbox, one polygon-with-
+    hole and one two-part multipolygon-with-hole (had_z=False -> both take
+    the drape path, convert.go:362-381, 706-767). Pure float arithmetic —
+    shared by the Spark query and the scalar-twin KAT builder, so the
+    CORPUS is common and only the PIPELINE differs between the two sides.
+
+    ``bboxes``: iterable of (dataset_id, lx, ly, rx, uy).
+    """
+
+    def rect(x0, y0, x1, y1):
+        return [[x0, y0, 0.0], [x1, y0, 0.0], [x1, y1, 0.0], [x0, y1, 0.0], [x0, y0, 0.0]]
+
+    rows = []
+    for did, lx, ly, rx, uy in bboxes:
+        did, lx, ly, rx, uy = int(did), float(lx), float(ly), float(rx), float(uy)
+        w, h = rx - lx, uy - ly
+        outer = rect(lx + 0.1 * w, ly + 0.1 * h, lx + 0.9 * w, ly + 0.9 * h)
+        hole = rect(lx + 0.4 * w, ly + 0.4 * h, lx + 0.6 * w, ly + 0.6 * h)
+        rows.append(
+            {
+                "dataset_id": f"d{did:02d}",
+                "feature_idx": 0,
+                "geom_kind": "polygon",
+                "verts_raw": outer + hole,
+                "ring_offsets": [0, 5, 10],
+                "part_offsets": [0, 2],
+                "had_z": False,
+            }
+        )
+        p0_outer = rect(lx, ly, lx + 0.45 * w, ly + h)
+        p0_hole = rect(lx + 0.1 * w, ly + 0.25 * h, lx + 0.35 * w, ly + 0.75 * h)
+        p1 = rect(lx + 0.55 * w, ly + 0.2 * h, lx + w, ly + 0.8 * h)
+        rows.append(
+            {
+                "dataset_id": f"d{did:02d}",
+                "feature_idx": 1,
+                "geom_kind": "multipolygon",
+                "verts_raw": p0_outer + p0_hole + p1,
+                "ring_offsets": [0, 5, 10, 15],
+                "part_offsets": [0, 2, 3],
+                "had_z": False,
+            }
+        )
+    return rows
+
+
+def q_mesh_drape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-A8 + S7 + F6 on the gate (convert.go:706-767, 924-1062): the
+    mesh corpus (per-dataset bbox polygons) through the REAL drape path —
+    DEM cloud sampling (A6), even-odd PIP trim (F5 reuse), Bowyer-Watson
+    Delaunay (A7), centroid verify-trim (A8), 3857 projection — then a
+    canonical mesh digest per feature. Oracle: twin-derived KAT
+    (tests/mesh_reference_impl.py, scalar re-derivation; cross-SF swept
+    by tests/test_kat_cross_sf.py).
+
+    The bbox agg is distributed; the corpus build collects only the
+    20-row per-dataset bbox table (bounded, like every other driver-side
+    collect in the engine); the drape itself runs as mapInPandas."""
+    from .operators import features as features_mod
+
+    _load(spark, sf_dir, "lineitem")
+    bb = spark.sql(SQL_MESH_BBOX).collect()
+    corpus = mesh_features((r.dataset_id, r.lx, r.ly, r.rx, r.uy) for r in bb)
+    df = spark.createDataFrame(
+        corpus,
+        schema="dataset_id string, feature_idx long, geom_kind string, "
+        "verts_raw array<array<double>>, ring_offsets array<int>, "
+        "part_offsets array<int>, had_z boolean",
+    ).repartition(8, "dataset_id")
+    m = features_mod.drape_meshes(df)
+    idx_str = F.array_join(F.transform("indices", lambda i: i.cast("string")), ",")
+    vsum = lambda k: F.expr(  # noqa: E731
+        f"aggregate(vertices, cast(0.0 as double), (acc, v) -> acc + v[{k}])"
+    )
+    return m.select(
+        "dataset_id",
+        "feature_idx",
+        F.size("vertices").cast("int").alias("n_vertices"),
+        (F.size("indices") / 3).cast("int").alias("n_triangles"),
+        F.md5(idx_str).alias("idx_hash"),
+        F.round(vsum(0), 2).alias("vx_sum"),
+        F.round(vsum(1), 2).alias("vy_sum"),
+        F.round(vsum(2), 4).alias("vz_sum"),
+    )
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -2039,6 +2138,7 @@ QUERIES = {
     "q_csv_datasets": q_csv_datasets,
     "q_geojson_datasets": q_geojson_datasets,
     "q_gpx_datasets": q_gpx_datasets,
+    "q_mesh_drape": q_mesh_drape,
 }
 
 
@@ -2099,5 +2199,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_mesh_drape")},
     }

@@ -211,6 +211,47 @@ def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"frame_idx": "int32"})
 
 
+def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """Mesh-drape twin (round 6): DuckDB derives the per-dataset bboxes
+    (SQL restatement of the Spark agg), the SHARED corpus builder
+    (convert_spark.queries.mesh_features — input construction, not the
+    pipeline under test) shapes the polygons, and the scalar twin
+    (tests/mesh_reference_impl.py) re-derives cloud -> PIP -> Bowyer-
+    Watson -> centroid trim -> 3857 independently of the vectorized
+    kernels. Digest columns mirror q_mesh_drape."""
+    import hashlib
+
+    import mesh_reference_impl as meshref
+
+    from convert_spark import queries as Q  # SQL + corpus builder only — no Spark
+
+    con = duckdb.connect()
+    con.execute(f"create view lineitem as select * from '{sf_dir}/lineitem.parquet'")
+    bb = con.execute(Q.SQL_MESH_BBOX).fetchdf()
+    rows = []
+    for feat in Q.mesh_features(bb.itertuples(index=False)):
+        mesh = meshref.drape_s(feat)
+        if mesh is None:
+            continue
+        vertices, indices = mesh
+        idx_str = ",".join(str(i) for i in indices)
+        rows.append(
+            {
+                "dataset_id": feat["dataset_id"],
+                "feature_idx": feat["feature_idx"],
+                "n_vertices": len(vertices),
+                "n_triangles": len(indices) // 3,
+                "idx_hash": hashlib.md5(idx_str.encode()).hexdigest(),
+                "vx_sum": round(sum(v[0] for v in vertices), 2),
+                "vy_sum": round(sum(v[1] for v in vertices), 2),
+                "vz_sum": round(sum(v[2] for v in vertices), 4),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"feature_idx": "int64", "n_vertices": "int32", "n_triangles": "int32"}
+    )
+
+
 KAT_BUILDERS = {
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
@@ -221,6 +262,7 @@ KAT_BUILDERS = {
     "q_media_decode_real": kat_media_decode_real,
     "q_media_stats_real": kat_media_stats_real,
     "q_media_frames_real": kat_media_frames_real,
+    "q_mesh_drape": kat_mesh_drape,
 }
 KAT_QUERIES = list(KAT_BUILDERS)
 

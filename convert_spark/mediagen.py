@@ -240,3 +240,205 @@ def payload_df(df):
             yield pd.DataFrame({"url": pdf["url"].to_numpy(), "payload": payload_batch(ids)})
 
     return df.select("url", "seed").mapInPandas(run, schema="url string, payload binary")
+
+
+# ------------------------------------------------------- containers ---
+#
+# Video/audio CONTAINER payloads (ISO-BMFF "MP4" per ISO/IEC 14496-12,
+# Ogg per RFC 3533 with Vorbis-I / RFC 7845 Opus ident headers). Frame
+# DECODE stays declared codec territory; what a training-data pipeline
+# filters on — dims, duration, codec ids, channel layout — lives in the
+# container headers, which these synthesize from the public specs as a
+# pure function of the seed. Separate corpus from ``payload_for`` (the
+# 16 image/audio classes) so the committed real-media KATs never shift.
+
+N_CONTAINER_FORMATS = 6
+
+
+def _box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
+    """One ISO-BMFF box. ``largesize`` emits the size==1 + 64-bit
+    largesize form (14496-12 §4.2) so the parser's wide-size branch is
+    exercised by the corpus."""
+    if largesize:
+        return struct.pack(">I", 1) + tag + struct.pack(">Q", len(body) + 16) + body
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+
+def _mvhd(timescale: int, duration: int) -> bytes:
+    body = struct.pack(">B3x", 0)  # version 0, flags 0
+    body += struct.pack(">IIII", 0, 0, timescale, duration)  # ctime mtime
+    body += struct.pack(">iH2x8x", 0x00010000, 0x0100)  # rate, volume
+    body += _MP4_MATRIX + b"\x00" * 24 + struct.pack(">I", 99)  # predefined, next_track
+    return _box(b"mvhd", body)
+
+
+def _tkhd(track_id: int, duration: int, w: int, h: int) -> bytes:
+    body = struct.pack(">B3B", 0, 0, 0, 7)  # version 0, flags=enabled|in_movie|in_preview
+    # ctime, mtime, track_ID, reserved(4), duration, reserved(8) — §8.3.2
+    body += struct.pack(">III4xI8x", 0, 0, track_id, duration)
+    body += struct.pack(">hhh2x", 0, 0, 0x0100 if w == 0 else 0)  # layer, alt_group, volume
+    body += _MP4_MATRIX + struct.pack(">II", w << 16, h << 16)
+    return _box(b"tkhd", body)
+
+
+def _mdhd(timescale: int, duration: int, v1: bool) -> bytes:
+    # language "und" packed as 3x5-bit ASCII-0x60 (14496-12 §8.4.2)
+    lang = struct.pack(">Hh", 0x55C4, 0)
+    if v1:
+        return _box(b"mdhd", struct.pack(">B3xQQIQ", 1, 0, 0, timescale, duration) + lang)
+    return _box(b"mdhd", struct.pack(">B3xIIII", 0, 0, 0, timescale, duration) + lang)
+
+
+def _hdlr(handler: bytes, name: bytes) -> bytes:
+    return _box(b"hdlr", struct.pack(">B3x4x", 0) + handler + b"\x00" * 12 + name + b"\x00")
+
+
+def _stbl(entry: bytes) -> bytes:
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">B3xI", 0, 0))
+    stsc = _box(b"stsc", struct.pack(">B3xI", 0, 0))
+    stsz = _box(b"stsz", struct.pack(">B3xII", 0, 0, 0))
+    stco = _box(b"stco", struct.pack(">B3xI", 0, 0))
+    return _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+
+def _video_entry(fourcc: bytes, w: int, h: int) -> bytes:
+    body = b"\x00" * 6 + struct.pack(">H", 1)  # reserved, data_ref_index
+    body += b"\x00" * 16  # pre_defined/reserved (14496-12 §12.1.3)
+    body += struct.pack(">HHII4xH", w, h, 0x00480000, 0x00480000, 1)
+    body += b"\x00" * 32  # compressorname (32-byte padded pascal string)
+    body += struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
+    return _box(fourcc, body)
+
+
+def _audio_entry(fourcc: bytes, channels: int, rate: int) -> bytes:
+    body = b"\x00" * 6 + struct.pack(">H", 1)
+    body += b"\x00" * 8  # reserved
+    body += struct.pack(">HH4xI", channels, 16, rate << 16)  # samplerate 16.16
+    return _box(fourcc, body)
+
+
+def _trak(track_id: int, kind: str, fourcc: bytes, w: int, h: int, channels: int,
+          rate: int, timescale: int, duration: int, mvhd_ts: int, mdhd_v1: bool) -> bytes:
+    if kind == "vide":
+        entry = _video_entry(fourcc, w, h)
+        xmhd = _box(b"vmhd", struct.pack(">B3BHHHH", 0, 0, 0, 1, 0, 0, 0, 0))
+        hdlr = _hdlr(b"vide", b"VideoHandler")
+    else:
+        entry = _audio_entry(fourcc, channels, rate)
+        xmhd = _box(b"smhd", struct.pack(">B3xhxx", 0, 0))
+        hdlr = _hdlr(b"soun", b"SoundHandler")
+    dinf = _box(b"dinf", _box(b"dref", struct.pack(">B3xI", 0, 1)
+                              + _box(b"url ", struct.pack(">B3B", 0, 0, 0, 1))))
+    minf = _box(b"minf", xmhd + dinf + _stbl(entry))
+    mdia = _box(b"mdia", _mdhd(timescale, duration, mdhd_v1) + hdlr + minf)
+    tkhd_dur = (duration * mvhd_ts) // timescale  # tkhd is on the MOVIE timescale
+    return _box(b"trak", _tkhd(track_id, tkhd_dur, w if kind == "vide" else 0,
+                               h if kind == "vide" else 0) + mdia)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32 poly 0x04C11D B7, unreflected, init/xorout 0
+    (RFC 3533 §6). Table-driven here; the twin recomputes it bit-by-bit."""
+    global _OGG_CRC_TABLE
+    try:
+        table = _OGG_CRC_TABLE
+    except NameError:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_page(serial: int, seq: int, granule: int, header_type: int, packets: list[bytes]) -> bytes:
+    segs = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n_full, last = divmod(len(pkt), 255)
+        segs += b"\xff" * n_full + bytes([last])  # lacing values (RFC 3533 §5)
+        body += pkt
+    head = (b"OggS" + struct.pack("<BBqIII", 0, header_type, granule, serial, seq, 0)
+            + bytes([len(segs)]) + bytes(segs))
+    page = bytearray(head + bytes(body))
+    struct.pack_into("<I", page, 22, _ogg_crc(bytes(page)))
+    return bytes(page)
+
+
+def container_payload_for(seed: int) -> bytes:
+    """One genuine container payload, pure function of ``seed``; class
+    cycles ``seed % 6``: three MP4 track layouts, an MP4 with 64-bit
+    boxes + v1 mdhd, Ogg Vorbis, Ogg Opus."""
+    fmt = int(seed) % N_CONTAINER_FORMATS
+    rng = np.random.Generator(np.random.PCG64(0xB0C5E5 ^ (int(seed) * 2654435761)))
+    if fmt <= 3:  # ISO-BMFF
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+        mvhd_ts = 1000
+        w = int(rng.integers(160, 1920))
+        h = int(rng.integers(120, 1080))
+        vts = int(rng.integers(1, 5)) * 12288  # video media timescale
+        ats = int(rng.choice([8000, 16000, 22050, 44100, 48000]))
+        ch = int(rng.integers(1, 3))
+        vdur = int(rng.integers(1, 90)) * vts // 3 + int(rng.integers(0, vts))
+        adur = int(rng.integers(1, 90)) * ats // 3 + int(rng.integers(0, ats))
+        traks = b""
+        if fmt in (0, 2, 3):
+            traks += _trak(1, "vide", b"hvc1" if fmt == 3 else b"avc1", w, h, 0, 0,
+                           vts, vdur, mvhd_ts, mdhd_v1=(fmt == 3))
+        if fmt in (1, 2):
+            traks += _trak(2 if fmt == 2 else 1, "soun", b"mp4a", 0, 0, ch, ats,
+                           ats, adur, mvhd_ts, mdhd_v1=False)
+        movie_dur = max((vdur * mvhd_ts) // vts if fmt != 1 else 0,
+                        (adur * mvhd_ts) // ats if fmt in (1, 2) else 0)
+        moov = _box(b"moov", _mvhd(mvhd_ts, movie_dur) + traks)
+        mdat = _box(b"mdat", rng.integers(0, 256, size=int(rng.integers(16, 200))).astype(np.uint8).tobytes(),
+                    largesize=(fmt == 3))
+        free = _box(b"free", b"\x00" * int(rng.integers(0, 12)))
+        return ftyp + moov + free + mdat
+    serial = int(rng.integers(1, 2**31 - 1))
+    if fmt == 4:  # Ogg Vorbis
+        rate = int(rng.choice([8000, 11025, 22050, 44100, 48000]))
+        ch = int(rng.integers(1, 3))
+        ident = (b"\x01vorbis" + struct.pack("<IB", 0, ch) + struct.pack("<Iiii", rate, 0, 0, 0)
+                 + bytes([(8 << 4) | 6]) + b"\x01")  # blocksizes 2^6/2^8, framing bit
+        n_samples = int(rng.integers(1, 200)) * rate // 10
+        pages = _ogg_page(serial, 0, 0, 0x02, [ident])  # BOS
+        pages += _ogg_page(serial, 1, n_samples,
+                           0x04, [rng.integers(0, 256, size=int(rng.integers(20, 120))).astype(np.uint8).tobytes()])
+        return pages
+    # Ogg Opus (RFC 7845 §5.1) — granule position is ALWAYS 48 kHz
+    ch = int(rng.integers(1, 3))
+    input_rate = int(rng.choice([8000, 16000, 24000, 48000]))
+    pre_skip = int(rng.integers(0, 3841))
+    ident = (b"OpusHead" + bytes([1, ch]) + struct.pack("<HIhB", pre_skip, input_rate, 0, 0))
+    n48 = pre_skip + int(rng.integers(1, 200)) * 4800
+    pages = _ogg_page(serial, 0, 0, 0x02, [ident])
+    pages += _ogg_page(serial, 1, n48,
+                       0x04, [rng.integers(0, 256, size=int(rng.integers(20, 120))).astype(np.uint8).tobytes()])
+    return pages
+
+
+def container_payload_df(df):
+    """(url, seed) -> (url, payload) with genuine MP4/Ogg bytes; same
+    executor-side pure-function contract as ``payload_df``."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({
+                "url": pdf["url"].to_numpy(),
+                "payload": [container_payload_for(int(s)) for s in pdf["seed"].to_numpy()],
+            })
+
+    return df.select("url", "seed").mapInPandas(run, schema="url string, payload binary")

@@ -19,10 +19,13 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   from-scratch codec (kernels/jpeg.py — huffman + dequant + IDCT +
   YCbCr, any sampling factors, restart intervals, multi-scan
   sequential AND progressive with successive approximation);
-  nearest-neighbor RESIZE re-encoded in the source format. Everything
-  past that — arithmetic-coded JPEG, non-PCM audio, video rasters —
-  needs a full codec (Pillow/ffmpeg/pyav) and raises the one declared
-  NotImplementedError.
+  nearest-neighbor RESIZE re-encoded in the source format; container
+  METADATA for MP4 (ISO-BMFF box walk: per-track codec/dims/channels/
+  sample-rate/duration) and Ogg (CRC-checked pages, Vorbis/Opus ident
+  headers) via ``container_tracks`` / ``media_containers``. Everything
+  past that — FRAME decode of video and non-PCM audio, arithmetic-coded
+  JPEG — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
+  declared NotImplementedError.
 """
 
 from __future__ import annotations
@@ -124,12 +127,23 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
             return _decode_jpeg(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _decode_wav(data)
+        if (len(data) >= 12 and data[4:8] == b"ftyp") or data[:4] == b"OggS":
+            # container formats: headers carry the filterable metadata
+            # (dims / channels / codec ids) even though frame DECODE
+            # stays declared codec territory — map the first video
+            # track's dims and the first audio track's channel count
+            # onto the image-shaped decode schema
+            kind, tracks = container_tracks(data)
+            vid = next((t for t in tracks if t["kind"] == "video"), None)
+            aud = next((t for t in tracks if t["kind"] == "audio"), None)
+            return (kind, vid["width"] if vid else 0, vid["height"] if vid else 0,
+                    aud["n_channels"] if aud else 0)
     except NotImplementedError:
         raise
     except Exception as exc:  # noqa: BLE001 — truncated/corrupt headers
         raise NotImplementedError(f"malformed media payload: {exc}") from exc
     # STUB: full codec call site (Pillow / soundfile / pyav) for formats
-    # the stdlib cannot parse
+    # the stdlib cannot parse (frame decode of mp4/ogg included)
     raise NotImplementedError("media codec unavailable in this container for this format")
 
 
@@ -745,3 +759,256 @@ def resize_media(
             )
 
     return df.select("url", binary_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# ----------------------------------------------------- containers ---
+#
+# Video/audio CONTAINER metadata (ISO-BMFF per ISO/IEC 14496-12, Ogg per
+# RFC 3533 + Vorbis-I / RFC 7845 ident headers). Frame decode stays
+# declared codec territory (ffmpeg/pyav class); what a training-data
+# pipeline filters on — dims, duration, codec ids, channels — is in the
+# container headers, parsed here from the public specs. Iterative
+# struct-based walkers; the KAT twin (tests/container_reference_impl.py)
+# re-reads every field with a scalar byte cursor and a bit-serial CRC.
+
+CONTAINER_SCHEMA = (
+    "url string, container string, codec string, track_id long, "
+    "track_type string, width int, height int, n_channels int, "
+    "sample_rate int, duration_ms long, n_tracks int"
+)
+
+# ISO-BMFF boxes that are pure containers of child boxes (§ references
+# in 14496-12); stsd is a FullBox with an entry count before children
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"))
+_MP4_HANDLER_KIND = {b"vide": "video", b"soun": "audio", b"hint": "hint",
+                     b"meta": "meta", b"subt": "subtitle", b"text": "text"}
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) for the sibling boxes in
+    data[pos:end]; handles size==1 (64-bit largesize) and size==0
+    (to end-of-enclosing) per 14496-12 §4.2."""
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        tag = bytes(data[pos + 4:pos + 8])
+        head = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise NotImplementedError("malformed MP4: truncated largesize box header")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise NotImplementedError(f"malformed MP4: box {tag!r} size {size} overruns its parent")
+        yield tag, pos + head, pos + size
+        pos += size
+    if pos != end:
+        raise NotImplementedError("malformed MP4: trailing bytes do not form a box header")
+
+
+def _mp4_track(data: bytes, start: int, end: int) -> dict:
+    """One trak box -> metadata dict (tkhd id, mdhd timescale/duration,
+    hdlr kind, first stsd entry codec + audio/video fields)."""
+    t: dict = {"track_id": None, "kind": "unknown", "codec": "",
+               "width": 0, "height": 0, "n_channels": 0, "sample_rate": 0,
+               "timescale": 0, "duration": 0}
+    for tag, b0, b1 in _mp4_boxes(data, start, end):
+        if tag == b"tkhd":
+            ver = data[b0]
+            # v0: ctime/mtime/track_ID 4 bytes each; v1 widens times to 8
+            t["track_id"] = int.from_bytes(data[b0 + (12 if ver == 0 else 20):][:4], "big")
+        elif tag == b"mdia":
+            for mtag, m0, m1 in _mp4_boxes(data, b0, b1):
+                if mtag == b"mdhd":
+                    ver = data[m0]
+                    if ver == 1:
+                        t["timescale"] = int.from_bytes(data[m0 + 20:m0 + 24], "big")
+                        t["duration"] = int.from_bytes(data[m0 + 24:m0 + 32], "big")
+                    else:
+                        t["timescale"] = int.from_bytes(data[m0 + 12:m0 + 16], "big")
+                        t["duration"] = int.from_bytes(data[m0 + 16:m0 + 20], "big")
+                elif mtag == b"hdlr":
+                    t["kind"] = _MP4_HANDLER_KIND.get(bytes(data[m0 + 8:m0 + 12]), "unknown")
+                elif mtag == b"minf":
+                    for ntag, n0, n1 in _mp4_boxes(data, m0, m1):
+                        if ntag != b"stbl":
+                            continue
+                        for stag, s0, s1 in _mp4_boxes(data, n0, n1):
+                            if stag == b"stsd":
+                                _mp4_sample_entry(data, s0, s1, t)
+    if t["track_id"] is None or not t["timescale"]:
+        raise NotImplementedError("malformed MP4: trak missing tkhd or mdhd")
+    return t
+
+
+def _mp4_sample_entry(data: bytes, b0: int, b1: int, t: dict) -> None:
+    """First stsd sample entry: fourcc -> codec; §12.1.3 visual /
+    §12.2.3 audio field layout relative to the entry body."""
+    n_entries = int.from_bytes(data[b0 + 4:b0 + 8], "big")
+    if not n_entries:
+        return
+    for etag, e0, e1 in _mp4_boxes(data, b0 + 8, b1):
+        t["codec"] = etag.decode("ascii", "replace")
+        if t["kind"] == "video" and e1 - e0 >= 28:
+            # SampleEntry 8 bytes, then pre_defined/reserved 16, w/h
+            t["width"] = int.from_bytes(data[e0 + 24:e0 + 26], "big")
+            t["height"] = int.from_bytes(data[e0 + 26:e0 + 28], "big")
+        elif t["kind"] == "audio" and e1 - e0 >= 28:
+            # SampleEntry 8, reserved 8, channelcount/samplesize, 4, rate
+            t["n_channels"] = int.from_bytes(data[e0 + 16:e0 + 18], "big")
+            t["sample_rate"] = int.from_bytes(data[e0 + 24:e0 + 28], "big") >> 16
+        return  # first entry only
+
+
+def _mp4_tracks(data: bytes) -> list[dict]:
+    tracks: list[dict] = []
+    saw_ftyp = saw_moov = False
+    for tag, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if tag == b"ftyp":
+            saw_ftyp = True
+        elif tag == b"moov":
+            saw_moov = True
+            for mtag, m0, m1 in _mp4_boxes(data, b0, b1):
+                if mtag == b"trak":
+                    tracks.append(_mp4_track(data, m0, m1))
+    if not (saw_ftyp and saw_moov):
+        raise NotImplementedError("malformed MP4: missing ftyp or moov box")
+    return tracks
+
+
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc_table() -> list[int]:
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1) & 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    return _OGG_CRC_TABLE
+
+
+def _ogg_streams(data: bytes) -> list[dict]:
+    """Walk the Ogg pages (RFC 3533 §6), CRC-checking each, and return
+    one dict per logical stream (serial): first-packet ident bytes,
+    final granule position, page count."""
+    table = _ogg_crc_table()
+    streams: dict[int, dict] = {}
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 4] != b"OggS" or pos + 27 > len(data):
+            raise NotImplementedError("malformed Ogg: bad capture pattern")
+        if data[pos + 4] != 0:
+            raise NotImplementedError(f"malformed Ogg: stream structure version {data[pos + 4]}")
+        header_type = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little", signed=True)
+        serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+        crc_stored = int.from_bytes(data[pos + 22:pos + 26], "little")
+        n_segs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            raise NotImplementedError("malformed Ogg: truncated segment table")
+        body_len = sum(seg_table)
+        page_end = pos + 27 + n_segs + body_len
+        if page_end > len(data):
+            raise NotImplementedError("malformed Ogg: truncated page body")
+        page = bytearray(data[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        crc = 0
+        for b in page:
+            crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+        if crc != crc_stored:
+            raise NotImplementedError("malformed Ogg: page CRC mismatch")
+        s = streams.setdefault(serial, {"serial": serial, "ident": b"", "granule": 0, "pages": 0})
+        s["pages"] += 1
+        if header_type & 0x02:  # BOS: first packet is the codec ident header
+            first_pkt_len = 0
+            for v in seg_table:
+                first_pkt_len += v
+                if v < 255:
+                    break
+            s["ident"] = bytes(data[pos + 27 + n_segs:pos + 27 + n_segs + first_pkt_len])
+        if granule >= 0:
+            s["granule"] = granule
+        pos = page_end
+    if not streams:
+        raise NotImplementedError("malformed Ogg: no pages")
+    return list(streams.values())
+
+
+def _ogg_track(s: dict) -> dict:
+    ident = s["ident"]
+    if ident[:7] == b"\x01vorbis" and len(ident) >= 16:
+        ch = ident[11]
+        rate = int.from_bytes(ident[12:16], "little")
+        if not rate:
+            raise NotImplementedError("malformed Ogg: vorbis rate 0")
+        dur = s["granule"] * 1000 // rate  # granule = PCM sample count
+    elif ident[:8] == b"OpusHead" and len(ident) >= 16:
+        ch = ident[9]
+        pre_skip = int.from_bytes(ident[10:12], "little")
+        rate = int.from_bytes(ident[12:16], "little")  # informational input rate
+        # Opus granules are ALWAYS at 48 kHz, minus pre-skip (RFC 7845 §4)
+        dur = max(s["granule"] - pre_skip, 0) * 1000 // 48000
+    else:
+        raise NotImplementedError("Ogg codec unsupported: unknown ident packet")
+    return {"track_id": s["serial"], "kind": "audio", "codec": "opus" if ident[:4] == b"Opus" else "vorbis",
+            "width": 0, "height": 0, "n_channels": ch, "sample_rate": rate, "duration_ms": dur}
+
+
+def container_tracks(data: bytes) -> tuple[str, list[dict]]:
+    """Sniff + parse one container payload -> (container_kind, track
+    dicts). Declared NotImplementedError for malformed payloads and for
+    non-container formats (same contract as decode_real)."""
+    try:
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            tracks = _mp4_tracks(data)
+            out = []
+            for t in tracks:
+                out.append({"track_id": t["track_id"], "kind": t["kind"], "codec": t["codec"],
+                            "width": t["width"], "height": t["height"],
+                            "n_channels": t["n_channels"], "sample_rate": t["sample_rate"],
+                            "duration_ms": t["duration"] * 1000 // t["timescale"]})
+            return "mp4", out
+        if data[:4] == b"OggS":
+            return "ogg", [_ogg_track(s) for s in _ogg_streams(data)]
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — truncated/corrupt headers
+        raise NotImplementedError(f"malformed container payload: {exc}") from exc
+    raise NotImplementedError("not a recognized media container (MP4/Ogg)")
+
+
+def media_containers(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Container-metadata stage: binary -> one row per track (MP4 trak /
+    Ogg logical stream). 1->N Arrow fan-out like media_stats; header
+    walking is a few hundred bytes per payload, so per-payload scalar
+    parsing is the right shape — parallelism comes from the partition
+    count, not intra-payload vectorization."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[binary_col]):
+                kind, tracks = container_tracks(bytes(payload) if payload is not None else b"")
+                for t in tracks:
+                    rows.append((url, kind, t["codec"], t["track_id"], t["kind"],
+                                 t["width"], t["height"], t["n_channels"],
+                                 t["sample_rate"], t["duration_ms"], len(tracks)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "container", "codec", "track_id", "track_type",
+                         "width", "height", "n_channels", "sample_rate",
+                         "duration_ms", "n_tracks"],
+            ).astype({"track_id": "int64", "width": "int32", "height": "int32",
+                      "n_channels": "int32", "sample_rate": "int32",
+                      "duration_ms": "int64", "n_tracks": "int32"})
+
+    return df.select("url", binary_col).mapInPandas(run, schema=CONTAINER_SCHEMA)

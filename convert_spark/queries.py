@@ -1461,6 +1461,33 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 
+def q_media_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio CONTAINER metadata under the hash gate: genuine
+    MP4 (ISO-BMFF boxes incl. 64-bit largesize + v1 mdhd) and Ogg
+    (CRC-checked pages, Vorbis/Opus ident headers) payloads — a pure
+    function of doc_id over the ODD ids (the even ids carry the
+    image/audio corpus) — parsed to one row per track: codec id, dims,
+    channels, sample rate, duration. Frame decode stays declared codec
+    territory; this is the metadata a training-data pipeline filters
+    on. Oracle: twin KAT (tests/container_reference_impl.py — scalar
+    byte-cursor walker, bit-serial page CRC, independently derived from
+    ISO/IEC 14496-12, RFC 3533 and RFC 7845)."""
+    from . import mediagen
+    from .operators import multimodal
+
+    _load(spark, sf_dir, "documents")
+    d = (
+        spark.table("documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        .select(
+            F.concat(F.lit("media://"), F.col("doc_id")).alias("url"),
+            (F.col("doc_id") / 2).cast("long").alias("seed"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "seed")
+    )
+    return multimodal.media_containers(mediagen.container_payload_df(d), binary_col="payload")
+
+
 def q_media_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel/sample content under the hash gate: per-channel
     INTEGER statistics (count/sum/min/max — exact arithmetic, no float
@@ -2131,6 +2158,7 @@ QUERIES = {
     "q_media_decode_real": q_media_decode_real,
     "q_media_stats_real": q_media_stats_real,
     "q_media_frames_real": q_media_frames_real,
+    "q_media_containers": q_media_containers,
     "q_asof_events": q_asof_events,
     "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
@@ -2199,5 +2227,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_mesh_drape")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape")},
     }

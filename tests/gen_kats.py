@@ -252,6 +252,41 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def kat_media_containers(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """Genuine MP4/Ogg payloads (mediagen, shared input-gen) ->
+    INDEPENDENT scalar container parse (container_reference_impl:
+    byte-cursor box walk, bit-serial Ogg CRC — no struct, no numpy)."""
+    import container_reference_impl as cref
+
+    from convert_spark import mediagen
+
+    rows = []
+    for doc_id in _container_ids(sf_dir):
+        payload = mediagen.container_payload_for(doc_id // 2)
+        kind, tracks = cref.container_rows(payload)
+        for t in tracks:
+            rows.append({"url": f"media://{doc_id}", "container": kind,
+                         "codec": t["codec"], "track_id": t["track_id"],
+                         "track_type": t["track_type"], "width": t["width"],
+                         "height": t["height"], "n_channels": t["n_channels"],
+                         "sample_rate": t["sample_rate"],
+                         "duration_ms": t["duration_ms"], "n_tracks": len(tracks)})
+    return pd.DataFrame(rows).astype(
+        {"track_id": "int64", "width": "int32", "height": "int32",
+         "n_channels": "int32", "sample_rate": "int32",
+         "duration_ms": "int64", "n_tracks": "int32"}
+    )
+
+
+def _container_ids(sf_dir: str) -> list[int]:
+    return [
+        int(r[0])
+        for r in duckdb.sql(
+            f"select doc_id from '{sf_dir}/documents.parquet' where doc_id % 2 = 1 order by doc_id"
+        ).fetchall()
+    ]
+
+
 KAT_BUILDERS = {
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
@@ -262,6 +297,7 @@ KAT_BUILDERS = {
     "q_media_decode_real": kat_media_decode_real,
     "q_media_stats_real": kat_media_stats_real,
     "q_media_frames_real": kat_media_frames_real,
+    "q_media_containers": kat_media_containers,
     "q_mesh_drape": kat_mesh_drape,
 }
 KAT_QUERIES = list(KAT_BUILDERS)

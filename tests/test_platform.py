@@ -1787,3 +1787,77 @@ class TestPngSubByteAdam7:
         vals = rng.randint(0, 4, size=(6, 11), dtype=np.uint8)
         got = multimodal._png_pixels(self._encode(vals, 2, 3, table.tobytes()))
         np.testing.assert_array_equal(got, table[vals])
+
+
+class TestContainers:
+    """MP4/Ogg container metadata (multimodal.container_tracks /
+    media_containers) vs the independent scalar twin, plus the declared
+    malformed-input envelope."""
+
+    def test_twin_agreement_all_classes(self):
+        import container_reference_impl as cref
+
+        from convert_spark import mediagen
+
+        for seed in range(120):
+            payload = mediagen.container_payload_for(seed)
+            kp, tp = multimodal.container_tracks(payload)
+            kt, tt = cref.container_rows(payload)
+            assert kp == kt
+            prod = sorted(
+                (t["track_id"], t["kind"], t["codec"], t["width"], t["height"],
+                 t["n_channels"], t["sample_rate"], t["duration_ms"]) for t in tp
+            )
+            twin = sorted(
+                (t["track_id"], t["track_type"], t["codec"], t["width"], t["height"],
+                 t["n_channels"], t["sample_rate"], t["duration_ms"]) for t in tt
+            )
+            assert prod == twin, seed
+
+    def test_decode_real_routes_containers(self):
+        from convert_spark import mediagen
+
+        kind, w, h, ch = multimodal.decode_real(mediagen.container_payload_for(2))
+        assert kind == "mp4" and w > 0 and h > 0 and ch > 0  # avc1 + mp4a
+        kind, w, h, ch = multimodal.decode_real(mediagen.container_payload_for(5))
+        assert kind == "ogg" and (w, h) == (0, 0) and ch > 0  # Opus audio
+
+    def test_mp4_largesize_and_v1_mdhd(self):
+        from convert_spark import mediagen
+
+        # class 3 exercises the size==1/largesize mdat and version-1 mdhd
+        payload = mediagen.container_payload_for(3)
+        kind, tracks = multimodal.container_tracks(payload)
+        assert kind == "mp4" and tracks[0]["codec"] == "hvc1"
+        assert tracks[0]["duration_ms"] > 0
+
+    def test_malformed_raises_declared(self):
+        from convert_spark import mediagen
+
+        mp4 = bytearray(mediagen.container_payload_for(0))
+        mp4[0:4] = (2**31 - 1).to_bytes(4, "big")  # box size overruns payload
+        with pytest.raises(NotImplementedError, match="overruns"):
+            multimodal.container_tracks(bytes(mp4))
+
+        ogg = bytearray(mediagen.container_payload_for(4))
+        ogg[-1] ^= 0xFF  # flip a body byte -> page CRC must catch it
+        with pytest.raises(NotImplementedError, match="CRC"):
+            multimodal.container_tracks(bytes(ogg))
+
+        with pytest.raises(NotImplementedError, match="not a recognized"):
+            multimodal.container_tracks(b"\x00" * 64)
+        # truncated mid-box-header
+        with pytest.raises(NotImplementedError):
+            multimodal.container_tracks(mediagen.container_payload_for(1)[:30])
+
+    def test_operator_fanout(self, spark):
+        from convert_spark import mediagen
+
+        pdf = pd.DataFrame({"url": [f"u{i}" for i in range(12)], "seed": list(range(12))})
+        src = mediagen.container_payload_df(spark.createDataFrame(pdf))
+        out = multimodal.media_containers(src).toPandas()
+        # classes 2 (two seeds in 0..11) emit two tracks each
+        assert len(out) == 14
+        assert set(out["container"]) == {"mp4", "ogg"}
+        two_track = out[out["n_tracks"] == 2]
+        assert sorted(two_track["track_type"]) == ["audio", "audio", "video", "video"]

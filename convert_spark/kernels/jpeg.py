@@ -12,8 +12,10 @@ color-converts once at EOI. Supported scan shapes:
 * progressive (SOF2, ITU T.81 Annex G): DC/AC spectral selection and
   successive approximation — first scans and refinement scans, EOB
   runs, interleaved DC / per-component AC geometry, restart intervals;
-* Adobe APP14 color transforms: transform=1 (YCbCr) and transform=0
-  (RGB passthrough); YCCK (transform=2) and 4-component CMYK raise.
+* Adobe APP14 color transforms: transform=1 (YCbCr), transform=0 (RGB
+  passthrough for 3 components, inverted CMYK for 4), transform=2
+  (YCCK -> true-ink CMYK); 4 components without an Adobe marker decode
+  as plain CMYK per the libjpeg convention.
 
 Arithmetic coding, 12-bit precision, lossless and hierarchical modes
 raise NotImplementedError — the same single declared exception type as
@@ -560,6 +562,28 @@ def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
         full.append(p[:h, :w])
     if len(full) == 1:
         return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) == 4:
+        # Adobe CMYK family (Adobe TN #5116 / the libjpeg convention):
+        # transform=2 is YCCK — the YCbCr forward transform applied to
+        # the INVERTED C,M,Y channels with K passed through; transform=0
+        # (or any Adobe marker) stores inverted ink; a 4-component file
+        # with NO Adobe marker is plain non-inverted CMYK. Output is
+        # true ink amounts, 4 channels.
+        if adobe_transform == 2:
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            inv = np.clip(np.rint(np.stack([r, g, b, full[3]], axis=2)), 0, 255)
+            return (255 - inv).astype(np.uint8)
+        if adobe_transform == 0:
+            inv = np.clip(np.rint(np.stack(full, axis=2)), 0, 255)
+            return (255 - inv).astype(np.uint8)
+        if adobe_transform is None:
+            return np.clip(np.rint(np.stack(full, axis=2)), 0, 255).astype(np.uint8)
+        raise NotImplementedError(
+            f"4-component JPEG with Adobe transform {adobe_transform}: malformed"
+        )
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG: not JFIF YCbCr")
     if adobe_transform == 0:  # Adobe APP14: components are literal RGB
@@ -745,8 +769,9 @@ def encode_baseline(
     restart_interval: int = 0,
     progressive: bool = False,
     sa_levels: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
-    """Encode (h, w, 1|3) uint8 as JFIF — baseline 4:4:4 by default,
+    """Encode (h, w, 1|3|4) uint8 as JFIF — baseline 4:4:4 by default,
     4:2:0 with ``subsample=True`` (2x2-mean chroma), grayscale for one
     channel; optional DRI/RSTn restart markers every
     ``restart_interval`` MCUs (resets DC predictors, as the spec
@@ -757,12 +782,32 @@ def encode_baseline(
     the high bits (Al=1) and a refinement pass (Ah=1, Al=0) the low
     bits. Either way the encoding is pixel-identical to the baseline
     encoding of the same image, since the coefficients are the same and
-    only the scan layout differs."""
+    only the scan layout differs.
+
+    Four channels are TRUE-INK CMYK and require ``adobe_transform`` 0
+    (Adobe inverted CMYK) or 2 (YCCK: YCbCr transform of the inverted
+    C,M,Y with K passed through) — the Adobe APP14 marker is written so
+    decoders pick the matching inverse; 4:4:4 only."""
     h, w, nc = px.shape
-    if nc not in (1, 3):
+    if nc not in (1, 3, 4):
         raise NotImplementedError(f"JPEG encode: {nc} channels unsupported")
     ql, qc = _quality_tables(quality)
-    if nc == 3:
+    if nc == 4:
+        if adobe_transform not in (0, 2):
+            raise NotImplementedError("JPEG encode: CMYK needs adobe_transform 0 or 2")
+        if subsample:
+            raise NotImplementedError("JPEG encode: CMYK subsampling unsupported")
+        inv = 255.0 - px.astype(np.float64)  # Adobe stores inverted ink
+        if adobe_transform == 2:
+            r, g, b = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            chans = [(y, ql, 0, 1, 1), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1),
+                     (inv[:, :, 3], ql, 0, 1, 1)]
+        else:
+            chans = [(inv[:, :, i], ql, 0, 1, 1) for i in range(4)]
+    elif nc == 3:
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
@@ -786,15 +831,19 @@ def encode_baseline(
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = b"\xff\xd8"
-    for tq, q in ((0, ql), (1, qc))[: 1 if nc == 1 else 2]:
+    if nc == 4:
+        # Adobe APP14 (TN #5116): 'Adobe', version 100, flags, transform
+        out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform))
+    has_chroma = any(ch[2] for ch in chans)
+    for tq, q in ((0, ql), (1, qc))[: 2 if has_chroma else 1]:
         zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
         out += seg(0xDB, bytes([tq]) + zz.tobytes())
     comp_spec = b"".join(
-        bytes([i + 1, (ch[3] << 4) | ch[4], 0 if i == 0 else 1]) for i, ch in enumerate(chans)
+        bytes([i + 1, (ch[3] << 4) | ch[4], 1 if ch[2] else 0]) for i, ch in enumerate(chans)
     )
     out += seg(0xC2 if progressive else 0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
     tables = ((_DC_LUMA, 0x00), (_AC_LUMA, 0x10)) + (
-        ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if nc == 3 else ()
+        ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if has_chroma else ()
     )
     for (counts, symbols), tcth in tables:
         out += seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(symbols))
@@ -829,7 +878,7 @@ def encode_baseline(
         out += seg(
             0xDA,
             bytes([nc])
-            + b"".join(bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(nc))
+            + b"".join(bytes([i + 1, 0x11 if ch[2] else 0x00]) for i, ch in enumerate(chans))
             + b"\x00\x3f\x00",
         )
         sw = _ScanWriter()
@@ -877,7 +926,7 @@ def encode_baseline(
         arithmetic-shift DC point transform) or refinement (one low bit
         per block)."""
         body = bytes([nc]) + b"".join(
-            bytes([i + 1, 0x00 if i == 0 else 0x10]) for i in range(nc)
+            bytes([i + 1, 0x10 if ch[2] else 0x00]) for i, ch in enumerate(chans)
         ) + bytes([0, 0, (ah << 4) | al])
         sw = _ScanWriter()
         preds = [0] * nc

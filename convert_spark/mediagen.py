@@ -30,7 +30,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 16
+N_FORMATS = 18
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -157,8 +157,8 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 16``: ten PNG IHDR shapes, four JPEG scan
-    shapes, two WAV PCM layouts."""
+    class cycles ``seed % 18``: ten PNG IHDR shapes, four JPEG scan
+    shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
@@ -199,6 +199,23 @@ def payload_for(seed: int) -> bytes:
             return jpeg.encode_baseline(px, quality=75, subsample=True, restart_interval=2)
         # progressive WITH successive approximation (the hardest scan shape)
         return jpeg.encode_baseline(px, quality=85, progressive=True, sa_levels=1)
+    if fmt >= 16:  # Adobe CMYK family (4-component JPEG)
+        from .kernels import jpeg
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        f1, f2 = rng.uniform(3.0, 9.0, size=2)
+        p = rng.uniform(0.0, 6.0, size=4)
+        px = np.stack(
+            [
+                (128 + 90 * np.sin(xx / f1 + yy / f2 + ph)).astype(np.uint8)
+                for ph in p
+            ],
+            axis=2,
+        )
+        if fmt == 16:  # inverted CMYK (transform 0), baseline + restarts
+            return jpeg.encode_baseline(px, quality=85, adobe_transform=0, restart_interval=2)
+        # YCCK (transform 2), progressive with successive approximation
+        return jpeg.encode_baseline(px, quality=85, adobe_transform=2, progressive=True, sa_levels=1)
     # WAV
     import wave
 

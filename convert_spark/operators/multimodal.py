@@ -531,6 +531,28 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def _jpeg_adobe_transform(data: bytes) -> int:
+    """APP14 transform byte of a JPEG stream (0 if absent/unreadable) —
+    marker walk only, no entropy decode."""
+    pos = 2
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m in (0xD9, 0xDA):
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + ln]
+        if m == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            return body[11]
+        pos += 2 + ln
+    return 0
+
+
 def resize_real(data: bytes, tw: int, th: int) -> bytes:
     """Nearest-neighbor resample, returned RE-ENCODED in the source
     format (the resize stage's output is a payload, not pixels):
@@ -554,10 +576,16 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         from ..kernels import jpeg
 
         px = jpeg.decode_baseline(data)
-        h, w, _ = px.shape
+        h, w, nc = px.shape
         yi = (np.arange(th, dtype=np.int64) * h) // th
         xi = (np.arange(tw, dtype=np.int64) * w) // tw
-        return jpeg.encode_baseline(np.ascontiguousarray(px[yi][:, xi]))
+        resized = np.ascontiguousarray(px[yi][:, xi])
+        if nc == 4:
+            # re-encode CMYK with the SOURCE's Adobe transform (APP14
+            # marker scan; a 4-comp file without one re-encodes as
+            # transform-0 inverted CMYK — ink values round-trip either way)
+            return jpeg.encode_baseline(resized, adobe_transform=_jpeg_adobe_transform(data))
+        return jpeg.encode_baseline(resized)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 

@@ -1406,8 +1406,9 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 16 mediagen format classes
-    (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts)
+    seed = doc_id/2, cycling through all 18 mediagen format classes
+    (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
+    two Adobe CMYK/YCCK JPEG shapes)
     at every scale factor. ``fmts`` restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""

@@ -17,8 +17,8 @@ structurally disjoint from the vectorized production kernels
 
 The twin covers exactly the payload corpus convert_spark.mediagen
 emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
-with both spectral selection and successive approximation; 8/16-bit
-PCM WAV). Everything else raises ValueError — the KAT builder should
+with both spectral selection and successive approximation; Adobe
+CMYK/YCCK 4-component JPEG; 8/16-bit PCM WAV). Everything else raises ValueError — the KAT builder should
 never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
@@ -318,6 +318,7 @@ def jpeg_pixels(data: bytes):
     frame = None
     coeffs = None
     restart = 0
+    adobe = None
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -377,6 +378,8 @@ def jpeg_pixels(data: bytes):
             coeffs = [{} for _ in comps]  # (by,bx) -> zigzag list[64]
         elif m == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
+        elif m == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe = body[11]  # APP14 color transform
         elif m == 0xDA:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
@@ -395,7 +398,7 @@ def jpeg_pixels(data: bytes):
         pos += 2 + ln
     if frame is None or coeffs is None:
         raise ValueError("jpeg: no frame")
-    return _jfinish(frame, coeffs, qts)
+    return _jfinish(frame, coeffs, qts, adobe)
 
 
 def _block(coeffs, ci, by, bx):
@@ -519,7 +522,7 @@ def _jscan(data, pos, frame, sel, ss, se, ah, al, huffs, restart, coeffs) -> int
     return bits.p
 
 
-def _jfinish(frame, coeffs, qts):
+def _jfinish(frame, coeffs, qts, adobe=None):
     w, h = frame["w"], frame["h"]
     planes = []
     for ci, comp in enumerate(frame["comps"]):
@@ -564,6 +567,30 @@ def _jfinish(frame, coeffs, qts):
     ncomp = len(frame["comps"])
     if ncomp == 1:
         return [[(to8(px[0]),) for px in row] for row in rows]
+    if ncomp == 4:
+        # Adobe CMYK family: transform=2 is YCCK (YCbCr of the INVERTED
+        # C,M,Y; K passes through); transform=0 stores inverted ink;
+        # output true ink amounts — independently per Adobe TN #5116
+        out = []
+        for row in rows:
+            orow = []
+            for s0, s1, s2, s3 in row:
+                if adobe == 2:
+                    cb, cr = s1 - 128.0, s2 - 128.0
+                    orow.append((
+                        255 - to8(s0 + 1.402 * cr),
+                        255 - to8(s0 - 0.344136 * cb - 0.714136 * cr),
+                        255 - to8(s0 + 1.772 * cb),
+                        255 - to8(s3),
+                    ))
+                elif adobe == 0:
+                    orow.append((255 - to8(s0), 255 - to8(s1), 255 - to8(s2), 255 - to8(s3)))
+                elif adobe is None:
+                    orow.append((to8(s0), to8(s1), to8(s2), to8(s3)))
+                else:
+                    raise ValueError("jpeg: bad adobe transform for CMYK")
+            out.append(orow)
+        return out
     if ncomp != 3:
         raise ValueError("jpeg: component count")
     out = []

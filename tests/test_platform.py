@@ -1635,7 +1635,7 @@ class TestMediagen:
             kinds.add((seed % mediagen.N_FORMATS, kind))
             _, stats = multimodal.stats_real(p)
             assert all(n > 0 for n, _, _, _ in stats)
-        assert len(kinds) == mediagen.N_FORMATS  # all 16 classes distinct
+        assert len(kinds) == mediagen.N_FORMATS  # all classes distinct
 
     def test_png_writer_against_engine_decoder(self):
         """The seeded-filter PNG writer round-trips through the engine
@@ -1861,3 +1861,88 @@ class TestContainers:
         assert set(out["container"]) == {"mp4", "ogg"}
         two_track = out[out["n_tracks"] == 2]
         assert sorted(two_track["track_type"]) == ["audio", "audio", "video", "video"]
+
+
+class TestCmykJpeg:
+    """Adobe CMYK family (4-component JPEG): transform 0 (inverted
+    CMYK) and transform 2 (YCCK), per Adobe TN #5116 / the libjpeg
+    convention. Production kernel vs the independent scalar twin, plus
+    the declared boundary."""
+
+    def _px(self, h=18, w=14):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(128 + 80 * np.sin(xx / 4.0 + yy / 6.0 + p)).astype(np.uint8) for p in range(4)],
+            axis=2,
+        )
+
+    def test_roundtrip_near_lossless(self):
+        from convert_spark.kernels import jpeg
+
+        px = self._px()
+        for tf in (0, 2):
+            out = jpeg.decode_baseline(jpeg.encode_baseline(px, quality=95, adobe_transform=tf))
+            assert out.shape == px.shape
+            assert np.abs(out.astype(int) - px.astype(int)).max() <= 8
+
+    def test_twin_bit_identical(self):
+        import media_reference_impl as mref
+
+        from convert_spark.kernels import jpeg
+
+        px = self._px()
+        for tf in (0, 2):
+            for prog in (False, True):
+                data = jpeg.encode_baseline(
+                    px, quality=85, adobe_transform=tf, progressive=prog,
+                    sa_levels=1 if prog else 0, restart_interval=0 if prog else 3,
+                )
+                prod = jpeg.decode_baseline(data)
+                twin = np.array(
+                    [[list(c) for c in row] for row in mref.jpeg_pixels(data)], dtype=np.uint8
+                )
+                assert np.array_equal(prod, twin), (tf, prog)
+
+    def test_no_adobe_marker_is_plain_cmyk(self):
+        from convert_spark.kernels import jpeg
+
+        px = self._px()
+        data = jpeg.encode_baseline(px, quality=95, adobe_transform=0)
+        # strip the APP14 segment: 4-component without a marker decodes
+        # NON-inverted per the libjpeg convention
+        assert data[2:4] == b"\xff\xee"
+        ln = int.from_bytes(data[4:6], "big")
+        stripped = data[:2] + data[4 + ln:]
+        inv = jpeg.decode_baseline(stripped)
+        normal = jpeg.decode_baseline(data)
+        assert np.array_equal(255 - inv, normal)
+
+    def test_declared_boundaries(self):
+        from convert_spark.kernels import jpeg
+
+        px = self._px()
+        with pytest.raises(NotImplementedError, match="adobe_transform"):
+            jpeg.encode_baseline(px)  # 4 channels need a transform
+        with pytest.raises(NotImplementedError, match="subsampling"):
+            jpeg.encode_baseline(px, adobe_transform=2, subsample=True)
+        # transform=1 on a 4-component stream is malformed -> declared
+        data = bytearray(jpeg.encode_baseline(px, quality=90, adobe_transform=2))
+        ln = int.from_bytes(data[4:6], "big")
+        data[4 + ln - 1] = 1  # overwrite the APP14 transform byte
+        with pytest.raises(NotImplementedError, match="transform 1"):
+            jpeg.decode_baseline(bytes(data))
+
+    def test_resize_preserves_transform_and_ink(self):
+        from convert_spark import mediagen
+        from convert_spark.kernels import jpeg
+
+        for seed, tf in ((16, 0), (17, 2)):
+            payload = mediagen.payload_for(seed)
+            out = multimodal.resize_real(payload, 9, 7)
+            assert multimodal._jpeg_adobe_transform(out) == tf
+            resized = jpeg.decode_baseline(out)
+            assert resized.shape[2] == 4
+            src = jpeg.decode_baseline(payload)
+            # nearest-neighbor of the decoded ink, re-encoded lossily:
+            # channel means should stay close
+            assert abs(float(resized.mean()) - float(src.mean())) < 24.0

@@ -83,7 +83,8 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
     from convert_spark import mediagen
     from convert_spark.operators import multimodal
 
-    fam_fmt = {"png": range(0, 10), "jpeg": range(10, 14), "wav": range(14, 16)}
+    fam_fmt = {"png": range(0, 10), "jpeg": range(10, 14), "wav": range(14, 16),
+               "cmyk_jpeg": range(16, 18)}
     out: dict[str, dict[str, float]] = {}
     for fam, fmts in fam_fmt.items():
         payloads = []
@@ -124,9 +125,18 @@ def skew_stress(spark) -> dict:
       the regime where the runtime CANNOT re-plan (bucketed co-located
       joins have no exchange for AQE to split — the tile_pipeline_job's
       zero-Exchange path — plus any AQE-off deployment), showing the
-      raw ~3x skew penalty; (c) salted under the same constraint —
-      salting must stand in for AQE there, and the (c)/(b) ratio is the
-      claim under test (<= ~0.5).
+      raw skew penalty; (c) salted under the same constraint —
+      salting must stand in for AQE there. The (c)/(b) WALL ratio is
+      HOST-DEPENDENT: on a slow/steal-heavy VM the hot task spills and
+      salting wins big (0.18 on the round-5 host); on a fast host the
+      hot partition streams from page cache and the ratio sits near 1.0
+      (round-6 host) because TOTAL work, not the hot task, is the wall
+      at this 8M-row shape. The VM-INVARIANT evidence — the same metric
+      the LSH section uses — is the per-reducer ROW BOUND
+      (`tile_join_max_reducer_rows_*`): unsalted, one reducer owns the
+      whole ~2.4M-row hot cell (at 100 TB, a single task sorting a
+      multi-TB key); salted, the bound drops ~n_salt-fold. Both walls
+      and bounds are reported.
     * LSH hot bucket (REDUCER BOUND): one dense cluster pins every band
       bucket. On this local corpus the query side is tiny enough that
       Catalyst broadcast-joins it and no wall skew exists to remove —
@@ -192,6 +202,14 @@ def skew_stress(spark) -> dict:
         out["tile_join_salted_ratio"] = round(
             out["tile_join_salted_noskewsplit_sec"] / out["tile_join_unsalted_noskewsplit_sec"], 3
         )
+    # VM-invariant skew evidence: max rows landing on ONE reducer key
+    out["tile_join_max_reducer_rows_unsalted"] = int(
+        pts.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    out["tile_join_max_reducer_rows_salted"] = int(
+        pts.withColumn("salt", F.pmod(F.xxhash64("pt_id"), F.lit(16)))
+        .groupBy("cell_id", "salt").count().agg(F.max("count")).collect()[0][0]
+    )
 
     rng = np.random.RandomState(11)
     base = rng.normal(size=64)
@@ -225,6 +243,65 @@ def skew_stress(spark) -> dict:
     out["lsh_hot_capped_sec"] = wall(
         ann.ann_lsh_topk(q, r, k=5, bands=4, bits_per_band=6, bucket_cap=64)
     )
+
+    # kNN ring join under a hot QUERY cell (round-5 VERDICT item 6): 30%
+    # of queries land in ONE zoom-8 cell, so every probe row of that
+    # cell's ring hits the same few join keys. Same 3-way protocol as
+    # the tile join — and the honest result is the OPPOSITE of the tile
+    # join's: salting the ring join is a measured net pessimization
+    # (ratio > 1 at every tested shape, incl. 90%-hot and dense
+    # co-location sweeps) because the ranking window repartitions by
+    # query id right after the join, so the expensive stage rebalances
+    # itself and n_salt's ref-replication shuffle is pure added cost.
+    # knn_join therefore DEFAULTS to n_salt=0 (AQE + window rebalance),
+    # and this section is the evidence for that default. Per-round
+    # straggler counts come from round_stats (materialized anyway to
+    # drive the loop).
+    n_refs, n_queries, hot_frac = 1_000_000, 200_000, 3
+    refs_g = spark.range(n_refs).select(
+        F.col("id").alias("ref_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(120_000)) / F.lit(1000.0) - 60.0).alias("lat"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(340_000)) / F.lit(1000.0) - 170.0).alias("lon"),
+    )
+    hot = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10)) < hot_frac
+    qs_g = spark.range(n_queries).select(
+        F.col("id").alias("query_id"),
+        F.when(hot, F.lit(10.0) + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(500)) / 10000.0)
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(120_000)) / F.lit(1000.0) - 60.0)
+        .alias("lat"),
+        F.when(hot, F.lit(20.0) + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(500)) / 10000.0)
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(6)), F.lit(340_000)) / F.lit(1000.0) - 170.0)
+        .alias("lon"),
+    )
+    knn_kw = dict(k=5, zoom=8, ring=1, max_ring=4)
+
+    def knn_wall(**kw) -> float:
+        # knn_join drives its rounds EAGERLY (localCheckpoint + straggler
+        # counts), so the timer must wrap the call, not just the write
+        t0 = time.time()
+        joins.knn_join(qs_g, refs_g, **knn_kw, **kw).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    knn_wall()  # FULL-SIZE warm: codegen + worker pools + page cache
+    out["knn_hot_unsalted_aqe_sec"] = knn_wall()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        out["knn_hot_unsalted_noskewsplit_sec"] = knn_wall()
+        out["knn_hot_salted_noskewsplit_sec"] = knn_wall(n_salt=16)
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # doubling-schedule evidence: on a SPARSE ref table (~2 refs/cell)
+    # ring 1 strands real stragglers and the schedule widens them
+    # per-round; counts are materialized anyway to drive the loop
+    stats: list = []
+    refs_sparse = refs_g.filter(F.pmod(F.xxhash64("ref_id", F.lit(11)), F.lit(20)) == 0)
+    joins.knn_join(qs_g, refs_sparse, round_stats=stats, **knn_kw).write.format(
+        "noop").mode("overwrite").save()
+    out["knn_round_stragglers_sparse_refs"] = {str(ring): n for ring, n in stats}
+    if out["knn_hot_unsalted_noskewsplit_sec"] > 0:
+        out["knn_hot_salted_ratio"] = round(
+            out["knn_hot_salted_noskewsplit_sec"] / out["knn_hot_unsalted_noskewsplit_sec"], 3
+        )
     return out
 
 

@@ -190,11 +190,31 @@ def salted_tile_join(
     return salted_points.join(salted_tiles, keys + ["salt"], "inner").drop("salt")
 
 
-def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id: str) -> DataFrame:
+def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id: str,
+                     n_salt: int = 0) -> DataFrame:
     """Candidate pairs for one ring radius: queries explode into
     (2*ring+1)^2 ring cells (a broadcast of a tiny offsets table, no UDF)
     and equi-join refs on the ring cell — the cross product never
-    materializes, and the shuffle key is the cell id."""
+    materializes, and the shuffle key is the cell id.
+
+    ``n_salt`` > 0 salts the cell join key: queries take
+    ``salt = pmod(xxhash64(query_id), n_salt)`` (deterministic — random
+    salts re-salt differently under stage recomputation, cf.
+    salted_tile_join) and the slim ref side replicates n_salt times, so
+    a hot cell key spreads over n_salt reducers; every (query, ring-ref)
+    pair still appears exactly once because a query row carries exactly
+    one salt value.
+
+    MEASURED FINDING (bench.py skew_stress `knn_*` keys): at every
+    tested hot-cell shape — 30% and 90% of queries in one cell, and
+    dense co-location with 30% of refs in the same cell — salting is a
+    net pessimization (1.5-3x) for THIS operator, because the ranking
+    window repartitions by query id immediately after the join (the
+    expensive stage rebalances itself), the hot join partitions are
+    cheap stream-merge output, and AQE's skew split handles oversized
+    ones; the n_salt replication shuffle is pure added cost. It stays in
+    the API for the one regime measurement can't reach locally: a single
+    key whose join OUTPUT exceeds one task's spill budget with AQE off."""
     from ..functions import exprs
 
     n = 1 << zoom
@@ -212,6 +232,10 @@ def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id:
         # top-k ranks (cf. kernels.quadkey.k_ring)
         .dropDuplicates([query_id, "r_cell"])
     )
+    if n_salt > 0:
+        salts = q.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("__salt"))
+        qq = qq.withColumn("__salt", F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_salt)))
+        return qq.join(r.crossJoin(F.broadcast(salts)), ["r_cell", "__salt"], "inner").drop("__salt")
     return qq.join(r, "r_cell", "inner")
 
 
@@ -224,6 +248,8 @@ def knn_join(
     max_ring: int | None = None,
     query_id: str = "query_id",
     ref_id: str = "ref_id",
+    n_salt: int = 0,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """kNN join with cell-ring expansion and RING DOUBLING for stragglers
     (SURVEY.md §2.5; north_star "kNN-matched with cell-ring expansion").
@@ -282,7 +308,7 @@ def knn_join(
     rounds: list[DataFrame] = []
     cur = ring
     while True:
-        cand = _ring_candidates(remaining, r, cur, zoom, query_id)
+        cand = _ring_candidates(remaining, r, cur, zoom, query_id, n_salt=n_salt)
         if cur >= max_ring:
             rounds.append(ranked_topk(cand))  # last round: rank whatever exists
             break
@@ -323,7 +349,10 @@ def knn_join(
         # candidate join AND the count below would each re-execute the
         # full upstream queries lineage plus the growing anti-join chain
         remaining = remaining.join(sat, query_id, "left_anti").localCheckpoint(eager=True)
-        if remaining.count() == 0:  # trivial job over the checkpointed rows
+        n_stragglers = remaining.count()
+        if round_stats is not None:
+            round_stats.append((cur, n_stragglers))
+        if n_stragglers == 0:  # trivial job over the checkpointed rows
             break
         cur = min(cur * 2, max_ring)
     out = rounds[0]

@@ -1946,3 +1946,30 @@ class TestCmykJpeg:
             # nearest-neighbor of the decoded ink, re-encoded lossily:
             # channel means should stay close
             assert abs(float(resized.mean()) - float(src.mean())) < 24.0
+
+
+class TestKnnSalted:
+    """knn_join's n_salt option: identical results for any salt count
+    (the salt splits hot-cell probe rows across reducers; every
+    (query, ring-ref) pair still occurs exactly once), and round_stats
+    reports the straggler schedule without extra jobs."""
+
+    def test_salted_identical_and_round_stats(self, spark):
+        from convert_spark.operators import joins
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        refs = pd.DataFrame({"ref_id": range(3000), "lat": rng.uniform(-60, 60, 3000),
+                             "lon": rng.uniform(-170, 170, 3000)})
+        qs = pd.DataFrame({"query_id": range(400), "lat": rng.uniform(-60, 60, 400),
+                           "lon": rng.uniform(-170, 170, 400)})
+        qs.loc[:120, "lat"] = 10.0 + rng.uniform(0, 0.05, 121)  # hot cell (30%)
+        qs.loc[:120, "lon"] = 20.0 + rng.uniform(0, 0.05, 121)
+        q, r = spark.createDataFrame(qs), spark.createDataFrame(refs)
+        base = (joins.knn_join(q, r, k=5, zoom=6, ring=1, max_ring=4)
+                .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+        stats: list = []
+        salted = (joins.knn_join(q, r, k=5, zoom=6, ring=1, max_ring=4, n_salt=8,
+                                 round_stats=stats)
+                  .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(base, salted)
+        assert stats and stats[0][0] == 1 and stats[-1][1] == 0

@@ -1462,6 +1462,74 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 
+def q_getelev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/S5 GetElev on the gate (convert.go:1233-1254): the lineitem
+    point cloud sampled against the deterministic synthetic DEM
+    (FIXTURES.md §5, kernels/dem.py) through the production pandas-UDF
+    path (udfs.elev_3857_or_zero) twice — z_deg at the original degree
+    coordinates (CRS inference passes degrees through: the reference's
+    pre-projection sampling site, convert.go:1213) and z_merc through
+    the full 3857 round trip (cm-rounded projection, 1e-4-rounded
+    inverse, convert.go:1257-1282). The NaN->0.0 fill branch
+    (convert.go:1214-1216) is outside this corpus' coordinate range and
+    stays pinned by TestDEM. Oracle: the bilinear interpolation
+    restated in closed form in SQL (grid value g(i,j) is an exact
+    formula, no raster needed). Both sides round to 6 decimals: the
+    engine's grid comes from numpy's vectorized sin/cos, DuckDB
+    evaluates scalar libm — 1-ulp parity is not guaranteed, 1e-6 is."""
+    from .functions import udfs
+
+    pts = _points(spark, sf_dir)
+    x = exprs.to3857_x(F.col("lon"), F.col("lat"))
+    y = exprs.to3857_y(F.col("lon"), F.col("lat"))
+    return pts.select(
+        "rowid",
+        F.round(udfs.elev_3857_or_zero(F.col("lon"), F.col("lat")), 6).alias("z_deg"),
+        F.round(udfs.elev_3857_or_zero(x, y), 6).alias("z_merc"),
+    )
+
+
+def _sql_bilinear(lat: str, lon: str) -> str:
+    """DEM bilinear sample restated in SQL (kernels/dem.py grid spec:
+    0.25-degree global grid, g(i,j) = 500 + 300*sin(lat_i/10)*cos(lon_j/10);
+    int truncation == floor for the in-range, non-negative fi/fj here)."""
+    fi = f"((({lat}) + 90.0) / 0.25)"
+    fj = f"((({lon}) + 180.0) / 0.25)"
+    i0 = f"least(cast(floor({fi}) as bigint), 719)"
+    j0 = f"least(cast(floor({fj}) as bigint), 1439)"
+    di = f"({fi} - {i0})"
+    dj = f"({fj} - {j0})"
+
+    def g(i: str, j: str) -> str:
+        return (f"(500.0 + 300.0 * sin((-90.0 + 0.25 * ({i})) / 10.0)"
+                f" * cos((-180.0 + 0.25 * ({j})) / 10.0))")
+
+    return (
+        f"({g(i0, j0)} * (1.0 - {di}) * (1.0 - {dj})"
+        f" + {g(f'{i0} + 1', j0)} * {di} * (1.0 - {dj})"
+        f" + {g(i0, f'{j0} + 1')} * (1.0 - {di}) * {dj}"
+        f" + {g(f'{i0} + 1', f'{j0} + 1')} * {di} * {dj})"
+    )
+
+
+def _sql_getelev() -> str:
+    mx = exprs.sql_to3857_x("lon", "lat")
+    my = exprs.sql_to3857_y("lon", "lat")
+    return f"""
+with pts as ({_PTS_SQL}),
+rt as (
+  select rowid, lat, lon,
+         {exprs.sql_to4326_lat('mx', 'my')} as mlat,
+         {exprs.sql_to4326_lon('mx', 'my')} as mlon
+  from (select rowid, lat, lon, {mx} as mx, {my} as my from pts)
+)
+select rowid,
+       round({_sql_bilinear('lat', 'lon')}, 6) as z_deg,
+       round({_sql_bilinear('mlat', 'mlon')}, 6) as z_merc
+from rt
+"""
+
+
 def q_media_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video/audio CONTAINER metadata under the hash gate: genuine
     MP4 (ISO-BMFF boxes incl. 64-bit largesize + v1 mdhd) and Ogg
@@ -1943,6 +2011,112 @@ def q_gpx_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kml_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 KML corpus on the gate (convert.go:305-385): binaryFile scan ->
+    lenient ElementTree parse -> the Go-struct FIXED-PATH binding:
+    Document > FIRST Folder only, per placemark one direct-child Point,
+    the first MultiGeometry>LineString and the first MultiGeometry>
+    Polygon>outerBoundaryIs ring; bare LineStrings, decoy folders,
+    second LineStrings and inner rings are ignored; SimpleData
+    attributes in canonical form; malformed XML isolated. 2D
+    coordinates carry z=NaN in the parser's rows, which the Arrow UDF
+    transfer surfaces as NULL in the array<double> column — normalized
+    to 0.0 here (coalesce+nanvl covers both encodings) for the
+    cross-engine hash; the padding itself is pinned by goldens/pytest.
+    Oracle: RE2 regex slicing over the
+    format-regular fixture corpus (independent of any XML parser)."""
+    from .sources import corpus
+    from .sources.xmlgeo import features_from_kml
+
+    docs = corpus.read_document_dir(spark, str(_FIXTURE_DIR / "kml"), "kml")
+    f = features_from_kml(docs)
+    v0 = F.get("verts", 0)
+    vl = F.try_element_at("verts", F.lit(-1))
+    return f.select(
+        "dataset_id",
+        "feature_idx",
+        "geom_kind",
+        F.size("verts").cast("int").alias("n_verts"),
+        F.get(v0, 0).alias("lon0"),
+        F.get(v0, 1).alias("lat0"),
+        F.coalesce(F.nanvl(F.get(v0, 2), F.lit(0.0)), F.lit(0.0)).alias("ele0"),
+        F.get(vl, 0).alias("lonl"),
+        F.get(vl, 1).alias("latl"),
+        F.coalesce(F.nanvl(F.get(vl, 2), F.lit(0.0)), F.lit(0.0)).alias("elel"),
+        "name",
+        _canon_attrs().alias("attrs"),
+    )
+
+
+def _sql_kml_datasets() -> str:
+    kd = _FIXTURE_DIR / "kml"
+    tok = "string_split_regex(trim({t}), '\\s+')"
+    part = "string_split({v}, ',')"
+    return f"""
+with docs as (
+  select regexp_extract(filename, '([^/]+)\\.kml$', 1) as dataset_id, content
+  from read_text('{kd}/*.kml')
+  -- production isolates the malformed-XML document; encoded by exclusion
+  where filename not like '%malformed%'
+),
+folder1 as (  -- Document > FIRST Folder only (decoys sliced away)
+  select dataset_id,
+         string_split(string_split(content, '<Folder>')[2], '</Folder>')[1] as folder
+  from docs where content like '%<Folder>%'
+),
+pms as (
+  select dataset_id, cast(i as int) as pm_ord,
+         string_split(lst[cast(i as int)], '</Placemark>')[1] as b
+  from (select dataset_id, string_split(folder, '<Placemark>')[2:] as lst from folder1),
+       unnest(range(1, cast(len(lst) + 1 as bigint))) as t(i)
+),
+geo as (
+  select dataset_id, pm_ord,
+    nullif(regexp_extract(b, '<name>([^<]*)</name>', 1), '') as name,
+    nullif(array_to_string(list_sort(list_transform(
+      regexp_extract_all(b, '<SimpleData name="[^"]*">[^<]*</SimpleData>'),
+      x -> regexp_extract(x, 'name="([^"]*)"', 1) || '=' || regexp_extract(x, '>([^<]*)<', 1)
+    )), '|'), '') as attrs,
+    regexp_extract(b, '(?s)<Point><coordinates>([^<]*)</coordinates>', 1) as pt_txt,
+    regexp_extract(regexp_extract(b, '(?s)<MultiGeometry>(.*?)</MultiGeometry>', 1),
+                   '(?s)<LineString><coordinates>([^<]*)', 1) as ln_txt,
+    regexp_extract(regexp_extract(b, '(?s)<MultiGeometry>(.*?)</MultiGeometry>', 1),
+                   '(?s)<outerBoundaryIs>.*?<coordinates>([^<]*)', 1) as pg_txt
+  from pms
+),
+feats as (
+  select dataset_id, pm_ord, kind_ord, geom_kind, toks, name, attrs from (
+    select dataset_id, pm_ord, 0 as kind_ord, 'point' as geom_kind,
+           ({tok.format(t='pt_txt')})[1:1] as toks, name, attrs
+    from geo where pt_txt <> ''
+    union all
+    select dataset_id, pm_ord, 1, 'line', {tok.format(t='ln_txt')}, name, attrs
+    from geo where ln_txt <> ''
+    union all
+    select dataset_id, pm_ord, 2, 'polygon', {tok.format(t='pg_txt')}, name, attrs
+    from geo where pg_txt <> ''
+  )
+),
+verts as (
+  select dataset_id, pm_ord, kind_ord, geom_kind, name, attrs,
+         cast(len(toks) as int) as n_verts,
+         {part.format(v='toks[1]')} as p0,
+         {part.format(v='toks[len(toks)]')} as pl
+  from feats
+)
+select dataset_id,
+  cast(row_number() over (partition by dataset_id order by pm_ord, kind_ord) - 1 as bigint)
+    as feature_idx,
+  geom_kind, n_verts,
+  cast(p0[1] as double) as lon0, cast(p0[2] as double) as lat0,
+  cast(coalesce(p0[3], '0') as double) as ele0,
+  cast(pl[1] as double) as lonl, cast(pl[2] as double) as latl,
+  cast(coalesce(pl[3], '0') as double) as elel,
+  name, attrs
+from verts
+"""
+
+
 def _sql_gpx_datasets() -> str:
     gd = _FIXTURE_DIR / "gpx"
     ele = "cast(coalesce(nullif(regexp_extract({b}, '<ele>([^<]*)</ele>', 1), ''), '0') as double)"
@@ -2167,6 +2341,8 @@ QUERIES = {
     "q_csv_datasets": q_csv_datasets,
     "q_geojson_datasets": q_geojson_datasets,
     "q_gpx_datasets": q_gpx_datasets,
+    "q_kml_datasets": q_kml_datasets,
+    "q_getelev": q_getelev,
     "q_mesh_drape": q_mesh_drape,
 }
 
@@ -2219,6 +2395,8 @@ def oracles() -> dict[str, str]:
         "q_csv_datasets": _sql_csv_datasets(),
         "q_geojson_datasets": _sql_geojson_datasets(),
         "q_gpx_datasets": _sql_gpx_datasets(),
+        "q_kml_datasets": _sql_kml_datasets(),
+        "q_getelev": _sql_getelev(),
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b, LSH/IVF candidate
         # generation). The driver's DuckDB connection can't register Python

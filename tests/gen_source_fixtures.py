@@ -34,6 +34,16 @@ Corpus design notes (each case maps to a SURVEY §2 component):
             OGR <extensions> attributes, one malformed-XML file isolated.
             Exactly one <trk> and at most one <rte> per file so the
             DuckDB regex oracle can group points without XML parsing.
+* kml/      S3 (convert.go:305-385 Go-struct fixed-path binding):
+            Document > FIRST Folder only (a decoy second folder is
+            ignored), per placemark one direct-child Point, the first
+            MultiGeometry > LineString (a second LineString is
+            ignored) and the first MultiGeometry > Polygon >
+            outerBoundaryIs ring (innerBoundaryIs ignored); bare
+            LineStrings outside MultiGeometry ignored; SimpleData
+            attributes; 2D coordinates (z -> NaN, normalized to 0.0 on
+            the gate); one malformed file isolated. Format-regular so
+            the DuckDB oracle can slice with RE2 regex.
 """
 
 from __future__ import annotations
@@ -188,12 +198,87 @@ def _gpx(d: Path) -> None:
     (d / "t3_malformed.gpx").write_text("<gpx><trk><trkseg><trkpt lat='1'")
 
 
+def _kml(d: Path) -> None:
+    rng = random.Random(67)
+
+    def coords(n: int, z: bool = True) -> str:
+        return " ".join(
+            f"{rng.uniform(-180, 180):.6f},{rng.uniform(-85, 85):.6f}"
+            + (f",{rng.uniform(0, 500):.2f}" if z else "")
+            for _ in range(n)
+        )
+
+    def sd(**kv) -> str:
+        if not kv:
+            return ""
+        inner = "".join(f'<SimpleData name="{k}">{v}</SimpleData>' for k, v in kv.items())
+        return f"<ExtendedData><SchemaData>{inner}</SchemaData></ExtendedData>"
+
+    def pm(body: str, name: str | None = None, **attrs) -> str:
+        nm = f"<name>{name}</name>" if name else ""
+        return f"<Placemark>{nm}{sd(**attrs)}{body}</Placemark>"
+
+    def point(z: bool = True) -> str:
+        return f"<Point><coordinates>{coords(1, z)}</coordinates></Point>"
+
+    def line(n: int, z: bool = True) -> str:
+        return f"<LineString><coordinates>{coords(n, z)}</coordinates></LineString>"
+
+    def poly(n: int, inner: bool = False) -> str:
+        extra = (
+            "<innerBoundaryIs><LinearRing><coordinates>" + coords(3, False)
+            + "</coordinates></LinearRing></innerBoundaryIs>" if inner else ""
+        )
+        return (
+            "<Polygon><outerBoundaryIs><LinearRing><coordinates>" + coords(n, False)
+            + "</coordinates></LinearRing></outerBoundaryIs>" + extra + "</Polygon>"
+        )
+
+    def doc(folders: str) -> str:
+        return ('<?xml version="1.0"?><kml xmlns="http://www.opengis.net/kml/2.2">'
+                f"<Document>{folders}</Document></kml>")
+
+    k0 = doc(
+        "<Folder><name>sites</name>"
+        + pm(point(True), name="alpha", kind="well", depth="12")
+        + pm(point(False), name="beta")
+        + pm(point(True), zone="7")
+        + "</Folder>"
+    )
+    # first folder: multigeometry shapes (second LineString + inner ring
+    # ignored); DECOY second folder must not bind
+    k1 = doc(
+        "<Folder><name>paths</name>"
+        + pm("<MultiGeometry>" + line(4) + line(3) + poly(5, inner=True) + "</MultiGeometry>",
+             name="ridge", grade="steep")
+        + pm(point(True) + "<MultiGeometry>" + line(3, False) + "</MultiGeometry>", name="spur")
+        + "</Folder><Folder><name>decoy</name>"
+        + pm(point(True), name="ghost")
+        + "</Folder>"
+    )
+    # bare LineString outside MultiGeometry ignored; attr-less point kept
+    k2 = doc(
+        "<Folder><name>odds</name>"
+        + pm(line(5), name="ignored-bare-line")
+        + pm(point(True))
+        + "</Folder>"
+    )
+    # Document-level placemark, no Folder at all -> zero features
+    k4 = doc(pm(point(True), name="orphan"))
+    (d / "k0_points.kml").write_text(k0)
+    (d / "k1_multi.kml").write_text(k1)
+    (d / "k2_odds.kml").write_text(k2)
+    (d / "k3_malformed.kml").write_text("<kml><Document><Folder><Placemark><Point></kml>")
+    (d / "k4_nofolder.kml").write_text(k4)
+
+
 def main() -> None:
     for name, fn in (
         ("csv_xy", _csv_xy),
         ("csv_yx", _csv_yx),
         ("geojson", _geojson),
         ("gpx", _gpx),
+        ("kml", _kml),
     ):
         d = OUT / name
         d.mkdir(parents=True, exist_ok=True)

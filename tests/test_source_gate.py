@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from oracle_harness import value_hash  # noqa: E402
 
 FIXDIR = Path(__file__).resolve().parent / "fixtures" / "sources"
-GATED = ["q_csv_datasets", "q_geojson_datasets", "q_gpx_datasets"]
+GATED = ["q_csv_datasets", "q_geojson_datasets", "q_gpx_datasets", "q_kml_datasets"]
 
 
 class TestSourceFixtures:
@@ -58,6 +58,9 @@ class TestSourceGate:
         assert set(geo.dataset_id) == {"g0_points", "g1_lines", "g2_polys"}
         gpx = Q.q_gpx_datasets(spark, "").toPandas()
         assert set(gpx.dataset_id) == {"t0_mixed", "t1_track", "t2_wpt_ext"}
+        kml = Q.q_kml_datasets(spark, "").toPandas()
+        # malformed isolated AND the folder-less document yields nothing
+        assert set(kml.dataset_id) == {"k0_points", "k1_multi", "k2_odds"}
 
     def test_gate_cases_present(self, spark):
         """The corpus really exercises the claimed components: the
@@ -84,3 +87,14 @@ class TestSourceGate:
         assert (gpx.ele0 == 0.0).any() or (gpx.elel == 0.0).any()  # missing <ele> -> 0.0
         ext = gpx[gpx.dataset_id == "t2_wpt_ext"]
         assert list(ext["attrs"]) == ["cnt=5|owner=parks"]  # (.attrs is pandas metadata)
+
+        kml = Q.q_kml_datasets(spark, "").toPandas()
+        k1 = kml[kml.dataset_id == "k1_multi"].sort_values("feature_idx")
+        # fixed-path binding: first LineString (4 verts, not the ignored
+        # 3-vert second one), outer ring only, decoy folder absent
+        assert list(k1.geom_kind) == ["line", "polygon", "point", "line"]
+        assert list(k1.n_verts) == [4, 5, 1, 3]
+        assert "ghost" not in set(kml.name.dropna())
+        k2 = kml[kml.dataset_id == "k2_odds"]
+        assert list(k2.geom_kind) == ["point"]  # bare LineString ignored
+        assert (kml[kml.geom_kind == "polygon"].ele0 == 0.0).all()  # 2D -> 0.0 on gate

@@ -8,7 +8,9 @@ a genuine PNG (the from-scratch writer below — every IHDR shape the spec
 allows, including sub-byte depths, palette, 16-bit and Adam7 interlace,
 with seeded filter types 0-4), a genuine JPEG (kernels/jpeg.py encoder —
 sequential 4:4:4 / 4:2:0 / grayscale / restart markers / progressive),
-or a genuine WAV (stdlib ``wave``; 8-bit mono / 16-bit stereo PCM).
+or a genuine WAV (stdlib ``wave``; 8-bit mono / 16-bit stereo PCM, plus
+hand-assembled RIFF for ITU-T G.711 mu-law/A-law — format tags 7/6 —
+which ``wave`` cannot write).
 
 The generator is SHARED INPUT between the Spark query and the KAT twin
 (tests/media_reference_impl.py): what's under test is the DECODE path,
@@ -30,7 +32,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 18
+N_FORMATS = 20
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -157,8 +159,11 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 18``: ten PNG IHDR shapes, four JPEG scan
-    shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes."""
+    class cycles ``seed % 20``: ten PNG IHDR shapes, four JPEG scan
+    shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
+    G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
+    value is a valid G.711 code, so the compressed stream is drawn
+    directly from the seeded rng)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
@@ -199,6 +204,16 @@ def payload_for(seed: int) -> bytes:
             return jpeg.encode_baseline(px, quality=75, subsample=True, restart_interval=2)
         # progressive WITH successive approximation (the hardest scan shape)
         return jpeg.encode_baseline(px, quality=85, progressive=True, sa_levels=1)
+    if fmt >= 18:  # G.711 WAV (mu-law / A-law)
+        from .operators.multimodal import encode_g711_wav
+
+        n_frames = int(rng.integers(64, 400))
+        rate = int(rng.integers(4, 9)) * 1000
+        if fmt == 18:  # mu-law mono
+            comp = rng.integers(0, 256, size=n_frames).astype(np.uint8)
+            return encode_g711_wav(7, 1, rate, comp.tobytes())
+        comp = rng.integers(0, 256, size=(n_frames, 2)).astype(np.uint8)  # A-law stereo
+        return encode_g711_wav(6, 2, rate, comp.tobytes())
     if fmt >= 16:  # Adobe CMYK family (4-component JPEG)
         from .kernels import jpeg
 

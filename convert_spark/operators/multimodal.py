@@ -14,8 +14,10 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   height = sample rate); PIXELS for non-interlaced PNG at bit depth 8
   and 16 plus 8-bit palette (zlib inflate of IDAT + scanline unfilter +
   PLTE lookup, feeding real channel statistics into
-  ``extract_features``); PCM SAMPLES for 8/16-bit WAV (statistics +
-  fixed-stride frame windows in ``sample_frames``); JPEG PIXELS via the
+  ``extract_features``); PCM SAMPLES for 8/16-bit WAV and G.711
+  mu-law/A-law WAV (fmt tags 7/6, expanded to linear int16 via the
+  ITU-T G.711 lookup tables — statistics + fixed-stride frame windows
+  in ``sample_frames``); JPEG PIXELS via the
   from-scratch codec (kernels/jpeg.py — huffman + dequant + IDCT +
   YCbCr, any sampling factors, restart intervals, multi-scan
   sequential AND progressive with successive approximation);
@@ -23,9 +25,10 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   METADATA for MP4 (ISO-BMFF box walk: per-track codec/dims/channels/
   sample-rate/duration) and Ogg (CRC-checked pages, Vorbis/Opus ident
   headers) via ``container_tracks`` / ``media_containers``. Everything
-  past that — FRAME decode of video and non-PCM audio, arithmetic-coded
-  JPEG — needs a full codec (Pillow/ffmpeg/pyav) and raises the one
-  declared NotImplementedError.
+  past that — FRAME decode of video and of compressed audio beyond
+  G.711 (MP3/AAC/Vorbis...), arithmetic-coded JPEG — needs a full
+  codec (Pillow/ffmpeg/pyav) and raises the one declared
+  NotImplementedError.
 """
 
 from __future__ import annotations
@@ -105,13 +108,89 @@ def _decode_jpeg(data: bytes) -> tuple[str, int, int, int]:
     raise NotImplementedError("malformed JPEG: no SOF marker found")
 
 
-def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
-    import wave
+def _wav_chunks(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """RIFF/WAVE chunk walk: (audio_format, n_channels, sample_rate,
+    bits_per_sample, data_bytes). Stdlib ``wave`` refuses every fmt tag
+    but 1 (PCM), so the G.711 path (tags 7 mu-law / 6 A-law) parses the
+    container directly per the RIFF spec (word-aligned chunks)."""
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise NotImplementedError("malformed WAV payload: bad RIFF header")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or pcm is None or len(fmt) < 16:
+        raise NotImplementedError("malformed WAV payload: missing fmt/data chunk")
+    audio_fmt, nch, rate = struct.unpack("<HHI", fmt[0:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if nch < 1:
+        raise NotImplementedError("malformed WAV payload: zero channels")
+    return audio_fmt, nch, rate, bits, pcm
 
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        # audio mapping onto the image-shaped schema (documented):
-        # width = frames per channel, height = sample rate
-        return "wav", wf.getnframes(), wf.getframerate(), wf.getnchannels()
+
+def encode_g711_wav(fmt_tag: int, nch: int, rate: int, comp: bytes) -> bytes:
+    """Hand-assembled RIFF/WAVE around G.711 compressed bytes (stdlib
+    ``wave`` writes only format-1 PCM): fmt chunk with audio format 7
+    (mu-law) or 6 (A-law), 8 bits/sample, plus the cbSize=0 extension
+    word the WAVE spec requires for non-PCM formats."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    fmt = struct.pack("<HHIIHHH", fmt_tag, nch, rate, rate * nch, nch, 8, 0)
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", comp)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_G711_TABLES: dict[int, np.ndarray] = {}
+
+
+def _g711_table(audio_fmt: int) -> np.ndarray:
+    """256-entry G.711 code -> linear int16 lookup (ITU-T G.711 /
+    WAVE fmt tags 7 mu-law, 6 A-law), built once with vectorized bit
+    arithmetic; per-payload decode is then one fancy-index. Mu-law:
+    complement, 3-bit segment shift over a 0x84-biased mantissa, sign
+    in the complemented top bit. A-law: XOR 0x55, segment 0/1 special
+    cases, and — per the spec — a SET 0x80 bit means POSITIVE."""
+    t = _G711_TABLES.get(audio_fmt)
+    if t is None:
+        codes = np.arange(256, dtype=np.int32)
+        if audio_fmt == 7:  # mu-law
+            u = ~codes & 0xFF
+            mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+            t = np.where(u & 0x80, -mag, mag).astype(np.int16)
+        else:  # A-law
+            a = codes ^ 0x55
+            base = (a & 0x0F) << 4
+            seg = (a >> 4) & 7
+            mag = np.where(
+                seg == 0, base + 8,
+                np.where(seg == 1, base + 0x108,
+                         (base + 0x108) << np.maximum(seg - 1, 0)),
+            )
+            t = np.where(a & 0x80, mag, -mag).astype(np.int16)
+        _G711_TABLES[audio_fmt] = t
+    return t
+
+
+def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
+    audio_fmt, nch, rate, _, pcm = _wav_chunks(data)
+    if audio_fmt == 1:
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            # audio mapping onto the image-shaped schema (documented):
+            # width = frames per channel, height = sample rate
+            return "wav", wf.getnframes(), wf.getframerate(), wf.getnchannels()
+    if audio_fmt in (6, 7):  # G.711: one byte per sample
+        return "wav", len(pcm) // nch, rate, nch
+    raise NotImplementedError(f"WAV audio format {audio_fmt}: real codec territory")
 
 
 def decode_real(data: bytes) -> tuple[str, int, int, int]:
@@ -152,8 +231,9 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
 # Beyond the headers: PNG pixels via zlib-inflate of the IDAT stream +
 # per-scanline unfiltering (PNG spec filters 0-4, EVERY IHDR shape the
 # spec allows), JPEG pixels via the baseline codec in kernels/jpeg.py,
-# WAV PCM samples via wave.readframes. Progressive JPEG and video rasters
-# genuinely need a real codec and stay behind the declared
+# WAV PCM samples via wave.readframes (G.711 mu-law/A-law expanded by
+# the spec lookup tables). Video rasters and compressed audio beyond
+# G.711 genuinely need a real codec and stay behind the declared
 # NotImplementedError.
 
 
@@ -355,9 +435,15 @@ def _png_pixels(data: bytes) -> np.ndarray:
 
 
 def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode WAV PCM to a float64 (n_frames, n_channels) array in
-    [-1, 1] plus the sample rate. 16-bit and 8-bit PCM only (stdlib
-    ``wave`` can't parse float/24-bit WAV anyway)."""
+    """Decode WAV audio to a float64 (n_frames, n_channels) array in
+    [-1, 1] plus the sample rate. 16-bit and 8-bit PCM (stdlib ``wave``
+    can't parse float/24-bit WAV anyway) plus G.711 mu-law/A-law, which
+    expand to linear int16 via the spec lookup table."""
+    audio_fmt, nch, fr, _, pcm = _wav_chunks(data)
+    if audio_fmt in (6, 7):
+        lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
+        s = lin.astype(np.float64) / 32768.0
+        return s[: (len(s) // nch) * nch].reshape(-1, nch), fr
     import wave
 
     try:
@@ -381,8 +467,9 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     / truncated to ``dim``. PNG/JPEG stats are over pixels scaled to
     [0, 1] (JPEG via the from-scratch baseline codec, kernels/jpeg.py);
     WAV stats are over PCM samples with mean/min/max mapped from [-1, 1]
-    to [0, 1] (std is scale-only, kept as-is). Formats past that (video,
-    non-PCM audio, arithmetic-coded JPEG) need a real codec -> declared
+    to [0, 1] (std is scale-only, kept as-is; G.711 expands to linear
+    int16 first). Formats past that (video, compressed audio beyond
+    G.711, arithmetic-coded JPEG) need a real codec -> declared
     NotImplementedError."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         px = _png_pixels(data)
@@ -413,7 +500,12 @@ def _wav_ints(data: bytes) -> np.ndarray:
     """WAV PCM as RAW integer samples, (n_frames, n_channels): int16 for
     16-bit, uint8 (unsigned, midpoint 128) for 8-bit — the integer-exact
     twin of ``_wav_samples`` used by the stats stage so the oracle
-    comparison never touches floats."""
+    comparison never touches floats. G.711 payloads yield the expanded
+    linear int16 samples — the decode IS the expansion."""
+    audio_fmt, nch, _, _, pcm = _wav_chunks(data)
+    if audio_fmt in (6, 7):
+        lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
+        return lin[: (len(lin) // nch) * nch].reshape(-1, nch)
     import wave
 
     try:
@@ -589,6 +681,15 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 
+        audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
+        if audio_fmt in (6, 7):
+            # G.711 is one byte per sample, so nearest-neighbor frame
+            # selection works directly on the compressed stream — the
+            # resample re-encodes losslessly in the source format
+            n = len(g_pcm) // g_nch
+            frames = np.frombuffer(g_pcm[: n * g_nch], dtype=np.uint8).reshape(n, g_nch)
+            idx = (np.arange(tw, dtype=np.int64) * n) // max(tw, 1) if n else np.zeros(0, np.int64)
+            return encode_g711_wav(audio_fmt, g_nch, th, frames[idx].tobytes() if n else b"")
         try:
             with wave.open(io.BytesIO(data), "rb") as wf:
                 nch, sw, n = wf.getnchannels(), wf.getsampwidth(), wf.getnframes()
@@ -613,11 +714,24 @@ def frames_real(data: bytes, n_frames: int) -> list[str]:
     (split on frame boundaries: window i covers sample frames
     [i*n/n_frames, (i+1)*n/n_frames)), each identified by the first 16
     hex chars of the sha256 of its raw PCM bytes — the audio analogue of
-    video frame sampling. Video rasters need a real codec."""
+    video frame sampling. G.711 payloads hash windows of the DECODED
+    little-endian int16 stream (decode-then-window: the window id names
+    sample content, not wire bytes). Video rasters need a real codec."""
     import wave
 
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
         raise NotImplementedError("frame sampling: only WAV decodes without a real codec")
+    audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
+    if audio_fmt in (6, 7):
+        lin = _g711_table(audio_fmt)[np.frombuffer(g_pcm, dtype=np.uint8)]
+        raw = lin.astype("<i2").tobytes()
+        nch, sw, n = g_nch, 2, len(lin) // g_nch
+        frame_bytes = nch * sw
+        bounds = [i * n // n_frames for i in range(n_frames + 1)]
+        return [
+            hashlib.sha256(raw[bounds[i] * frame_bytes : bounds[i + 1] * frame_bytes]).hexdigest()[:16]
+            for i in range(n_frames)
+        ]
     try:
         with wave.open(io.BytesIO(data), "rb") as wf:
             nch, sw, n = wf.getnchannels(), wf.getsampwidth(), wf.getnframes()
@@ -682,9 +796,9 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16, det
     (``deterministic_fake=False``): per-channel pixel/sample statistics
     from the real decode (``features_real`` — PNG via zlib-inflated IDAT
     + unfilter, JPEG via the from-scratch kernels/jpeg.py codec
-    [sequential AND progressive], WAV via PCM frames); formats needing a
-    real codec (video, non-PCM audio) raise the declared
-    NotImplementedError."""
+    [sequential AND progressive], WAV via PCM frames incl. G.711);
+    formats needing a real codec (video, compressed audio beyond G.711)
+    raise the declared NotImplementedError."""
 
     def run(batches):
         for pdf in batches:

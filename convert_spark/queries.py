@@ -1406,10 +1406,10 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 18 mediagen format classes
+    seed = doc_id/2, cycling through all 20 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
-    two Adobe CMYK/YCCK JPEG shapes)
-    at every scale factor. ``fmts`` restricts to a set of format
+    two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
+    layouts) at every scale factor. ``fmts`` restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""
     from . import mediagen
@@ -1458,7 +1458,7 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk list manually (no stdlib wave) and hashes the same windows."""
     from .operators import multimodal
 
-    d = _media_real_input(spark, sf_dir, fmts=(14, 15))
+    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19))
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 

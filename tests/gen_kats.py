@@ -195,15 +195,16 @@ def kat_media_stats_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 
 def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
-    """WAV payloads (format classes 14/15) -> INDEPENDENT PCM window
-    hashes (manual RIFF walk, no stdlib wave)."""
+    """WAV payloads (PCM classes 14/15 + G.711 classes 18/19) ->
+    INDEPENDENT PCM window hashes (manual RIFF walk, no stdlib wave;
+    G.711 expanded per byte with scalar spec arithmetic)."""
     import media_reference_impl as mref
 
     from convert_spark import mediagen
 
     rows = []
     for doc_id in _media_ids(sf_dir):
-        if (doc_id // 2) % mediagen.N_FORMATS not in (14, 15):
+        if (doc_id // 2) % mediagen.N_FORMATS not in (14, 15, 18, 19):
             continue
         payload = mediagen.payload_for(doc_id // 2)
         for i, sha in enumerate(mref.wav_frame_windows(payload, 3)):

@@ -1,7 +1,8 @@
 """Independent scalar twin decoders for the real-media KAT oracles.
 
 Pure-Python, per-pixel/per-sample re-implementations of the PUBLIC
-specs — PNG (RFC 2083 / W3C), JPEG (ITU T.81), WAV (RIFF/PCM) —
+specs — PNG (RFC 2083 / W3C), JPEG (ITU T.81), WAV (RIFF/PCM +
+ITU-T G.711 mu-law/A-law) —
 structurally disjoint from the vectorized production kernels
 (convert_spark/operators/multimodal.py, convert_spark/kernels/jpeg.py):
 
@@ -12,13 +13,16 @@ structurally disjoint from the vectorized production kernels
   cursor, stores blocks as plain 64-lists and evaluates the IDCT with
   explicit u/v loops; production is a 32-bit accumulator reader and
   batched matrix IDCT.
-* WAV here parses the RIFF chunk list manually; production uses the
-  stdlib ``wave`` module.
+* WAV here parses the RIFF chunk list manually and expands G.711
+  codes one byte at a time with scalar if/else arithmetic; production
+  uses the stdlib ``wave`` module for PCM and a vectorized 256-entry
+  numpy lookup table for G.711.
 
 The twin covers exactly the payload corpus convert_spark.mediagen
 emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
 with both spectral selection and successive approximation; Adobe
-CMYK/YCCK 4-component JPEG; 8/16-bit PCM WAV). Everything else raises ValueError — the KAT builder should
+CMYK/YCCK 4-component JPEG; 8/16-bit PCM WAV; G.711 mu-law/A-law
+WAV). Everything else raises ValueError — the KAT builder should
 never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
@@ -635,7 +639,8 @@ def jpeg_header(data: bytes):
 
 def wav_parse(data: bytes):
     """Manual RIFF walk (no stdlib wave): returns (n_channels,
-    samp_width, rate, frames, pcm_bytes)."""
+    samp_width, rate, frames, pcm_bytes, audio_fmt). Accepts PCM
+    (fmt 1) and G.711 mu-law/A-law (fmt 7/6, one byte per sample)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("wav: bad RIFF header")
     pos = 12
@@ -654,15 +659,37 @@ def wav_parse(data: bytes):
         raise ValueError("wav: missing fmt/data chunk")
     audio_fmt, nch, rate = struct.unpack("<HHI", fmt[0:8])
     bits_per = struct.unpack("<H", fmt[14:16])[0]
-    if audio_fmt != 1:
-        raise ValueError("wav: non-PCM")
+    if audio_fmt not in (1, 6, 7):
+        raise ValueError("wav: unsupported audio format")
     sw = bits_per // 8
     frames = len(pcm) // (nch * sw)
-    return nch, sw, rate, frames, pcm
+    return nch, sw, rate, frames, pcm, audio_fmt
+
+
+def g711_expand(code: int, audio_fmt: int) -> int:
+    """One G.711 code byte -> linear int16, scalar if/else arithmetic
+    straight from ITU-T G.711 (deliberately not the production numpy
+    table build). Mu-law (fmt 7): complement, biased-mantissa segment
+    shift; A-law (fmt 6): XOR 0x55, segments 0/1 special-cased, and a
+    SET sign bit (0x80) means POSITIVE."""
+    if audio_fmt == 7:
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
 
 
 def wav_header(data: bytes):
-    nch, _, rate, frames, _ = wav_parse(data)
+    nch, _, rate, frames, _, _ = wav_parse(data)
     return "wav", frames, rate, nch
 
 
@@ -670,10 +697,15 @@ def wav_frame_windows(data: bytes, n_frames: int):
     """sha256[:16] of each of ``n_frames`` fixed-stride PCM windows
     (split on frame boundaries, window i covering sample frames
     [i*n/n_frames, (i+1)*n/n_frames)) — the twin of the engine's
-    frames_real, with the PCM bytes recovered by the manual RIFF walk."""
+    frames_real, with the PCM bytes recovered by the manual RIFF walk.
+    G.711 windows hash the DECODED little-endian int16 stream (sample
+    content, not wire bytes), mirroring the engine's convention."""
     import hashlib
 
-    nch, sw, _, n, pcm = wav_parse(data)
+    nch, sw, _, n, pcm, audio_fmt = wav_parse(data)
+    if audio_fmt in (6, 7):
+        pcm = b"".join(struct.pack("<h", g711_expand(b, audio_fmt)) for b in pcm)
+        sw = 2
     fb = nch * sw
     bounds = [i * n // n_frames for i in range(n_frames + 1)]
     return [
@@ -683,13 +715,16 @@ def wav_frame_windows(data: bytes, n_frames: int):
 
 
 def wav_samples(data: bytes):
-    """Per-channel raw integer sample lists (int16 signed / uint8)."""
-    nch, sw, _, frames, pcm = wav_parse(data)
+    """Per-channel raw integer sample lists (int16 signed / uint8;
+    G.711 expanded per byte to linear int16)."""
+    nch, sw, _, frames, pcm, audio_fmt = wav_parse(data)
     chans = [[] for _ in range(nch)]
     for f in range(frames):
         for c in range(nch):
             off = (f * nch + c) * sw
-            if sw == 2:
+            if audio_fmt in (6, 7):
+                v = g711_expand(pcm[off], audio_fmt)
+            elif sw == 2:
                 (v,) = struct.unpack_from("<h", pcm, off)
             elif sw == 1:
                 v = pcm[off]

@@ -1619,6 +1619,67 @@ class TestProgressiveJpeg:
             jpeg.decode_baseline(broken)
 
 
+class TestG711:
+    """ITU-T G.711 mu-law/A-law WAV decode (fmt tags 7/6): vectorized
+    table vs the scalar spec arithmetic in the test-side twin, plus
+    spec-pinned known values."""
+
+    def test_known_values_and_extremes(self):
+        from convert_spark.operators import multimodal
+
+        t7 = multimodal._g711_table(7)
+        t6 = multimodal._g711_table(6)
+        # mu-law: 0xFF is the zero code, 0x7F the negative-zero code
+        assert t7[0xFF] == 0 and t7[0x7F] == 0
+        # spec maxima: mu-law +/-32124 (codes 0x80 / 0x00)
+        assert t7[0x80] == 32124 and t7[0x00] == -32124
+        assert int(t7.max()) == 32124 and int(t7.min()) == -32124
+        # A-law: +/-32256 at codes 0xAA^0x55-family extremes; zero codes
+        assert int(t6.max()) == 32256 and int(t6.min()) == -32256
+        assert t6[0xD5] == 8 and t6[0x55] == -8  # smallest magnitudes
+
+    def test_table_matches_scalar_twin_all_codes(self):
+        import media_reference_impl as mref
+
+        from convert_spark.operators import multimodal
+
+        for fmt in (6, 7):
+            table = multimodal._g711_table(fmt)
+            for code in range(256):
+                assert int(table[code]) == mref.g711_expand(code, fmt), (fmt, code)
+
+    def test_g711_wav_decode_stats_frames_resize(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+        from convert_spark.operators import multimodal
+
+        for seed in (18, 19, 38, 39):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk == "wav"
+            assert [tuple(x) for x in es] == [tuple(x) for x in ts]
+            assert multimodal.frames_real(p, 3) == mref.wav_frame_windows(p, 3)
+            # lossless resize: G.711 bytes pass through unre-encoded, so
+            # resampling to the SAME frame count preserves every sample
+            _, w, _, nch = multimodal.decode_real(p)
+            rp = multimodal.resize_real(p, w, 12345)
+            assert multimodal.decode_real(rp) == ("wav", w, 12345, nch)
+            assert multimodal._wav_ints(rp).tolist() == multimodal._wav_ints(p).tolist()
+
+    def test_unknown_wav_format_declared(self):
+        from convert_spark.operators import multimodal
+
+        # IEEE-float WAV (fmt 3) stays declared codec territory
+        bad = multimodal.encode_g711_wav(3, 1, 8000, b"\x00" * 64)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_real(bad)
+        with pytest.raises(NotImplementedError):
+            multimodal.stats_real(bad)
+
+
 class TestMediagen:
     """Deterministic genuine-payload generator backing the real-media
     oracle queries (q_media_decode_real / q_media_stats_real)."""

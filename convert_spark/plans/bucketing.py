@@ -47,7 +47,18 @@ def cobucketed_join(
     right_table: str,
     on: tuple[str, ...] = ("cell_id",),
     how: str = "inner",
+    force_sortmerge: bool = False,
 ) -> DataFrame:
     """Join two identically-bucketed tables on their bucket keys — the
-    plan must contain no Exchange (the whole point; see tests)."""
-    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+    plan must contain no Exchange (the whole point; see tests).
+
+    ``force_sortmerge`` adds a MERGE join hint so the bucketed
+    SortMergeJoin shape is planned even when one side is small enough
+    for the session's auto-broadcast threshold — callers that assert
+    the zero-Exchange property want the shape, not whatever AQE deems
+    cheapest at test scale."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    if force_sortmerge:
+        left, right = left.hint("merge"), right.hint("merge")
+    return left.join(right, list(on), how)

@@ -340,6 +340,102 @@ group by 1
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 salted skew join on the gate: the SAME join as q_tile_join
+    (z7 here) routed through joins.salted_tile_join — points take a
+    deterministic xxhash64 salt, the dim replicates n_salt times, and
+    the join key becomes (zoom, tile_x, tile_y, salt) so a hot cell
+    spreads over n_salt reducers. Salting is semantics-preserving, so
+    the oracle is the PLAIN SQL join: any duplicated/lost row under
+    salt replication (the failure mode of a wrong salt-side fan-out)
+    breaks the hash. The skew-WALL evidence lives in bench.py's
+    skew_stress section; this row pins correctness of the rewrite."""
+    _load(spark, sf_dir, "lineitem", "customer")
+    pts = tiles.with_tile(spark.sql(_PTS_SQL), 7)
+    dim = (
+        tiles.with_tile(spark.sql(_QPTS_SQL), 7)
+        .select("zoom", "tile_x", "tile_y")
+        .distinct()
+        .withColumn("tag", F.pmod(F.col("tile_x") * 31 + F.col("tile_y"), F.lit(13)))
+    )
+    j = joins.salted_tile_join(
+        pts, dim, n_salt=8, on=["zoom", "tile_x", "tile_y"], salt_cols=["rowid"]
+    )
+    return j.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rowid").alias("n_rows"),
+    )
+
+
+SQL_SALTED_JOIN = f"""
+with pts as (
+  select l.rowid, {exprs.sql_tile_x('l.lon', 7)} as tile_x, {exprs.sql_tile_y('l.lat', 7)} as tile_y
+  from ({_PTS_SQL}) l
+), dim as (
+  select tile_x, tile_y, ((tile_x * 31 + tile_y) % 13 + 13) % 13 as tag from (
+    select distinct {exprs.sql_tile_x('lon', 7)} as tile_x, {exprs.sql_tile_y('lat', 7)} as tile_y
+    from ({_QPTS_SQL})
+  )
+)
+select d.tag, count(*) as n, count(distinct p.rowid) as n_rows
+from pts p join dim d on p.tile_x = d.tile_x and p.tile_y = d.tile_y
+group by 1
+"""
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 bucketed co-located join on the gate: per-tile point counts
+    and a tile dim are both written with bucketBy(16, tile_x, tile_y)
+    (plans/bucketing.write_bucketed, in-memory session catalog, /tmp
+    storage) and joined bucket-to-bucket — the executed plan is
+    asserted Exchange-free at build time (the 100 TB property: pay one
+    bucketed write, every later join/groupBy on the key is
+    shuffle-free). force_sortmerge pins the SortMergeJoin shape so the
+    assertion isn't satisfied vacuously by a broadcast at test scale.
+    The oracle is the plain SQL join — bucketing must not change one
+    row."""
+    from .plans import bucketing
+
+    _load(spark, sf_dir, "lineitem", "customer")
+    tiled = tiles.with_tile(spark.sql(_PTS_SQL), 9)
+    counts = tiled.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_points"))
+    dim = (
+        tiles.with_tile(spark.sql(_QPTS_SQL), 9)
+        .select("tile_x", "tile_y")
+        .distinct()
+        .withColumn("tag", F.pmod(F.col("tile_x") * 17 + F.col("tile_y"), F.lit(7)))
+    )
+    sf_tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = f"/tmp/convert_spark_bucketed/{sf_tag}"
+    keys = ("tile_x", "tile_y")
+    ct, dt = f"gate_bj_counts_{sf_tag}", f"gate_bj_dim_{sf_tag}"
+    bucketing.write_bucketed(counts, ct, 16, keys=keys, path=f"{base}/counts")
+    bucketing.write_bucketed(dim, dt, 16, keys=keys, path=f"{base}/dim")
+    j = bucketing.cobucketed_join(spark, ct, dt, on=keys, force_sortmerge=True)
+    out = j.select("tile_x", "tile_y", "n_points", "tag")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"co-bucketed join regressed to a shuffle:\n{plan}"
+    assert "SortMergeJoin" in plan, plan
+    return out
+
+
+SQL_BUCKETED_JOIN = f"""
+with counts as (
+  select tile_x, tile_y, count(*) as n_points from (
+    select {exprs.sql_tile_x('lon', 9)} as tile_x, {exprs.sql_tile_y('lat', 9)} as tile_y
+    from ({_PTS_SQL})
+  ) group by 1, 2
+), dim as (
+  select tile_x, tile_y, ((tile_x * 17 + tile_y) % 7 + 7) % 7 as tag from (
+    select distinct {exprs.sql_tile_x('lon', 9)} as tile_x, {exprs.sql_tile_y('lat', 9)} as tile_y
+    from ({_QPTS_SQL})
+  )
+)
+select c.tile_x, c.tile_y, c.n_points, d.tag
+from counts c join dim d on c.tile_x = d.tile_x and c.tile_y = d.tile_y
+"""
+
+
 _COMPACT_ZOOM = 6
 
 
@@ -2343,6 +2439,8 @@ QUERIES = {
     "q_gpx_datasets": q_gpx_datasets,
     "q_kml_datasets": q_kml_datasets,
     "q_getelev": q_getelev,
+    "q_salted_join": q_salted_join,
+    "q_bucketed_join": q_bucketed_join,
     "q_mesh_drape": q_mesh_drape,
 }
 
@@ -2397,6 +2495,8 @@ def oracles() -> dict[str, str]:
         "q_gpx_datasets": _sql_gpx_datasets(),
         "q_kml_datasets": _sql_kml_datasets(),
         "q_getelev": _sql_getelev(),
+        "q_salted_join": SQL_SALTED_JOIN,
+        "q_bucketed_join": SQL_BUCKETED_JOIN,
         # KAT oracles: math not expressible in ANSI SQL (S2 cell-id bits,
         # universal-hash minhash, FNV simhash, blake2b, LSH/IVF candidate
         # generation). The driver's DuckDB connection can't register Python

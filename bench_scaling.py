@@ -113,14 +113,18 @@ def worker(cores: int, n_exec: int | None = None, exec_cores: int = 4) -> None:
         _pin_exec_topology(n_exec, exec_cores)  # catch python daemons forked during warm-up
     spark.read.parquet(INPUT).count()  # page-cache warm of the shared input
     walls = []
+    cpus = []
     rows = 0
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    roles = ("CoarseGrainedExecutorBackend", "pyspark.daemon") if n_exec is not None else None
     for _ in range(reps):  # best-of-N: steady-state throughput, not run noise
+        c0 = _subtree_cpu_s(roles)
         t0 = time.time()
         rows = _pipeline_rows(spark, INPUT)
         walls.append(time.time() - t0)
+        cpus.append(_subtree_cpu_s(roles) - c0)
     wall = min(walls)
-    out = {"cores": cores, "wall_s": round(wall, 3), "rows": rows, "rows_per_sec": round(rows / wall, 1), "walls": [round(w, 3) for w in walls]}
+    out = {"cores": cores, "wall_s": round(wall, 3), "rows": rows, "rows_per_sec": round(rows / wall, 1), "walls": [round(w, 3) for w in walls], "cpu_s": [round(c, 1) for c in cpus], "cpu_s_best": round(cpus[walls.index(wall)], 1)}
     if n_exec is not None:
         out["executors"] = n_exec
     print(json.dumps(out))
@@ -167,6 +171,37 @@ def _descendant_pids() -> set[str]:
         out.add(p)
         stack.extend(children.get(p, []))
     return out
+
+
+def _subtree_cpu_s(roles: tuple[str, ...] | None = None) -> float:
+    """Sum utime+stime (cpu-seconds, /proc/<pid>/stat) over this
+    process's subtree. With ``roles`` only processes whose cmdline
+    contains one of the substrings count — in executor mode that scopes
+    the measurement to executor JVMs + their python daemons, excluding
+    driver scheduling cost. CPU-work is the steal-immune complement of
+    the wall numbers: a wall gap WITHOUT a cpu_s gap is host scheduling
+    (steal/idle), not engine overhead. Short-lived dead children are
+    missed (not yet folded into cutime); the measured stages run in
+    long-lived JVMs/daemons, so the bias is negligible."""
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    mine = _descendant_pids()
+    ps = subprocess.run(["ps", "-eo", "pid,cmd"], capture_output=True, text=True).stdout
+    for line in ps.splitlines()[1:]:
+        parts = line.strip().split(None, 1)
+        if len(parts) != 2 or parts[0] not in mine:
+            continue
+        pid, cmd = parts
+        if roles is not None and not any(r in cmd for r in roles):
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read()
+            fields = st[st.rindex(")") + 2 :].split()
+            total += (int(fields[11]) + int(fields[12])) / hz  # utime+stime
+        except (OSError, ValueError):
+            continue
+    return total
 
 
 def _pin_exec_topology(n_exec: int, exec_cores: int) -> None:

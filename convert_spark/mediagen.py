@@ -282,9 +282,11 @@ def payload_df(df):
 # filters on — dims, duration, codec ids, channel layout — lives in the
 # container headers, which these synthesize from the public specs as a
 # pure function of the seed. Separate corpus from ``payload_for`` (the
-# 16 image/audio classes) so the committed real-media KATs never shift.
+# image/audio classes) so the committed real-media KATs never shift.
+# Round 6 adds FLAC STREAMINFO and MPEG-1/2 Layer III MP3 (frame-header
+# walks — again metadata, not sample decode).
 
-N_CONTAINER_FORMATS = 6
+N_CONTAINER_FORMATS = 9
 
 
 def _box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
@@ -406,12 +408,64 @@ def _ogg_page(serial: int, seq: int, granule: int, header_type: int, packets: li
     return bytes(page)
 
 
+_MP3_BITRATES = {3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+                 2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
 def container_payload_for(seed: int) -> bytes:
     """One genuine container payload, pure function of ``seed``; class
-    cycles ``seed % 6``: three MP4 track layouts, an MP4 with 64-bit
-    boxes + v1 mdhd, Ogg Vorbis, Ogg Opus."""
+    cycles ``seed % 9``: three MP4 track layouts, an MP4 with 64-bit
+    boxes + v1 mdhd, Ogg Vorbis, Ogg Opus, FLAC (STREAMINFO + seeded
+    extra metadata blocks), MPEG-1 Layer III MP3 (seeded ID3v2 prefix /
+    ID3v1 trailer coins, per-frame padding), MPEG-2 Layer III MP3."""
     fmt = int(seed) % N_CONTAINER_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xB0C5E5 ^ (int(seed) * 2654435761)))
+    if fmt == 6:  # FLAC: fLaC magic + metadata blocks (format spec §STREAMINFO)
+        rate = int(rng.choice([8000, 16000, 22050, 44100, 48000, 96000]))
+        ch = int(rng.integers(1, 9))
+        bps = int(rng.choice([8, 16, 24]))
+        total = int(rng.integers(1, 2**36 // 1000))  # keeps duration_ms in range
+        bs_min, bs_max = 4096, 4096
+        fs_min, fs_max = int(rng.integers(64, 2**24)), int(rng.integers(64, 2**24))
+        bits = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        streaminfo = (
+            struct.pack(">HH", bs_min, bs_max)
+            + struct.pack(">I", fs_min)[1:] + struct.pack(">I", fs_max)[1:]
+            + bits.to_bytes(8, "big")
+            + bytes(rng.integers(0, 256, size=16).astype(np.uint8))  # md5 of PCM
+        )
+        extra = bool(rng.integers(0, 2))
+        out = b"fLaC" + bytes([0x00 if extra else 0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        if extra:  # a VORBIS_COMMENT block (type 4), then last-flag set
+            vendor = b"convert-spark"
+            vc = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 0)
+            out += bytes([0x84]) + len(vc).to_bytes(3, "big") + vc
+        # opaque audio frames after the metadata — the parser never reads them
+        return out + bytes(rng.integers(0, 256, size=int(rng.integers(8, 120))).astype(np.uint8))
+    if fmt >= 7:  # MP3: a walk of genuine MPEG Layer III frame headers
+        ver = 3 if fmt == 7 else 2  # header version bits: MPEG-1 / MPEG-2
+        br_idx = int(rng.integers(1, 15))
+        sr_idx = int(rng.integers(0, 3))
+        rate = _MP3_RATES[ver][sr_idx]
+        mode = int(rng.integers(0, 4))  # 3 = mono
+        out = bytearray()
+        if rng.integers(0, 2):  # ID3v2 prefix coin (syncsafe size)
+            body = bytes(rng.integers(0, 128, size=int(rng.integers(10, 120))).astype(np.uint8))
+            out += b"ID3\x03\x00\x00" + bytes(
+                [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F, (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+            ) + body
+        factor = 144000 if ver == 3 else 72000
+        for _ in range(int(rng.integers(8, 64))):
+            pad = int(rng.integers(0, 2))
+            flen = factor * _MP3_BITRATES[ver][br_idx] // rate + pad
+            hdr = bytes([0xFF, 0xE0 | (ver << 3) | (0b01 << 1) | 1,
+                         (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                         mode << 6])
+            out += hdr + bytes(rng.integers(0, 256, size=flen - 4).astype(np.uint8))
+        if rng.integers(0, 2):  # ID3v1 trailer coin
+            out += b"TAG" + bytes(rng.integers(32, 127, size=125).astype(np.uint8))
+        return bytes(out)
     if fmt <= 3:  # ISO-BMFF
         ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
         mvhd_ts = 1000

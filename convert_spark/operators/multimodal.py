@@ -20,14 +20,21 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   in ``sample_frames``); JPEG PIXELS via the
   from-scratch codec (kernels/jpeg.py — huffman + dequant + IDCT +
   YCbCr, any sampling factors, restart intervals, multi-scan
-  sequential AND progressive with successive approximation);
-  nearest-neighbor RESIZE re-encoded in the source format; container
-  METADATA for MP4 (ISO-BMFF box walk: per-track codec/dims/channels/
-  sample-rate/duration) and Ogg (CRC-checked pages, Vorbis/Opus ident
-  headers) via ``container_tracks`` / ``media_containers``. Everything
-  past that — FRAME decode of video and of compressed audio beyond
-  G.711 (MP3/AAC/Vorbis...), arithmetic-coded JPEG — needs a full
-  codec (Pillow/ffmpeg/pyav) and raises the one declared
+  sequential AND progressive with successive approximation); GIF
+  FRAMES via the from-scratch codec (kernels/gif.py — LZW,
+  global/local palettes, interlace, and ANIMATION: GCE transparency +
+  disposal methods composited onto the logical screen, so
+  ``sample_frames`` performs genuine video-style frame extraction on
+  animated GIF); nearest-neighbor RESIZE re-encoded in the source
+  format; container METADATA for MP4 (ISO-BMFF box walk: per-track
+  codec/dims/channels/sample-rate/duration), Ogg (CRC-checked pages,
+  Vorbis/Opus ident headers), FLAC (STREAMINFO block) and MP3
+  (MPEG-1/2 Layer III frame-header walk: exact duration, ID3v2/v1
+  skipped) via ``container_tracks`` / ``media_containers``. Everything
+  past that — FRAME decode of video beyond animated GIF and SAMPLE
+  decode of compressed audio beyond G.711 (MP3/AAC/Vorbis/FLAC
+  frames...), arithmetic-coded JPEG — needs a full codec
+  (Pillow/ffmpeg/pyav) and raises the one declared
   NotImplementedError.
 """
 
@@ -206,7 +213,21 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
             return _decode_jpeg(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _decode_wav(data)
-        if (len(data) >= 12 and data[4:8] == b"ftyp") or data[:4] == b"OggS":
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from ..kernels import gif
+
+            # animated-format mapping onto the image-shaped schema
+            # (documented, mirrors the WAV overload): width/height are
+            # the logical screen, the channels slot carries the FRAME
+            # COUNT — the pipeline-relevant cardinality of an animation
+            w, h, n_frames = gif.header(data)
+            return "gif", w, h, n_frames
+        if (
+            (len(data) >= 12 and data[4:8] == b"ftyp")
+            or data[:4] == b"OggS"
+            or data[:4] == b"fLaC"
+            or _is_mp3(data)
+        ):
             # container formats: headers carry the filterable metadata
             # (dims / channels / codec ids) even though frame DECODE
             # stays declared codec territory — map the first video
@@ -1103,11 +1124,108 @@ def _ogg_track(s: dict) -> dict:
             "width": 0, "height": 0, "n_channels": ch, "sample_rate": rate, "duration_ms": dur}
 
 
+_MP3_BITRATES = {3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+                 2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
+def _is_mp3(data: bytes) -> bool:
+    """Sniff: ID3v2 prefix, or a frame sync whose version/layer/bitrate/
+    rate fields are all valid Layer III (so random binary — and JPEG's
+    0xFFD8 — doesn't land here)."""
+    if data[:3] == b"ID3":
+        return True
+    if len(data) < 4 or data[0] != 0xFF or (data[1] & 0xE0) != 0xE0:
+        return False
+    ver, layer = (data[1] >> 3) & 3, (data[1] >> 1) & 3
+    return ver in (2, 3) and layer == 1 and (data[2] >> 4) not in (0, 15) and ((data[2] >> 2) & 3) != 3
+
+
+def _mp3_track(data: bytes) -> dict:
+    """Walk every MPEG-1/2 Layer III frame header (ISO/IEC 11172-3 /
+    13818-3): frame lengths from the bitrate/rate/padding fields, exact
+    duration from the per-frame sample counts (1152 MPEG-1 / 576
+    MPEG-2). ID3v2 prefix (syncsafe size) and ID3v1 'TAG' trailer are
+    skipped; anything else unparseable is declared malformed. VBR
+    streams work (bitrate read per frame); free-format (index 0) needs
+    frame-sync scanning and stays declared."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise NotImplementedError("malformed MP3: truncated ID3v2 header")
+        sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + sz + (10 if data[5] & 0x10 else 0)  # footer flag
+    n_frames = 0
+    samples = 0
+    rate = nch = None
+    while pos + 4 <= len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break  # ID3v1 trailer
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        if data[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise NotImplementedError("malformed MP3: lost frame sync")
+        ver, layer = (b1 >> 3) & 3, (b1 >> 1) & 3
+        if ver not in (2, 3) or layer != 1:
+            raise NotImplementedError("MP3: only MPEG-1/2 Layer III decodes here")
+        br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise NotImplementedError("malformed MP3: reserved/free bitrate or rate field")
+        r = _MP3_RATES[ver][sr_idx]
+        if rate is None:
+            rate = r
+            nch = 1 if (b3 >> 6) == 3 else 2
+        elif r != rate:
+            raise NotImplementedError("malformed MP3: sample rate changes mid-stream")
+        flen = (144000 if ver == 3 else 72000) * _MP3_BITRATES[ver][br_idx] // r + pad
+        if flen <= 4 or pos + flen > len(data):
+            raise NotImplementedError("malformed MP3: truncated frame")
+        samples += 1152 if ver == 3 else 576
+        n_frames += 1
+        pos += flen
+    if not n_frames:
+        raise NotImplementedError("malformed MP3: no audio frames")
+    return {"track_id": 1, "kind": "audio", "codec": "mp3", "width": 0, "height": 0,
+            "n_channels": nch, "sample_rate": rate, "duration_ms": samples * 1000 // rate}
+
+
+def _flac_track(data: bytes) -> dict:
+    """FLAC STREAMINFO (format spec: 'fLaC' magic, metadata block walk;
+    block type 0 carries rate/channels/bits/total-samples as packed
+    big-endian bit fields)."""
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            raise NotImplementedError("malformed FLAC: truncated metadata block")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if ln < 34:
+                raise NotImplementedError("malformed FLAC: short STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            rate = bits >> 44
+            nch = ((bits >> 41) & 0x07) + 1
+            total = bits & ((1 << 36) - 1)
+            if not rate:
+                raise NotImplementedError("malformed FLAC: sample rate 0")
+            return {"track_id": 1, "kind": "audio", "codec": "flac", "width": 0, "height": 0,
+                    "n_channels": nch, "sample_rate": rate,
+                    "duration_ms": total * 1000 // rate}
+        if hdr & 0x80:
+            break
+        pos += 4 + ln
+    raise NotImplementedError("malformed FLAC: no STREAMINFO block")
+
+
 def container_tracks(data: bytes) -> tuple[str, list[dict]]:
     """Sniff + parse one container payload -> (container_kind, track
     dicts). Declared NotImplementedError for malformed payloads and for
     non-container formats (same contract as decode_real)."""
     try:
+        if data[:4] == b"fLaC":
+            return "flac", [_flac_track(data)]
+        if _is_mp3(data):
+            return "mp3", [_mp3_track(data)]
         if len(data) >= 12 and data[4:8] == b"ftyp":
             tracks = _mp4_tracks(data)
             out = []
@@ -1123,7 +1241,7 @@ def container_tracks(data: bytes) -> tuple[str, list[dict]]:
         raise
     except Exception as exc:  # noqa: BLE001 — truncated/corrupt headers
         raise NotImplementedError(f"malformed container payload: {exc}") from exc
-    raise NotImplementedError("not a recognized media container (MP4/Ogg)")
+    raise NotImplementedError("not a recognized media container (MP4/Ogg/FLAC/MP3)")
 
 
 def media_containers(df: DataFrame, binary_col: str = "payload") -> DataFrame:

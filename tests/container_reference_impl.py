@@ -1,9 +1,12 @@
 """Independent scalar twin parser for the container-metadata KAT oracle
 (q_media_containers).
 
-Re-implements the PUBLIC container specs — ISO-BMFF (ISO/IEC 14496-12)
-and Ogg (RFC 3533) with Vorbis-I / Opus (RFC 7845) identification
-headers — structurally disjoint from the production walker
+Re-implements the PUBLIC container specs — ISO-BMFF (ISO/IEC 14496-12),
+Ogg (RFC 3533) with Vorbis-I / Opus (RFC 7845) identification
+headers, FLAC STREAMINFO (xiph format spec) and MPEG-1/2 Layer III
+frame headers (ISO/IEC 11172-3 / 13818-3, divmod field extraction vs
+production's shift/mask) — structurally disjoint from the production
+walker
 (convert_spark/operators/multimodal.py): production iterates siblings
 with ``int.from_bytes`` slices and a generator; this twin reads every
 integer through a scalar byte cursor (no ``struct``, no slicing
@@ -253,10 +256,107 @@ def _ogg_rows(data: bytes) -> list[dict]:
     return rows
 
 
+# ------------------------------------------------------------ FLAC -------
+
+
+def _flac_rows(data: bytes) -> list[dict]:
+    """STREAMINFO via the scalar cursor: the packed 64-bit field is
+    decomposed with divmod arithmetic rather than shifts/masks."""
+    c = _Cur(data, 4)
+    while True:
+        hdr = c.u(1)
+        ln = c.u(3)
+        if hdr % 128 == 0:  # STREAMINFO (type 0)
+            if ln < 34:
+                raise ValueError("flac: short STREAMINFO")
+            c.skip(10)  # block/frame size fields
+            packed = c.u(8)
+            total = packed % (2**36)
+            rest = packed // (2**36)
+            bits_per = rest % 32  # 5 bits (bps - 1), unused here
+            rest //= 32
+            nch = rest % 8 + 1
+            rate = rest // 8
+            if rate == 0:
+                raise ValueError("flac: rate 0")
+            _ = bits_per
+            return [{
+                "track_id": 1, "track_type": "audio", "codec": "flac", "width": 0,
+                "height": 0, "n_channels": nch, "sample_rate": rate,
+                "duration_ms": total * 1000 // rate,
+            }]
+        if hdr >= 128:  # last-block flag set, STREAMINFO never seen
+            raise ValueError("flac: no STREAMINFO")
+        c.skip(ln)
+
+
+# ------------------------------------------------------------ MP3 --------
+
+_MP3_KBPS = {3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+             2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)}
+_MP3_HZ = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
+def _mp3_rows(data: bytes) -> list[dict]:
+    """MPEG-1/2 Layer III frame-header walk with divmod field
+    extraction (production uses shift/mask); ID3v2 prefix and ID3v1
+    trailer skipped."""
+    pos = 0
+    if data[:3] == b"ID3":
+        c = _Cur(data, 6)
+        sz = 0
+        for _ in range(4):
+            sz = sz * 128 + c.u(1)
+        pos = 10 + sz
+        if (data[5] // 16) % 2:  # footer flag
+            pos += 10
+    frames = 0
+    samples = 0
+    rate = nch = None
+    while pos + 4 <= len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break
+        b0, b1, b2, b3 = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+        if b0 != 255 or b1 < 0xE0:
+            raise ValueError("mp3: lost sync")
+        ver = (b1 // 8) % 4
+        layer = (b1 // 2) % 4
+        if ver not in (2, 3) or layer != 1:
+            raise ValueError("mp3: not MPEG-1/2 Layer III")
+        br_idx = b2 // 16
+        sr_idx = (b2 // 4) % 4
+        pad = (b2 // 2) % 2
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: reserved bitrate/rate")
+        hz = _MP3_HZ[ver][sr_idx]
+        if rate is None:
+            rate = hz
+            nch = 1 if b3 // 64 == 3 else 2
+        elif hz != rate:
+            raise ValueError("mp3: rate change")
+        per_frame = 1152 if ver == 3 else 576
+        flen = (per_frame // 8) * 1000 * _MP3_KBPS[ver][br_idx] // hz + pad
+        if pos + flen > len(data):
+            raise ValueError("mp3: truncated frame")
+        samples += per_frame
+        frames += 1
+        pos += flen
+    if not frames:
+        raise ValueError("mp3: no frames")
+    return [{
+        "track_id": 1, "track_type": "audio", "codec": "mp3", "width": 0, "height": 0,
+        "n_channels": nch, "sample_rate": rate, "duration_ms": samples * 1000 // rate,
+    }]
+
+
 def container_rows(data: bytes) -> tuple[str, list[dict]]:
     """(container_kind, per-track metadata dicts) for one payload."""
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4", _mp4_rows(data)
     if data[:4] == b"OggS":
         return "ogg", _ogg_rows(data)
-    raise ValueError("not an MP4/Ogg payload")
+    if data[:4] == b"fLaC":
+        return "flac", _flac_rows(data)
+    if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 255 and data[1] >= 0xE0):
+        return "mp3", _mp3_rows(data)
+    raise ValueError("not an MP4/Ogg/FLAC/MP3 payload")

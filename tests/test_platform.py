@@ -1851,9 +1851,45 @@ class TestPngSubByteAdam7:
 
 
 class TestContainers:
-    """MP4/Ogg container metadata (multimodal.container_tracks /
-    media_containers) vs the independent scalar twin, plus the declared
-    malformed-input envelope."""
+    """MP4/Ogg/FLAC/MP3 container metadata (multimodal.container_tracks
+    / media_containers) vs the independent scalar twin, plus the
+    declared malformed-input envelope."""
+
+    def test_flac_and_mp3_metadata(self):
+        from convert_spark import mediagen
+
+        k, t = multimodal.container_tracks(mediagen.container_payload_for(6))
+        assert k == "flac" and t[0]["codec"] == "flac" and t[0]["sample_rate"] > 0
+        for seed in (7, 8):  # MPEG-1 and MPEG-2 Layer III
+            k, t = multimodal.container_tracks(mediagen.container_payload_for(seed))
+            assert k == "mp3" and t[0]["codec"] == "mp3"
+            assert t[0]["n_channels"] in (1, 2) and t[0]["duration_ms"] > 0
+
+    def test_mp3_id3_skip_and_malformed(self):
+        from convert_spark import mediagen
+
+        # find corpus draws with the ID3v2 prefix and the ID3v1 trailer
+        seen_id3v2 = seen_id3v1 = False
+        for seed in range(7, 7 + 9 * 20, 9):
+            p = mediagen.container_payload_for(seed)
+            seen_id3v2 |= p[:3] == b"ID3"
+            seen_id3v1 |= p[-128:][:3] == b"TAG"
+            multimodal.container_tracks(p)  # must parse either way
+        assert seen_id3v2 and seen_id3v1
+        # truncated mid-frame is declared malformed
+        p = mediagen.container_payload_for(7)
+        with pytest.raises(NotImplementedError):
+            multimodal.container_tracks(p[: len(p) - 3])
+        # free-format bitrate (index 0) stays declared
+        free = bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(100)
+        with pytest.raises(NotImplementedError):
+            multimodal.container_tracks(free)
+
+    def test_flac_missing_streaminfo_declared(self):
+        # last-flag padding block only, no STREAMINFO
+        bad = b"fLaC" + bytes([0x81]) + (4).to_bytes(3, "big") + bytes(4)
+        with pytest.raises(NotImplementedError):
+            multimodal.container_tracks(bad)
 
     def test_twin_agreement_all_classes(self):
         import container_reference_impl as cref
@@ -1917,9 +1953,10 @@ class TestContainers:
         pdf = pd.DataFrame({"url": [f"u{i}" for i in range(12)], "seed": list(range(12))})
         src = mediagen.container_payload_df(spark.createDataFrame(pdf))
         out = multimodal.media_containers(src).toPandas()
-        # classes 2 (two seeds in 0..11) emit two tracks each
+        # class 2 (seeds 2 and 11 mod N_CONTAINER_FORMATS=9) emits two
+        # tracks; every other class one
         assert len(out) == 14
-        assert set(out["container"]) == {"mp4", "ogg"}
+        assert set(out["container"]) == {"mp4", "ogg", "flac", "mp3"}
         two_track = out[out["n_tracks"] == 2]
         assert sorted(two_track["track_type"]) == ["audio", "audio", "video", "video"]
 

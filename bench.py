@@ -84,7 +84,8 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
     from convert_spark.operators import multimodal
 
     fam_fmt = {"png": range(0, 10), "jpeg": range(10, 14), "wav": range(14, 16),
-               "cmyk_jpeg": range(16, 18)}
+               "cmyk_jpeg": range(16, 18), "g711_wav": range(18, 20),
+               "gif": range(20, 22)}
     out: dict[str, dict[str, float]] = {}
     for fam, fmts in fam_fmt.items():
         payloads = []

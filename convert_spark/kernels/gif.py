@@ -1,0 +1,393 @@
+"""From-scratch GIF87a/89a codec (public spec: CompuServe GIF89a
+Specification, 1990; LZW per the spec's Appendix and ITU-style
+variable-width convention).
+
+Covers the full still-image envelope — global/local color tables at
+every palette depth, interlace, LZW with deferred-clear 12-bit
+saturation — AND animation: Graphic Control Extensions (delay,
+transparency, disposal methods 0-3) composited onto the logical screen.
+Animated GIF is the one genuine VIDEO format decodable from a public
+spec without an external codec, so this kernel is what shrinks the
+declared "frame decode of video" boundary: ``compose`` returns the
+presented frame sequence a viewer would see, and
+operators/multimodal.frames_real samples those frames exactly like it
+samples WAV windows.
+
+Conventions the spec leaves to the renderer (documented here, shared by
+the scalar twin in tests/media_reference_impl.py, and chosen to match
+common-viewer behavior under an opaque-RGB canvas model):
+
+* The logical screen starts as the background color — the global color
+  table entry named by the LSD background index, or black when there is
+  no GCT (or the index is out of range).
+* Disposal 2 ("restore to background") repaints the frame's rect with
+  that same background color after presentation.
+* Disposal 3 ("restore to previous") reverts the canvas to its state
+  before the frame was drawn.
+* Transparent pixels (GCE transparency flag) leave the underlying
+  canvas untouched.
+
+Scale note: the per-payload work is a scalar Python LZW loop (the
+dictionary recurrence is inherently sequential); a production cluster
+decoding large GIF corpora should swap Pillow into the SAME
+mapInPandas call sites in operators/multimodal.py — the Spark-side
+plumbing (schema, batching, partitioning) is what this repo pins.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """Row permutation: order[i] = display row of the i-th stored row."""
+    rows = []
+    for y0, dy in _INTERLACE_PASSES:
+        rows.extend(range(y0, h, dy))
+    return np.asarray(rows, dtype=np.int64)
+
+
+# --- LZW ----------------------------------------------------------------------
+
+
+def lzw_decode(mcs: int, data: bytes, n_px: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width starting at mcs+1, codes
+    packed LSB-first, clear = 2^mcs, EOI = clear+1, dictionary capped at
+    4096 (deferred clear: width saturates at 12 bits until the encoder
+    sends a clear). Returns exactly ``n_px`` uint8 indices."""
+    if not 2 <= mcs <= 8:
+        raise NotImplementedError(f"malformed GIF: LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                nbits = 0
+                acc = 0
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise NotImplementedError("malformed GIF: LZW code out of range")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_px:
+                return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+    if len(out) < n_px:
+        raise NotImplementedError("malformed GIF: LZW stream truncated")
+    return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+
+
+def lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """Greedy longest-match LZW encoder (the canonical GIF form): emits
+    an initial clear, resets the dictionary when it would exceed 4096,
+    ends with EOI. Inverse of ``lzw_decode`` for any index stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    s = b""
+    for v in indices.astype(np.uint8).tobytes():
+        c = s + bytes((v,))
+        if c in table:
+            s = c
+            continue
+        emit(table[s], width)
+        if next_code < 4096:
+            table[c] = next_code
+            # the DECODER grows its width when its table reaches
+            # 2^width entries; mirror that threshold exactly
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        s = bytes((v,))
+    if s:
+        emit(table[s], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# --- container parse ----------------------------------------------------------
+
+
+def _color_table(data: bytes, pos: int, packed: int, flag_bit: int) -> tuple[np.ndarray | None, int]:
+    if not (packed >> flag_bit) & 1:
+        return None, pos
+    n = 2 << (packed & 0x07)
+    tbl = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8)
+    if tbl.size != 3 * n:
+        raise NotImplementedError("malformed GIF: truncated color table")
+    return tbl.reshape(n, 3), pos + 3 * n
+
+
+def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    parts = []
+    while True:
+        if pos >= len(data):
+            raise NotImplementedError("malformed GIF: unterminated sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(data[pos : pos + n])
+        if len(parts[-1]) != n:
+            raise NotImplementedError("malformed GIF: truncated sub-block")
+        pos += n
+
+
+def parse(data: bytes, frames_limit: int | None = None, decode_pixels: bool = True) -> dict:
+    """Full container walk. Returns ``{width, height, bg_rgb, gct,
+    frames}`` where each frame dict carries ``x, y, w, h, indices
+    ((h, w) uint8, deinterlaced), palette ((n, 3) uint8), delay_cs,
+    transparent (index or None), disposal``. With
+    ``decode_pixels=False`` the LZW streams are skipped (header-only
+    walk for ``header``)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("malformed GIF: bad signature")
+    if len(data) < 13:
+        raise NotImplementedError("malformed GIF: truncated logical screen")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, bg_idx = data[10], data[11]
+    gct, pos = _color_table(data, 13, packed, 7)
+    bg_rgb = (
+        tuple(int(v) for v in gct[bg_idx]) if gct is not None and bg_idx < len(gct) else (0, 0, 0)
+    )
+    frames: list[dict] = []
+    gce_delay, gce_transparent, gce_disposal = 0, None, 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise NotImplementedError("malformed GIF: truncated extension")
+            label = data[pos]
+            pos += 1
+            body, pos = _subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                gflags = body[0]
+                gce_disposal = (gflags >> 2) & 0x07
+                (gce_delay,) = struct.unpack("<H", body[1:3])
+                gce_transparent = body[3] if gflags & 1 else None
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"malformed GIF: unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise NotImplementedError("malformed GIF: truncated image descriptor")
+        fx, fy, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        fpacked = data[pos + 8]
+        pos += 9
+        lct, pos = _color_table(data, pos, fpacked, 7)
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise NotImplementedError("malformed GIF: frame without any color table")
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            raise NotImplementedError("malformed GIF: frame rect outside logical screen")
+        if pos >= len(data):
+            raise NotImplementedError("malformed GIF: missing LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        lzw, pos = _subblocks(data, pos)
+        frame: dict = {
+            "x": fx, "y": fy, "w": fw, "h": fh,
+            "palette": palette, "delay_cs": gce_delay,
+            "transparent": gce_transparent, "disposal": gce_disposal,
+        }
+        if decode_pixels:
+            idx = lzw_decode(mcs, lzw, fw * fh).reshape(fh, fw)
+            if (fpacked >> 6) & 1:  # interlaced: stored rows -> display rows
+                disp = np.empty_like(idx)
+                disp[_deinterlace_rows(fh)] = idx
+                idx = disp
+            if int(idx.max(initial=0)) >= len(palette):
+                raise NotImplementedError("malformed GIF: pixel index outside color table")
+            frame["indices"] = idx
+        frames.append(frame)
+        gce_delay, gce_transparent, gce_disposal = 0, None, 0
+        if frames_limit is not None and len(frames) >= frames_limit:
+            break
+    if not frames:
+        raise NotImplementedError("malformed GIF: no image data")
+    return {"width": w, "height": h, "bg_rgb": bg_rgb, "gct": gct, "frames": frames}
+
+
+def header(data: bytes) -> tuple[int, int, int]:
+    """(logical width, logical height, frame count) without LZW decode."""
+    g = parse(data, decode_pixels=False)
+    return g["width"], g["height"], len(g["frames"])
+
+
+def compose(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode + composite: the PRESENTED frame sequence — each element a
+    full logical-screen (H, W, 3) uint8 RGB canvas after drawing frame i
+    (transparency respected, disposal applied between frames) — plus the
+    per-frame delays in centiseconds."""
+    g = parse(data)
+    bg = np.asarray(g["bg_rgb"], dtype=np.uint8)
+    canvas = np.broadcast_to(bg, (g["height"], g["width"], 3)).copy()
+    out: list[np.ndarray] = []
+    delays: list[int] = []
+    for fr in g["frames"]:
+        saved = canvas.copy() if fr["disposal"] == 3 else None
+        rgb = fr["palette"][fr["indices"]]
+        region = canvas[fr["y"] : fr["y"] + fr["h"], fr["x"] : fr["x"] + fr["w"]]
+        if fr["transparent"] is not None:
+            opaque = fr["indices"] != fr["transparent"]
+            region[opaque] = rgb[opaque]
+        else:
+            region[:] = rgb
+        out.append(canvas.copy())
+        delays.append(fr["delay_cs"])
+        if fr["disposal"] == 2:
+            canvas[fr["y"] : fr["y"] + fr["h"], fr["x"] : fr["x"] + fr["w"]] = bg
+        elif fr["disposal"] == 3:
+            canvas = saved
+    return out, delays
+
+
+# --- encoder ------------------------------------------------------------------
+
+
+def _palette_fit(colors: np.ndarray, reserve: int = 0) -> tuple[np.ndarray, int]:
+    """Pad a (n, 3) color list to a power-of-two GIF color table with
+    ``reserve`` extra slots (for a transparent index); returns (table,
+    size_field) where 2 << size_field is the table length."""
+    n = len(colors) + reserve
+    if n > 256:
+        raise NotImplementedError("GIF encode: more than 256 colors per frame needs quantization")
+    size_field = max(1, (max(n, 2) - 1).bit_length()) - 1
+    table = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    return table, size_field
+
+
+def _index_pixels(pixels: np.ndarray, colors: np.ndarray) -> np.ndarray:
+    """Map (..., 3) RGB to indices into ``colors`` (rows unique; every
+    pixel's color must be present)."""
+    keys = colors.astype(np.int64) @ np.array([65536, 256, 1])
+    order = np.argsort(keys)
+    px_keys = pixels.astype(np.int64) @ np.array([65536, 256, 1])
+    return order[np.searchsorted(keys[order], px_keys.ravel())].astype(np.uint8).reshape(pixels.shape[:-1])
+
+
+def encode_gif(
+    frame_specs: list[dict],
+    width: int,
+    height: int,
+    bg_index: int = 0,
+    interlace: bool = False,
+    loop: bool = True,
+) -> bytes:
+    """GIF89a writer. ``frame_specs``: dicts with ``pixels`` ((h, w, 3)
+    uint8 RGB), optional ``x, y`` offsets (default 0), ``mask``
+    ((h, w) bool, True = opaque; absent = fully opaque), ``delay_cs``,
+    ``disposal``. Frame 0's palette becomes the global color table
+    (bg_index must address it); every frame writes a local table when
+    its colors aren't literally the GCT prefix. Single-frame fully-
+    opaque inputs produce a plain static GIF (no GCE)."""
+    f0_colors = np.unique(frame_specs[0]["pixels"].reshape(-1, 3), axis=0)
+    gct, gct_size = _palette_fit(f0_colors)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | gct_size)  # GCT flag + size (color resolution 0)
+    out.append(bg_index)
+    out.append(0)  # pixel aspect
+    out += gct.tobytes()
+    animated = len(frame_specs) > 1
+    if animated and loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for i, spec in enumerate(frame_specs):
+        px = spec["pixels"]
+        mask = spec.get("mask")
+        fh, fw = px.shape[:2]
+        opaque_px = px if mask is None else px[mask]
+        colors = np.unique(opaque_px.reshape(-1, 3), axis=0)
+        transparent_idx = None
+        if mask is not None and not mask.all():
+            table, size_field = _palette_fit(colors, reserve=1)
+            transparent_idx = len(colors)
+        else:
+            table, size_field = _palette_fit(colors)
+        use_gct = (
+            transparent_idx is None
+            and len(table) == len(gct)
+            and bool((table == gct).all())
+        )
+        if animated or transparent_idx is not None:
+            flags = (spec.get("disposal", 0) & 0x07) << 2 | (transparent_idx is not None)
+            out += b"\x21\xf9\x04"
+            out.append(flags)
+            out += struct.pack("<H", spec.get("delay_cs", 0))
+            out.append(transparent_idx if transparent_idx is not None else 0)
+            out.append(0)
+        out.append(0x2C)
+        out += struct.pack("<HHHH", spec.get("x", 0), spec.get("y", 0), fw, fh)
+        out.append((0 if use_gct else 0x80) | (0x40 if interlace else 0) | (0 if use_gct else size_field))
+        if not use_gct:
+            out += table.tobytes()
+        if transparent_idx is not None:
+            # transparent pixels carry colors absent from the table —
+            # index only the opaque ones
+            idx = np.full(px.shape[:2], transparent_idx, dtype=np.uint8)
+            if mask.any():
+                idx[mask] = _index_pixels(px[mask], colors)
+        else:
+            idx = _index_pixels(px, colors)
+        if interlace:
+            idx = idx[_deinterlace_rows(fh)]  # display rows -> stored order
+        mcs = max(2, (len(table) - 1).bit_length())
+        out.append(mcs)
+        lzw = lzw_encode(idx, mcs)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

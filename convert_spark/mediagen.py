@@ -8,9 +8,11 @@ a genuine PNG (the from-scratch writer below — every IHDR shape the spec
 allows, including sub-byte depths, palette, 16-bit and Adam7 interlace,
 with seeded filter types 0-4), a genuine JPEG (kernels/jpeg.py encoder —
 sequential 4:4:4 / 4:2:0 / grayscale / restart markers / progressive),
-or a genuine WAV (stdlib ``wave``; 8-bit mono / 16-bit stereo PCM, plus
+a genuine WAV (stdlib ``wave``; 8-bit mono / 16-bit stereo PCM, plus
 hand-assembled RIFF for ITU-T G.711 mu-law/A-law — format tags 7/6 —
-which ``wave`` cannot write).
+which ``wave`` cannot write), or a genuine GIF (kernels/gif.py encoder —
+static incl. interlace, and ANIMATED with sub-rect frames, transparency
+masks, seeded disposal methods and delays).
 
 The generator is SHARED INPUT between the Spark query and the KAT twin
 (tests/media_reference_impl.py): what's under test is the DECODE path,
@@ -32,7 +34,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 20
+N_FORMATS = 22
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -159,15 +161,50 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 20``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 22``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
-    directly from the seeded rng)."""
+    directly from the seeded rng), and two GIF shapes (20 static —
+    interlace by seeded coin — and 21 ANIMATED: 3-6 sub-rect frames
+    with seeded disposal methods, transparency masks and delays)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 20:  # GIF
+        from .kernels import gif
+
+        n_colors = int(rng.integers(2, 17))
+        palette = rng.integers(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        base = palette[rng.integers(0, n_colors, size=(h, w))]
+        if fmt == 20:  # static, seeded interlace coin
+            return gif.encode_gif(
+                [{"pixels": base}], w, h,
+                bg_index=int(rng.integers(0, n_colors)),
+                interlace=bool(rng.integers(0, 2)),
+            )
+        # animated: full-canvas first frame, then seeded sub-rect frames
+        specs = [{"pixels": base, "delay_cs": int(rng.integers(2, 20)), "disposal": 1}]
+        for _ in range(int(rng.integers(2, 6))):
+            fw = int(rng.integers(2, w + 1))
+            fh = int(rng.integers(2, h + 1))
+            fx = int(rng.integers(0, w - fw + 1))
+            fy = int(rng.integers(0, h - fh + 1))
+            nc = int(rng.integers(2, 9))
+            pal = rng.integers(0, 256, size=(nc, 3)).astype(np.uint8)
+            spec = {
+                "pixels": pal[rng.integers(0, nc, size=(fh, fw))],
+                "x": fx, "y": fy,
+                "delay_cs": int(rng.integers(2, 20)),
+                "disposal": int(rng.integers(0, 4)),
+            }
+            if rng.integers(0, 2):  # transparency coin
+                spec["mask"] = rng.random((fh, fw)) > 0.35
+            specs.append(spec)
+        return gif.encode_gif(
+            specs, w, h, bg_index=int(rng.integers(0, n_colors))
+        )
     if fmt <= 9:  # PNG
         bit_depth, color_type = _PNG_KINDS[fmt]
         interlace = 1 if fmt == 7 else 0

@@ -504,8 +504,13 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s, _ = _wav_samples(data)
         chans = [(s[:, c] + 1.0) / 2.0 for c in range(s.shape[1])]
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernels import gif
+
+        px = gif.compose(data)[0][0].astype(np.float64) / 255.0
+        chans = [px[:, :, c].ravel() for c in range(3)]
     else:
-        raise NotImplementedError("feature encoder: only PNG/JPEG/WAV decode without a real codec")
+        raise NotImplementedError("feature encoder: only PNG/JPEG/GIF/WAV decode without a real codec")
     stats: list[float] = []
     for ch in chans:
         if ch.size:
@@ -562,8 +567,15 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
             (s.shape[0], int(s[:, c].sum()), int(s[:, c].min()), int(s[:, c].max()))
             for c in range(s.shape[1])
         ]
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernels import gif
+
+        # stats over the FIRST PRESENTED frame (the composited logical
+        # screen, not the raw sub-rect): what a thumbnailer sees
+        px = gif.compose(data)[0][0]
+        kind = "gif"
     else:
-        raise NotImplementedError("stats: only PNG/JPEG/WAV decode without a real codec")
+        raise NotImplementedError("stats: only PNG/JPEG/GIF/WAV decode without a real codec")
     arr = px.astype(np.int64)
     return kind, [
         (
@@ -699,6 +711,22 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
             # transform-0 inverted CMYK — ink values round-trip either way)
             return jpeg.encode_baseline(resized, adobe_transform=_jpeg_adobe_transform(data))
         return jpeg.encode_baseline(resized)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernels import gif
+
+        # every PRESENTED frame resampled to (tw, th) and re-encoded as
+        # a full-canvas frame (delays kept, disposal collapses to
+        # "keep": compositing already happened, so the re-encode is a
+        # presentation-equivalent animation, not a byte-level one)
+        frames, delays = gif.compose(data)
+        h, w, _ = frames[0].shape
+        yi = (np.arange(th, dtype=np.int64) * h) // th
+        xi = (np.arange(tw, dtype=np.int64) * w) // tw
+        specs = [
+            {"pixels": np.ascontiguousarray(f[yi][:, xi]), "delay_cs": d, "disposal": 1}
+            for f, d in zip(frames, delays)
+        ]
+        return gif.encode_gif(specs, tw, th)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 
@@ -737,11 +765,25 @@ def frames_real(data: bytes, n_frames: int) -> list[str]:
     hex chars of the sha256 of its raw PCM bytes — the audio analogue of
     video frame sampling. G.711 payloads hash windows of the DECODED
     little-endian int16 stream (decode-then-window: the window id names
-    sample content, not wire bytes). Video rasters need a real codec."""
+    sample content, not wire bytes).
+
+    GIF payloads get GENUINE video-style frame extraction: sample i is
+    the COMPOSITED logical-screen raster of animation frame
+    i*F//n_frames (kernels/gif.py — transparency + disposal applied),
+    hashed over its raw (H, W, 3) RGB bytes. Video beyond animated GIF
+    needs a real codec."""
     import wave
 
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..kernels import gif
+
+        frames, _ = gif.compose(data)
+        return [
+            hashlib.sha256(frames[i * len(frames) // n_frames].tobytes()).hexdigest()[:16]
+            for i in range(n_frames)
+        ]
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
-        raise NotImplementedError("frame sampling: only WAV decodes without a real codec")
+        raise NotImplementedError("frame sampling: only WAV/GIF decode without a real codec")
     audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
     if audio_fmt in (6, 7):
         lin = _g711_table(audio_fmt)[np.frombuffer(g_pcm, dtype=np.uint8)]

@@ -1502,10 +1502,12 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 20 mediagen format classes
+    seed = doc_id/2, cycling through all 22 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
     two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
-    layouts) at every scale factor. ``fmts`` restricts to a set of format
+    layouts, two GIF shapes — static + ANIMATED with sub-rect frames,
+    transparency and disposal) at every scale factor. ``fmts``
+    restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""
     from . import mediagen
@@ -1546,15 +1548,19 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL frame sampling under the hash gate: the WAV payloads of the
-    media corpus (format classes 14/15) split into 3 fixed-stride PCM
-    windows on frame boundaries, each identified by the sha256 of its
-    raw PCM bytes (operators/multimodal.frames_real). Oracle: twin KAT —
-    the independent decoder re-derives the PCM bytes by walking the RIFF
-    chunk list manually (no stdlib wave) and hashes the same windows."""
+    """REAL frame sampling under the hash gate: WAV payloads (PCM
+    classes 14/15, G.711 classes 18/19) split into 3 fixed-stride PCM
+    windows on frame boundaries, PLUS genuine video-style frame
+    extraction — GIF payloads (classes 20/21, incl. ANIMATED sub-rect
+    frames with transparency and disposal) sampled as 3 composited
+    logical-screen rasters (kernels/gif.py), each window/frame
+    identified by its sha256 (operators/multimodal.frames_real).
+    Oracle: twin KAT — the independent decoder re-derives PCM by a
+    manual RIFF walk (no stdlib wave) and GIF frames by a per-bit LZW
+    cursor + per-pixel compositing loops, and hashes the same bytes."""
     from .operators import multimodal
 
-    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19))
+    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19, 20, 21))
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 

@@ -197,17 +197,26 @@ def kat_media_stats_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
 def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """WAV payloads (PCM classes 14/15 + G.711 classes 18/19) ->
     INDEPENDENT PCM window hashes (manual RIFF walk, no stdlib wave;
-    G.711 expanded per byte with scalar spec arithmetic)."""
+    G.711 expanded per byte with scalar spec arithmetic) — plus GIF
+    payloads (classes 20/21) -> COMPOSITED animation frame hashes
+    (scalar per-bit LZW + per-pixel transparency/disposal loops):
+    genuine video-style frame sampling under the same gate."""
     import media_reference_impl as mref
 
     from convert_spark import mediagen
 
     rows = []
     for doc_id in _media_ids(sf_dir):
-        if (doc_id // 2) % mediagen.N_FORMATS not in (14, 15, 18, 19):
+        fmt = (doc_id // 2) % mediagen.N_FORMATS
+        if fmt not in (14, 15, 18, 19, 20, 21):
             continue
         payload = mediagen.payload_for(doc_id // 2)
-        for i, sha in enumerate(mref.wav_frame_windows(payload, 3)):
+        hashes = (
+            mref.gif_frame_hashes(payload, 3)
+            if fmt >= 20
+            else mref.wav_frame_windows(payload, 3)
+        )
+        for i, sha in enumerate(hashes):
             rows.append({"url": f"media://{doc_id}", "frame_idx": i, "frame_sha": sha})
     return pd.DataFrame(rows).astype({"frame_idx": "int32"})
 

@@ -2,7 +2,7 @@
 
 Pure-Python, per-pixel/per-sample re-implementations of the PUBLIC
 specs — PNG (RFC 2083 / W3C), JPEG (ITU T.81), WAV (RIFF/PCM +
-ITU-T G.711 mu-law/A-law) —
+ITU-T G.711 mu-law/A-law), GIF87a/89a (LZW + animation compositing) —
 structurally disjoint from the vectorized production kernels
 (convert_spark/operators/multimodal.py, convert_spark/kernels/jpeg.py):
 
@@ -22,8 +22,9 @@ The twin covers exactly the payload corpus convert_spark.mediagen
 emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
 with both spectral selection and successive approximation; Adobe
 CMYK/YCCK 4-component JPEG; 8/16-bit PCM WAV; G.711 mu-law/A-law
-WAV). Everything else raises ValueError — the KAT builder should
-never hit it.
+WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
+transparency/disposal compositing). Everything else raises
+ValueError — the KAT builder should never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
 transform in float64 from the same published constants and round
@@ -746,6 +747,8 @@ def header(data: bytes):
         return jpeg_header(data)
     if data[:4] == b"RIFF":
         return wav_header(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_header(data)
     raise ValueError("unknown payload format")
 
 
@@ -766,8 +769,207 @@ def channel_stats(data: bytes):
     elif data[:4] == b"RIFF":
         chans = wav_samples(data)
         kind = "wav"
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_channel_stats(data)
     else:
         raise ValueError("unknown payload format")
     return kind, [
         (len(ch), sum(ch), min(ch), max(ch)) for ch in chans
     ]
+
+
+# --- GIF (CompuServe GIF89a spec) ----------------------------------------------
+#
+# Scalar twin of convert_spark/kernels/gif.py, deliberately disjoint in
+# structure: a one-bit-at-a-time LSB cursor (production accumulates
+# whole bytes), an LZW dictionary of per-code INT LISTS (production
+# concatenates bytes objects), explicit per-pixel compositing loops
+# (production uses numpy fancy indexing / slice assignment), and
+# interlace resolved by walking the four passes row by row (production
+# applies one precomputed row permutation).
+
+
+class _GifBits:
+    """LSB-first bit cursor over the concatenated LZW sub-block bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("gif: LZW bit stream exhausted")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.pos += 1
+        return v
+
+
+def gif_lzw(mcs: int, data: bytes, n_px: int):
+    """GIF LZW decode to a flat list of ``n_px`` palette indices."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits = _GifBits(data)
+    table = [[i] for i in range(clear)] + [[], []]
+    width = mcs + 1
+    out: list[int] = []
+    prev = None
+    while len(out) < n_px:
+        code = bits.read(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = list(table[code])
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_px:
+        raise ValueError("gif: LZW stream short")
+    return out[:n_px]
+
+
+def _gif_subblocks(data: bytes, pos: int):
+    parts = bytearray()
+    while True:
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return bytes(parts), pos
+        parts += data[pos : pos + n]
+        pos += n
+
+
+def gif_parse(data: bytes):
+    """Scalar container walk -> (width, height, bg_rgb, frames), each
+    frame a dict of x/y/w/h, palette (list of (r, g, b)), indices (flat
+    row-major list, deinterlaced), delay_cs, transparent, disposal."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) else (0, 0, 0)
+    frames = []
+    delay, transparent, disposal = 0, None, 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            body, pos = _gif_subblocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:
+                disposal = (body[0] >> 2) & 7
+                delay = body[1] | (body[2] << 8)
+                transparent = body[3] if body[0] & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block {block}")
+        fx, fy, fw, fh = struct.unpack("<HHHH", data[pos : pos + 8])
+        fpacked = data[pos + 8]
+        pos += 9
+        palette = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 7)
+            palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("gif: no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(data, pos)
+        flat = gif_lzw(mcs, lzw, fw * fh)
+        if fpacked & 0x40:  # interlaced: walk the four passes
+            rows = []
+            for y0, dy in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                y = y0
+                while y < fh:
+                    rows.append(y)
+                    y += dy
+            grid = [[0] * fw for _ in range(fh)]
+            for stored, disp_row in enumerate(rows):
+                for x in range(fw):
+                    grid[disp_row][x] = flat[stored * fw + x]
+            flat = [v for row in grid for v in row]
+        frames.append(
+            {"x": fx, "y": fy, "w": fw, "h": fh, "palette": palette,
+             "indices": flat, "delay_cs": delay, "transparent": transparent,
+             "disposal": disposal}
+        )
+        delay, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("gif: no frames")
+    return w, h, bg_rgb, frames
+
+
+def gif_compose(data: bytes):
+    """Presented frame sequence: list of row-major [[(r,g,b)...]...]
+    canvases (transparency + disposal 0-3 per the documented shared
+    conventions)."""
+    w, h, bg, frames = gif_parse(data)
+    canvas = [[bg for _ in range(w)] for _ in range(h)]
+    out = []
+    for fr in frames:
+        saved = [row[:] for row in canvas] if fr["disposal"] == 3 else None
+        for yy in range(fr["h"]):
+            for xx in range(fr["w"]):
+                idx = fr["indices"][yy * fr["w"] + xx]
+                if fr["transparent"] is not None and idx == fr["transparent"]:
+                    continue
+                if idx >= len(fr["palette"]):
+                    raise ValueError("gif: index outside palette")
+                canvas[fr["y"] + yy][fr["x"] + xx] = fr["palette"][idx]
+        out.append([row[:] for row in canvas])
+        if fr["disposal"] == 2:
+            for yy in range(fr["h"]):
+                for xx in range(fr["w"]):
+                    canvas[fr["y"] + yy][fr["x"] + xx] = bg
+        elif fr["disposal"] == 3:
+            canvas = saved
+    return out
+
+
+def gif_header(data: bytes):
+    w, h, _, frames = gif_parse(data)
+    return "gif", w, h, len(frames)
+
+
+def gif_channel_stats(data: bytes):
+    first = gif_compose(data)[0]
+    chans = [[px[c] for row in first for px in row] for c in range(3)]
+    return "gif", [(len(ch), sum(ch), min(ch), max(ch)) for ch in chans]
+
+
+def gif_frame_hashes(data: bytes, n_frames: int):
+    """sha256[:16] per sampled frame: frame i*F//n_frames of the
+    composited sequence, hashed over its row-major RGB bytes — the twin
+    of the engine's video-style GIF branch in frames_real."""
+    import hashlib
+
+    frames = gif_compose(data)
+    out = []
+    for i in range(n_frames):
+        f = frames[i * len(frames) // n_frames]
+        raw = bytes(v for row in f for px in row for v in px)
+        out.append(hashlib.sha256(raw).hexdigest()[:16])
+    return out

@@ -81,9 +81,11 @@ def lzw_decode(mcs: int, data: bytes, n_px: int) -> np.ndarray:
                 prev = None
                 continue
             if code == eoi:
-                nbits = 0
-                acc = 0
-                break
+                # decoding stops HERE — residual padding bits after EOI
+                # must not be interpreted as codes
+                if len(out) < n_px:
+                    raise NotImplementedError("malformed GIF: EOI before all pixels decoded")
+                return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
             if code < len(table):
                 entry = table[code]
             elif code == len(table) and prev is not None:
@@ -180,7 +182,7 @@ def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def parse(data: bytes, frames_limit: int | None = None, decode_pixels: bool = True) -> dict:
+def parse(data: bytes, decode_pixels: bool = True) -> dict:
     """Full container walk. Returns ``{width, height, bg_rgb, gct,
     frames}`` where each frame dict carries ``x, y, w, h, indices
     ((h, w) uint8, deinterlaced), palette ((n, 3) uint8), delay_cs,
@@ -250,8 +252,6 @@ def parse(data: bytes, frames_limit: int | None = None, decode_pixels: bool = Tr
             frame["indices"] = idx
         frames.append(frame)
         gce_delay, gce_transparent, gce_disposal = 0, None, 0
-        if frames_limit is not None and len(frames) >= frames_limit:
-            break
     if not frames:
         raise NotImplementedError("malformed GIF: no image data")
     return {"width": w, "height": h, "bg_rgb": bg_rgb, "gct": gct, "frames": frames}

@@ -17,9 +17,14 @@ color-converts once at EOI. Supported scan shapes:
   (YCCK -> true-ink CMYK); 4 components without an Adobe marker decode
   as plain CMYK per the libjpeg convention.
 
-Arithmetic coding, 12-bit precision, lossless and hierarchical modes
-raise NotImplementedError — the same single declared exception type as
-the rest of operators/multimodal. Truncated entropy data raises (never
+* 12-bit sample precision (T.81 extended DCT): 16-bit quantization
+  tables (DQT Pq=1), level shift 2048, uint16 rasters clamped to
+  0..4095 — decode for ANY 12-bit scan shape (the scan machinery is
+  precision-independent), encode for grayscale/4:4:4 sequential.
+
+Arithmetic coding, lossless and hierarchical modes raise
+NotImplementedError — the same single declared exception type as the
+rest of operators/multimodal. Truncated entropy data raises (never
 silently zero-pads to a black remainder).
 
 The encoder (used by the real resize path and the round-trip tests)
@@ -154,6 +159,24 @@ def _encode_codes(counts, symbols):
     return {sym: (code, length) for (length, code), sym in dec.items()}
 
 
+# Extended-precision (12-bit) huffman tables: Annex K's example tables
+# only reach DC category 11 / AC size 10, but 12-bit samples legally
+# produce DC diffs to category 15 and AC sizes to 14 (T.81 F.1.2.1.1).
+# These flat canonical tables cover the full extended alphabet — code
+# compactness is NOT the goal of the from-scratch 12-bit path, carrying
+# every legal symbol is (the all-ones code point at each length stays
+# reserved per C.2, since 15 < 2^4-1 cap and 226 <= 2^8-2 after the
+# split below).
+_DC_EXT = (
+    (0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),  # 15 x 4-bit + 1 x 5-bit
+    tuple(range(16)),
+)
+_AC_EXT = (
+    (0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0),  # all 8-bit
+    (0x00, 0xF0) + tuple((r << 4) | s for r in range(16) for s in range(1, 15)),
+)
+
+
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
     byte-stuffing removal; stops at any non-RST marker."""
@@ -234,8 +257,9 @@ def _extend(v: int, t: int) -> int:
 
 def decode_baseline(data: bytes) -> np.ndarray:
     """Decode a sequential OR progressive JPEG to (h, w, 3) RGB uint8
+    — uint16 in 0..4095 for 12-bit precision frames —
     (or (h, w, 1) for single-component frames). Arithmetic-coded,
-    12-bit, lossless and hierarchical inputs raise NotImplementedError
+    lossless and hierarchical inputs raise NotImplementedError
     (the one declared type, like every malformed-payload path). The name
     keeps the original call-site contract; progressive support was added
     on top of the same entry point."""
@@ -249,7 +273,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
 
 def _parse_sof(body: bytes, progressive: bool) -> dict:
     precision = body[0]
-    if precision != 8:
+    if precision not in (8, 12):
+        # T.81 allows only 8/12 for DCT processes; anything else is malformed
         raise NotImplementedError(f"{precision}-bit JPEG: unsupported precision")
     h, w = struct.unpack(">HH", body[1:5])
     if h == 0 or w == 0:
@@ -276,7 +301,7 @@ def _parse_sof(body: bytes, progressive: bool) -> dict:
     return {
         "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
         "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive,
-        "dc_done": [False] * ncomp,
+        "dc_done": [False] * ncomp, "precision": precision,
     }
 
 
@@ -311,13 +336,16 @@ def _decode(data: bytes) -> np.ndarray:
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables: not baseline")
-                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
+                if pq not in (0, 1):
+                    raise NotImplementedError("malformed JPEG: DQT precision field")
+                if pq:  # 16-bit entries (required by 12-bit sample precision)
+                    zz = np.frombuffer(body[b + 1 : b + 129], dtype=">u2").astype(np.int64)
+                else:
+                    zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(np.int64)
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_ZIGZAG] = zz
                 qt[tq] = tbl.reshape(8, 8)
-                b += 65
+                b += 129 if pq else 65
         elif marker == 0xC4:  # DHT — multiple tables per segment
             b = 0
             while b < len(body):
@@ -538,8 +566,17 @@ def _decode_scan(data, pos, frame, scan, ss, se, ah, al, huff, restart, coeffs) 
 
 def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
     """Dequantize + batched IDCT + upsample + color-convert the
-    accumulated coefficient arrays into the output raster."""
+    accumulated coefficient arrays into the output raster. Sample
+    precision parameterizes the level shift (2^(P-1)), the clamp range
+    (0..2^P-1) and the output dtype (uint8 / uint16 for 12-bit)."""
     h, w = frame["h"], frame["w"]
+    level = float(1 << (frame["precision"] - 1))
+    maxv = (1 << frame["precision"]) - 1
+    dtype = np.uint8 if frame["precision"] == 8 else np.uint16
+
+    def clampv(a: np.ndarray) -> np.ndarray:
+        return np.clip(np.rint(a), 0, maxv).astype(dtype)
+
     full = []
     for comp, cz in zip(frame["comps"], coeffs):
         q = qt.get(comp["tq"])
@@ -550,7 +587,7 @@ def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
         zz = cz.reshape(sh * sw, 64).astype(np.int64) * qzz
         nat = np.zeros((sh * sw, 64), dtype=np.int64)
         nat[:, _ZIGZAG] = zz
-        blocks = _A.T @ nat.reshape(-1, 8, 8).astype(np.float64) @ _A + 128.0
+        blocks = _A.T @ nat.reshape(-1, 8, 8).astype(np.float64) @ _A + level
         p = (
             blocks.reshape(sh, sw, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -561,7 +598,7 @@ def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return clampv(full[0])[:, :, None]
     if len(full) == 4:
         # Adobe CMYK family (Adobe TN #5116 / the libjpeg convention):
         # transform=2 is YCCK — the YCbCr forward transform applied to
@@ -570,31 +607,29 @@ def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:
         # with NO Adobe marker is plain non-inverted CMYK. Output is
         # true ink amounts, 4 channels.
         if adobe_transform == 2:
-            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            y, cb, cr = full[0], full[1] - level, full[2] - level
             r = y + 1.402 * cr
             g = y - 0.344136 * cb - 0.714136 * cr
             b = y + 1.772 * cb
-            inv = np.clip(np.rint(np.stack([r, g, b, full[3]], axis=2)), 0, 255)
-            return (255 - inv).astype(np.uint8)
+            return (maxv - clampv(np.stack([r, g, b, full[3]], axis=2))).astype(dtype)
         if adobe_transform == 0:
-            inv = np.clip(np.rint(np.stack(full, axis=2)), 0, 255)
-            return (255 - inv).astype(np.uint8)
+            return (maxv - clampv(np.stack(full, axis=2))).astype(dtype)
         if adobe_transform is None:
-            return np.clip(np.rint(np.stack(full, axis=2)), 0, 255).astype(np.uint8)
+            return clampv(np.stack(full, axis=2))
         raise NotImplementedError(
             f"4-component JPEG with Adobe transform {adobe_transform}: malformed"
         )
     if len(full) != 3:
         raise NotImplementedError(f"{len(full)}-component JPEG: not JFIF YCbCr")
     if adobe_transform == 0:  # Adobe APP14: components are literal RGB
-        return np.clip(np.rint(np.stack(full, axis=2)), 0, 255).astype(np.uint8)
+        return clampv(np.stack(full, axis=2))
     if adobe_transform is not None and adobe_transform != 1:
         raise NotImplementedError(f"Adobe APP14 transform {adobe_transform}: unsupported")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    y, cb, cr = full[0], full[1] - level, full[2] - level
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return clampv(np.stack([r, g, b], axis=2))
 
 
 # --- encoder (baseline, 4:4:4 or grayscale; Annex K tables) -------------------
@@ -633,9 +668,9 @@ class _BitWriter:
             self.bits((1 << pad) - 1, pad)  # pad with 1s per spec
 
 
-def _block_zz(plane, ys, xs, q) -> np.ndarray:
+def _block_zz(plane, ys, xs, q, level: float = 128.0) -> np.ndarray:
     """Quantized zigzag-order coefficients for the 8x8 tile at (ys, xs)."""
-    coeff = np.rint((_A @ (_pad_block(plane, ys, xs) - 128.0) @ _A.T) / q).astype(np.int64)
+    coeff = np.rint((_A @ (_pad_block(plane, ys, xs) - level) @ _A.T) / q).astype(np.int64)
     return coeff.reshape(-1)[_ZIGZAG]
 
 
@@ -742,8 +777,8 @@ def _emit_ac_refine(bw, zz, ac_codes, al: int) -> None:
         i = nxt + 1
 
 
-def _encode_block(bw, block, q, dc_codes, ac_codes, pred):
-    coeff = np.rint((_A @ (block - 128.0) @ _A.T) / q).astype(np.int64)
+def _encode_block(bw, block, q, dc_codes, ac_codes, pred, level: float = 128.0):
+    coeff = np.rint((_A @ (block - level) @ _A.T) / q).astype(np.int64)
     zz = coeff.reshape(-1)[_ZIGZAG]
     _emit_dc(bw, int(zz[0]), pred, dc_codes)
     _emit_ac(bw, zz, ac_codes)
@@ -770,6 +805,7 @@ def encode_baseline(
     progressive: bool = False,
     sa_levels: int = 0,
     adobe_transform: int | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Encode (h, w, 1|3|4) uint8 as JFIF — baseline 4:4:4 by default,
     4:2:0 with ``subsample=True`` (2x2-mean chroma), grayscale for one
@@ -787,11 +823,30 @@ def encode_baseline(
     Four channels are TRUE-INK CMYK and require ``adobe_transform`` 0
     (Adobe inverted CMYK) or 2 (YCCK: YCbCr transform of the inverted
     C,M,Y with K passed through) — the Adobe APP14 marker is written so
-    decoders pick the matching inverse; 4:4:4 only."""
+    decoders pick the matching inverse; 4:4:4 only.
+
+    ``precision=12`` writes an EXTENDED sequential file (SOF1, T.81
+    process 2): uint16 samples in 0..4095, level shift 2048, 16-bit
+    quantization tables (Annex K x16) and flat extended huffman tables
+    covering DC category 15 / AC size 14 — grayscale or 4:4:4 RGB,
+    sequential only (12-bit progressive/CMYK/subsampling stay
+    declared)."""
     h, w, nc = px.shape
     if nc not in (1, 3, 4):
         raise NotImplementedError(f"JPEG encode: {nc} channels unsupported")
+    if precision not in (8, 12):
+        raise NotImplementedError(f"JPEG encode: precision {precision} unsupported")
     ql, qc = _quality_tables(quality)
+    level = 128.0
+    if precision == 12:
+        if nc == 4 or subsample or progressive:
+            raise NotImplementedError(
+                "JPEG encode: 12-bit supports grayscale/4:4:4 sequential only"
+            )
+        if int(px.max(initial=0)) > 4095:
+            raise NotImplementedError("JPEG encode: 12-bit samples exceed 4095")
+        ql, qc = ql * 16, qc * 16
+        level = 2048.0
     if nc == 4:
         if adobe_transform not in (0, 2):
             raise NotImplementedError("JPEG encode: CMYK needs adobe_transform 0 or 2")
@@ -810,8 +865,8 @@ def encode_baseline(
     elif nc == 3:
         r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + level
         if subsample:
             # 2x2 mean chroma (pad odd dims by edge replication first)
             def down2(p):
@@ -836,21 +891,35 @@ def encode_baseline(
         out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform))
     has_chroma = any(ch[2] for ch in chans)
     for tq, q in ((0, ql), (1, qc))[: 2 if has_chroma else 1]:
-        zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
-        out += seg(0xDB, bytes([tq]) + zz.tobytes())
+        if precision == 12:
+            zz = q.reshape(-1)[_ZIGZAG].astype(">u2")
+            out += seg(0xDB, bytes([0x10 | tq]) + zz.tobytes())
+        else:
+            zz = q.reshape(-1)[_ZIGZAG].astype(np.uint8)
+            out += seg(0xDB, bytes([tq]) + zz.tobytes())
     comp_spec = b"".join(
         bytes([i + 1, (ch[3] << 4) | ch[4], 1 if ch[2] else 0]) for i, ch in enumerate(chans)
     )
-    out += seg(0xC2 if progressive else 0xC0, struct.pack(">BHHB", 8, h, w, nc) + comp_spec)
-    tables = ((_DC_LUMA, 0x00), (_AC_LUMA, 0x10)) + (
-        ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if has_chroma else ()
-    )
+    sof_marker = 0xC2 if progressive else (0xC1 if precision == 12 else 0xC0)
+    out += seg(sof_marker, struct.pack(">BHHB", precision, h, w, nc) + comp_spec)
+    if precision == 12:  # extended alphabet; one table pair serves all comps
+        tables = ((_DC_EXT, 0x00), (_AC_EXT, 0x10)) + (
+            ((_DC_EXT, 0x01), (_AC_EXT, 0x11)) if has_chroma else ()
+        )
+    else:
+        tables = ((_DC_LUMA, 0x00), (_AC_LUMA, 0x10)) + (
+            ((_DC_CHROMA, 0x01), (_AC_CHROMA, 0x11)) if has_chroma else ()
+        )
     for (counts, symbols), tcth in tables:
         out += seg(0xC4, bytes([tcth]) + bytes(counts) + bytes(symbols))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
-    dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
+    if precision == 12:
+        dc_l = dc_c = _encode_codes(*_DC_EXT)
+        ac_l = ac_c = _encode_codes(*_AC_EXT)
+    else:
+        dc_l, ac_l = _encode_codes(*_DC_LUMA), _encode_codes(*_AC_LUMA)
+        dc_c, ac_c = _encode_codes(*_DC_CHROMA), _encode_codes(*_AC_CHROMA)
     hmax = max(ch[3] for ch in chans)
     vmax = max(ch[4] for ch in chans)
     mcus_y = -(-h // (8 * vmax))
@@ -901,6 +970,7 @@ def encode_baseline(
                                 dc_c if is_chroma else dc_l,
                                 ac_c if is_chroma else ac_l,
                                 preds[ci],
+                                level,
                             )
                 mcu_count += 1
         return out + sw.finish() + b"\xff\xd9"

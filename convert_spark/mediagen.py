@@ -34,7 +34,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 22
+N_FORMATS = 24
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -161,17 +161,36 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 22``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 24``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
-    directly from the seeded rng), and two GIF shapes (20 static —
+    directly from the seeded rng), two GIF shapes (20 static —
     interlace by seeded coin — and 21 ANIMATED: 3-6 sub-rect frames
-    with seeded disposal methods, transparency masks and delays)."""
+    with seeded disposal methods, transparency masks and delays), and
+    two 12-bit extended-sequential JPEG shapes (22 grayscale, 23 RGB
+    4:4:4 with restart markers)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 22:  # 12-bit extended sequential JPEG (SOF1)
+        from .kernels import jpeg
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        f1, f2 = rng.uniform(3.0, 9.0, size=2)
+        nch = 1 if fmt == 22 else 3
+        p = rng.uniform(0.0, 6.0, size=nch)
+        px = np.stack(
+            [
+                (2048 + 1500 * np.sin(xx / f1 + yy / f2 + ph)).astype(np.uint16)
+                for ph in p
+            ],
+            axis=2,
+        )
+        if fmt == 22:
+            return jpeg.encode_baseline(px, quality=90, precision=12)
+        return jpeg.encode_baseline(px, quality=85, precision=12, restart_interval=2)
     if fmt >= 20:  # GIF
         from .kernels import gif
 

@@ -499,7 +499,8 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
     elif data[:3] == b"\xff\xd8\xff":
         from ..kernels import jpeg
 
-        px = jpeg.decode_baseline(data).astype(np.float64) / 255.0
+        raw = jpeg.decode_baseline(data)
+        px = raw.astype(np.float64) / (4095.0 if raw.dtype == np.uint16 else 255.0)
         chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s, _ = _wav_samples(data)
@@ -705,6 +706,8 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         yi = (np.arange(th, dtype=np.int64) * h) // th
         xi = (np.arange(tw, dtype=np.int64) * w) // tw
         resized = np.ascontiguousarray(px[yi][:, xi])
+        if px.dtype == np.uint16:  # 12-bit source re-encodes at 12 bits
+            return jpeg.encode_baseline(resized, precision=12)
         if nc == 4:
             # re-encode CMYK with the SOURCE's Adobe transform (APP14
             # marker scan; a 4-comp file without one re-encodes as

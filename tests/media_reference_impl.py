@@ -21,7 +21,8 @@ structurally disjoint from the vectorized production kernels
 The twin covers exactly the payload corpus convert_spark.mediagen
 emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
 with both spectral selection and successive approximation; Adobe
-CMYK/YCCK 4-component JPEG; 8/16-bit PCM WAV; G.711 mu-law/A-law
+CMYK/YCCK 4-component JPEG; 12-bit extended-sequential JPEG (16-bit
+DQT, level shift 2048); 8/16-bit PCM WAV; G.711 mu-law/A-law
 WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
 transparency/disposal compositing). Everything else raises
 ValueError — the KAT builder should never hit it.
@@ -342,13 +343,16 @@ def jpeg_pixels(data: bytes):
         if m == 0xDB:
             b = 0
             while b < len(body):
-                tq = body[b] & 0x0F
+                pq, tq = body[b] >> 4, body[b] & 0x0F
                 tab = [[0] * 8 for _ in range(8)]
                 for k in range(64):
                     r, c = _ZZ[k]
-                    tab[r][c] = body[b + 1 + k]
+                    if pq:  # 16-bit entries (12-bit precision files)
+                        tab[r][c] = (body[b + 1 + 2 * k] << 8) | body[b + 2 + 2 * k]
+                    else:
+                        tab[r][c] = body[b + 1 + k]
                 qts[tq] = tab
-                b += 65
+                b += 129 if pq else 65
         elif m == 0xC4:
             b = 0
             while b < len(body):
@@ -360,6 +364,9 @@ def jpeg_pixels(data: bytes):
                 )
                 b += 17 + n
         elif m in (0xC0, 0xC1, 0xC2):
+            prec = body[0]
+            if prec not in (8, 12):
+                raise ValueError("jpeg: precision")
             h, w = struct.unpack(">HH", body[1:5])
             comps = []
             for i in range(body[5]):
@@ -378,7 +385,7 @@ def jpeg_pixels(data: bytes):
                 c["nby"] = (chh + 7) // 8
             frame = {
                 "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
-                "mx": mx, "my": my, "prog": m == 0xC2,
+                "mx": mx, "my": my, "prog": m == 0xC2, "prec": prec,
             }
             coeffs = [{} for _ in comps]  # (by,bx) -> zigzag list[64]
         elif m == 0xDD:
@@ -529,6 +536,8 @@ def _jscan(data, pos, frame, sel, ss, se, ah, al, huffs, restart, coeffs) -> int
 
 def _jfinish(frame, coeffs, qts, adobe=None):
     w, h = frame["w"], frame["h"]
+    level = float(1 << (frame["prec"] - 1))
+    maxv = (1 << frame["prec"]) - 1
     planes = []
     for ci, comp in enumerate(frame["comps"]):
         q = qts[comp["tq"]]
@@ -545,7 +554,7 @@ def _jfinish(frame, coeffs, qts, adobe=None):
                 for x in range(8)
             ]
             px = [
-                [sum(tmp[x][v] * _COS[v][y] for v in range(8)) + 128.0 for y in range(8)]
+                [sum(tmp[x][v] * _COS[v][y] for v in range(8)) + level for y in range(8)]
                 for x in range(8)
             ]
             blocks[(by, bx)] = px
@@ -560,14 +569,14 @@ def _jfinish(frame, coeffs, qts, adobe=None):
                 rx = frame["hmax"] // comp["hs"]
                 py, pxx = y // ry, x // rx
                 blk = planes[ci].get((py // 8, pxx // 8))
-                v = 128.0 if blk is None else blk[py % 8][pxx % 8]
+                v = level if blk is None else blk[py % 8][pxx % 8]
                 samples.append(v)
             row.append(tuple(samples))
         rows.append(row)
 
     def to8(v: float) -> int:
         r = round(v)  # round-half-even, same as np.rint
-        return 0 if r < 0 else (255 if r > 255 else int(r))
+        return 0 if r < 0 else (maxv if r > maxv else int(r))
 
     ncomp = len(frame["comps"])
     if ncomp == 1:
@@ -581,15 +590,15 @@ def _jfinish(frame, coeffs, qts, adobe=None):
             orow = []
             for s0, s1, s2, s3 in row:
                 if adobe == 2:
-                    cb, cr = s1 - 128.0, s2 - 128.0
+                    cb, cr = s1 - level, s2 - level
                     orow.append((
-                        255 - to8(s0 + 1.402 * cr),
-                        255 - to8(s0 - 0.344136 * cb - 0.714136 * cr),
-                        255 - to8(s0 + 1.772 * cb),
-                        255 - to8(s3),
+                        maxv - to8(s0 + 1.402 * cr),
+                        maxv - to8(s0 - 0.344136 * cb - 0.714136 * cr),
+                        maxv - to8(s0 + 1.772 * cb),
+                        maxv - to8(s3),
                     ))
                 elif adobe == 0:
-                    orow.append((255 - to8(s0), 255 - to8(s1), 255 - to8(s2), 255 - to8(s3)))
+                    orow.append((maxv - to8(s0), maxv - to8(s1), maxv - to8(s2), maxv - to8(s3)))
                 elif adobe is None:
                     orow.append((to8(s0), to8(s1), to8(s2), to8(s3)))
                 else:
@@ -602,8 +611,8 @@ def _jfinish(frame, coeffs, qts, adobe=None):
     for row in rows:
         orow = []
         for y, cb, cr in row:
-            cb -= 128.0
-            cr -= 128.0
+            cb -= level
+            cr -= level
             orow.append(
                 (
                     to8(y + 1.402 * cr),

@@ -1654,7 +1654,7 @@ class TestG711:
         from convert_spark import mediagen
         from convert_spark.operators import multimodal
 
-        for seed in (18, 19, 40, 41):  # the G.711 classes mod N_FORMATS=22
+        for seed in (18, 19, 42, 43):  # the G.711 classes mod N_FORMATS=24
             p = mediagen.payload_for(seed)
             assert multimodal.decode_real(p) == mref.header(p)
             ek, es = multimodal.stats_real(p)
@@ -1678,6 +1678,83 @@ class TestG711:
             multimodal.decode_real(bad)
         with pytest.raises(NotImplementedError):
             multimodal.stats_real(bad)
+
+
+class TestJpeg12:
+    """12-bit extended-sequential JPEG (SOF1, T.81 process 2): 16-bit
+    DQT, level shift 2048, extended huffman alphabet, uint16 rasters."""
+
+    def _px(self, h=19, w=15, nc=3):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(2048 + 1500 * np.sin(xx / 4.0 + yy / 6.0 + p)).astype(np.uint16) for p in range(nc)],
+            axis=2,
+        )
+
+    def test_round_trip_close_and_uint16(self):
+        from convert_spark.kernels import jpeg
+
+        for nc in (1, 3):
+            px = self._px(nc=nc)
+            out = jpeg.decode_baseline(jpeg.encode_baseline(px, quality=92, precision=12))
+            assert out.dtype == np.uint16 and out.shape == px.shape
+            assert float(np.abs(out.astype(int) - px.astype(int)).mean()) < 60
+
+    def test_dc_extremes_and_restarts(self):
+        from convert_spark.kernels import jpeg
+
+        # full-scale flats stress the extended DC categories
+        for v in (0, 4095):
+            px = np.full((9, 9, 1), v, np.uint16)
+            out = jpeg.decode_baseline(jpeg.encode_baseline(px, quality=50, precision=12))
+            assert abs(float(out.mean()) - v) < 40
+        px = self._px()
+        b = jpeg.encode_baseline(px, quality=85, precision=12, restart_interval=2)
+        assert b"\xff\xc1" in b and b"\xff\xc0" not in b  # SOF1, not baseline SOF0
+        out = jpeg.decode_baseline(b)
+        assert float(np.abs(out.astype(int) - px.astype(int)).mean()) < 80
+
+    def test_sixteen_bit_dqt_written_and_read(self):
+        from convert_spark.kernels import jpeg
+
+        b = jpeg.encode_baseline(self._px(nc=1), quality=90, precision=12)
+        i = b.find(b"\xff\xdb")
+        assert b[i + 4] >> 4 == 1  # Pq=1: 16-bit quant entries
+
+    def test_matches_scalar_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (22, 23, 46, 47):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk == "jpeg"
+            assert [tuple(x) for x in es] == [tuple(x) for x in ts]
+
+    def test_declared_boundaries(self):
+        from convert_spark.kernels import jpeg
+
+        px8 = self._px(nc=3)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_baseline(px8, precision=12, progressive=True)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_baseline(px8, precision=12, subsample=True)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_baseline(np.full((8, 8, 1), 5000, np.uint16), precision=12)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_baseline(px8, precision=10)
+
+    def test_resize_preserves_precision(self):
+        from convert_spark import mediagen
+        from convert_spark.kernels import jpeg
+
+        p = mediagen.payload_for(23)
+        rz = multimodal.resize_real(p, 7, 6)
+        out = jpeg.decode_baseline(rz)
+        assert out.dtype == np.uint16 and out.shape[:2] == (6, 7)
 
 
 class TestGif:
@@ -1746,7 +1823,7 @@ class TestGif:
         from convert_spark import mediagen
         from convert_spark.operators import multimodal
 
-        for seed in (20, 21, 42, 43, 108, 109):
+        for seed in (20, 21, 44, 45, 116, 117):  # GIF classes mod 24
             p = mediagen.payload_for(seed)
             assert multimodal.decode_real(p) == mref.gif_header(p)
             ek, es = multimodal.stats_real(p)
@@ -1788,6 +1865,11 @@ class TestGif:
         p = mediagen.payload_for(20)
         with pytest.raises(NotImplementedError):
             gif.compose(p[: len(p) - 8])
+        # EOI arriving before all pixels decode is declared malformed,
+        # and residual padding bits after EOI are never read as codes
+        short = gif.lzw_encode(np.zeros(4, np.uint8), 2) + b"\x55" * 6
+        with pytest.raises(NotImplementedError, match="EOI"):
+            gif.lzw_decode(2, short, 100)
 
 
 class TestMediagen:

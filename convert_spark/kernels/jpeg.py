@@ -22,7 +22,12 @@ color-converts once at EOI. Supported scan shapes:
   0..4095 — decode for ANY 12-bit scan shape (the scan machinery is
   precision-independent), encode for grayscale/4:4:4 sequential.
 
-Arithmetic coding, lossless and hierarchical modes raise
+* lossless (SOF3, process 14): huffman-coded modulo-2^16 prediction
+  differences, predictors 1-7, precisions 2-16, point transform;
+  decode is row-vectorized for the affine predictors; the paired
+  ``encode_lossless`` round-trips BIT-EXACTLY.
+
+Arithmetic coding and hierarchical mode raise
 NotImplementedError — the same single declared exception type as the
 rest of operators/multimodal. Truncated entropy data raises (never
 silently zero-pads to a black remainder).
@@ -257,9 +262,10 @@ def _extend(v: int, t: int) -> int:
 
 def decode_baseline(data: bytes) -> np.ndarray:
     """Decode a sequential OR progressive JPEG to (h, w, 3) RGB uint8
-    — uint16 in 0..4095 for 12-bit precision frames —
-    (or (h, w, 1) for single-component frames). Arithmetic-coded,
-    lossless and hierarchical inputs raise NotImplementedError
+    — uint16 in 0..4095 for 12-bit precision frames; lossless SOF3
+    frames decode to literal components, bit-exact —
+    (or (h, w, 1) for single-component frames). Arithmetic-coded and
+    hierarchical inputs raise NotImplementedError
     (the one declared type, like every malformed-payload path). The name
     keeps the original call-site contract; progressive support was added
     on top of the same entry point."""
@@ -271,9 +277,12 @@ def decode_baseline(data: bytes) -> np.ndarray:
         raise NotImplementedError(f"malformed JPEG: {exc}") from exc
 
 
-def _parse_sof(body: bytes, progressive: bool) -> dict:
+def _parse_sof(body: bytes, progressive: bool, lossless: bool = False) -> dict:
     precision = body[0]
-    if precision not in (8, 12):
+    if lossless:
+        if not 2 <= precision <= 16:  # T.81 B.2.2: lossless allows 2..16
+            raise NotImplementedError(f"{precision}-bit lossless JPEG: malformed precision")
+    elif precision not in (8, 12):
         # T.81 allows only 8/12 for DCT processes; anything else is malformed
         raise NotImplementedError(f"{precision}-bit JPEG: unsupported precision")
     h, w = struct.unpack(">HH", body[1:5])
@@ -298,10 +307,12 @@ def _parse_sof(body: bytes, progressive: bool) -> dict:
         # MCU-padded storage grid (superset of the non-interleaved grid)
         c["sw"] = mcus_x * c["h"]
         c["sh"] = mcus_y * c["v"]
+    if lossless and (hmax != 1 or vmax != 1):
+        raise NotImplementedError("lossless JPEG with subsampling: unsupported")
     return {
         "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
         "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive,
-        "dc_done": [False] * ncomp, "precision": precision,
+        "dc_done": [False] * ncomp, "precision": precision, "lossless": lossless,
     }
 
 
@@ -362,8 +373,15 @@ def _decode(data: bytes) -> np.ndarray:
             coeffs = [
                 np.zeros((c["sh"], c["sw"], 64), dtype=np.int32) for c in frame["comps"]
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("lossless/hierarchical/arithmetic JPEG: unsupported")
+        elif marker == 0xC3:  # lossless (SOF3, T.81 process 14)
+            if frame is not None:
+                raise NotImplementedError("multi-frame (hierarchical) JPEG: unsupported")
+            frame = _parse_sof(body, progressive=False, lossless=True)
+            coeffs = [
+                np.zeros((frame["h"], frame["w"]), dtype=np.int64) for _ in frame["comps"]
+            ]  # reconstructed SAMPLE grids, not DCT coefficients
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("hierarchical/arithmetic JPEG: unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
@@ -384,14 +402,21 @@ def _decode(data: bytes) -> np.ndarray:
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             a = body[3 + 2 * ns]
             ah, al = a >> 4, a & 0x0F
-            pos = _decode_scan(
-                data, pos + 2 + seg_len, frame, scan, ss, se, ah, al, huff, restart, coeffs
-            )
+            if frame.get("lossless"):
+                pos = _decode_lossless_scan(
+                    data, pos + 2 + seg_len, frame, scan, ss, al, huff, restart, coeffs
+                )
+            else:
+                pos = _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan, ss, se, ah, al, huff, restart, coeffs
+                )
             scans_seen += 1
             continue
         pos += 2 + seg_len
     if frame is None or scans_seen == 0:
         raise NotImplementedError("malformed JPEG: no SOS marker")
+    if frame.get("lossless"):
+        return _finalize_lossless(frame, coeffs)
     return _finalize(frame, coeffs, qt, adobe_transform)
 
 
@@ -562,6 +587,199 @@ def _decode_scan(data, pos, frame, scan, ss, se, ah, al, huff, restart, coeffs) 
             return p
         p += 1
     return len(data)
+
+
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def frame_info(data: bytes) -> tuple[int, int]:
+    """(SOF marker, sample precision) from a cheap marker walk — for
+    callers that need the coding process without a full decode (e.g.
+    the resize stage re-encoding in the source process/precision)."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _SOF_MARKERS:
+            return marker, data[pos + 4]
+        pos += 2 + seg_len
+    raise NotImplementedError("malformed JPEG: no SOF marker")
+
+
+def _decode_lossless_scan(data, pos, frame, scan, predictor, pt, huff, restart, samples) -> int:
+    """T.81 lossless (process 14) scan: huffman-coded modulo-2^16
+    prediction differences over the sample raster (Ss selects the
+    predictor 1-7, Al is the point transform). The ENTROPY pass is the
+    same scalar bit loop as the DCT path; RECONSTRUCTION is
+    row-vectorized for predictors 1-5, whose recurrences are affine in
+    the left neighbor (each row collapses to one cumsum — deferred
+    modulo is valid because every step is additive), and scalar for
+    6/7, where the left neighbor sits inside an arithmetic shift."""
+    if restart:
+        raise NotImplementedError("lossless JPEG restart intervals: unsupported")
+    if not 1 <= predictor <= 7:
+        raise NotImplementedError("malformed JPEG: lossless predictor out of range")
+    h, w = frame["h"], frame["w"]
+    tables = []
+    for _, td, _ in scan:
+        t = huff.get((0, td))
+        if t is None:
+            raise NotImplementedError("malformed JPEG: missing lossless huffman table")
+        tables.append(t)
+    reader = _BitReader(data, pos)
+    diffs = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    for y in range(h):
+        for x in range(w):
+            for si in range(len(scan)):
+                t = reader.huffman(tables[si])
+                if t == 16:  # T.81: SSSS=16 means +32768, no extra bits
+                    diffs[si][y, x] = 32768
+                elif t > 16:
+                    raise NotImplementedError("malformed JPEG: lossless SSSS > 16")
+                else:
+                    diffs[si][y, x] = _extend(reader.bits(t), t) if t else 0
+    default = 1 << (frame["precision"] - pt - 1)
+    for si, (ci, _, _) in enumerate(scan):
+        out = samples[ci]
+        d = diffs[si]
+        out[0] = default + np.cumsum(d[0])  # first row: Ra chain from the default
+        for y in range(1, h):
+            prev = out[y - 1] & 0xFFFF
+            out[y, 0] = prev[0] + d[y, 0]  # first column: Rb
+            if w == 1:
+                continue
+            if predictor == 1:  # Ra
+                out[y, 1:] = out[y, 0] + np.cumsum(d[y, 1:])
+            elif predictor == 2:  # Rb
+                out[y, 1:] = prev[1:] + d[y, 1:]
+            elif predictor == 3:  # Rc
+                out[y, 1:] = prev[:-1] + d[y, 1:]
+            elif predictor == 4:  # Ra + Rb - Rc
+                out[y, 1:] = out[y, 0] + np.cumsum(d[y, 1:] + prev[1:] - prev[:-1])
+            elif predictor == 5:  # Ra + ((Rb - Rc) >> 1)
+                out[y, 1:] = out[y, 0] + np.cumsum(d[y, 1:] + ((prev[1:] - prev[:-1]) >> 1))
+            elif predictor == 6:  # Rb + ((Ra - Rc) >> 1): Ra inside a shift
+                for x in range(1, w):
+                    ra = int(out[y, x - 1]) & 0xFFFF
+                    out[y, x] = int(prev[x]) + ((ra - int(prev[x - 1])) >> 1) + int(d[y, x])
+            else:  # 7: (Ra + Rb) >> 1
+                for x in range(1, w):
+                    ra = int(out[y, x - 1]) & 0xFFFF
+                    out[y, x] = ((ra + int(prev[x])) >> 1) + int(d[y, x])
+    frame["pt"] = pt
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(data)
+
+
+def _finalize_lossless(frame, samples) -> np.ndarray:
+    """Stack reconstructed lossless sample grids: components are stored
+    literally (no color transform in lossless JPEG), output dtype uint8
+    for precision <= 8, else uint16; the point transform shifts back."""
+    pt = frame.get("pt", 0)
+    dtype = np.uint8 if frame["precision"] <= 8 else np.uint16
+    arr = np.stack([(s & 0xFFFF) << pt for s in samples], axis=2) & 0xFFFF
+    return arr.astype(dtype)
+
+
+# flat huffman table for the lossless encoder: SSSS categories 0..16
+# (Annex K's DC example stops at 11); 17 symbols at 5 bits, codes 0..16,
+# the all-ones code point 31 stays reserved per C.2
+_DC_LOSSLESS = (
+    (0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(17)),
+)
+
+
+def encode_lossless(px: np.ndarray, predictor: int = 4, precision: int | None = None) -> bytes:
+    """Lossless JPEG (SOF3) writer: ``px`` is (h, w, nc) uint8/uint16,
+    reproduced BIT-EXACTLY by ``decode_baseline``. ``predictor`` selects
+    T.81 prediction 1-7; precision defaults to 8 for uint8 input, 16
+    for uint16 (pass e.g. 12 to pin it). Point transform 0, 1x1
+    sampling, single interleaved scan."""
+    h, w, nc = px.shape
+    if precision is None:
+        precision = 8 if px.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise NotImplementedError(f"lossless encode: precision {precision} out of range")
+    if not 1 <= predictor <= 7:
+        raise NotImplementedError(f"lossless encode: predictor {predictor} out of range")
+    if int(px.max(initial=0)) > (1 << precision) - 1:
+        raise NotImplementedError("lossless encode: samples exceed the stated precision")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    comp_spec = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+    out += seg(0xC3, struct.pack(">BHHB", precision, h, w, nc) + comp_spec)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LOSSLESS[0]) + bytes(_DC_LOSSLESS[1]))
+    out += seg(
+        0xDA,
+        bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+        + bytes([predictor, 0, 0]),
+    )
+    codes = _encode_codes(*_DC_LOSSLESS)
+    s = px.astype(np.int64)
+    default = 1 << (precision - 1)
+    # prediction arrays come straight from the known samples (the
+    # encoder needs no recurrence — every neighbor is already exact)
+    dgrids = []
+    for c in range(nc):
+        v = s[:, :, c]
+        p = np.empty((h, w), dtype=np.int64)
+        p[0, 0] = default
+        if w > 1:
+            p[0, 1:] = v[0, :-1]
+        if h > 1:
+            p[1:, 0] = v[:-1, 0]
+            if w > 1:
+                ra, rb, rc = v[1:, :-1], v[:-1, 1:], v[:-1, :-1]
+                if predictor == 1:
+                    p[1:, 1:] = ra
+                elif predictor == 2:
+                    p[1:, 1:] = rb
+                elif predictor == 3:
+                    p[1:, 1:] = rc
+                elif predictor == 4:
+                    p[1:, 1:] = ra + rb - rc
+                elif predictor == 5:
+                    p[1:, 1:] = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    p[1:, 1:] = rb + ((ra - rc) >> 1)
+                else:
+                    p[1:, 1:] = (ra + rb) >> 1
+        dgrids.append((v - p) & 0xFFFF)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                v = int(dgrids[c][y, x])
+                if v == 32768:  # SSSS=16: no extra bits
+                    code, ln = codes[16]
+                    bw.bits(code, ln)
+                    continue
+                sd = v - 65536 if v > 32768 else v
+                t = int(abs(sd)).bit_length()
+                code, ln = codes[t]
+                bw.bits(code, ln)
+                if t:
+                    bw.bits(sd if sd > 0 else sd + (1 << t) - 1, t)
+    bw.flush()
+    return out + bytes(bw.out) + b"\xff\xd9"
 
 
 def _finalize(frame, coeffs, qt, adobe_transform) -> np.ndarray:

@@ -34,7 +34,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 24
+N_FORMATS = 26
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -161,7 +161,7 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 24``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 26``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
@@ -169,11 +169,22 @@ def payload_for(seed: int) -> bytes:
     interlace by seeded coin — and 21 ANIMATED: 3-6 sub-rect frames
     with seeded disposal methods, transparency masks and delays), and
     two 12-bit extended-sequential JPEG shapes (22 grayscale, 23 RGB
-    4:4:4 with restart markers)."""
+    4:4:4 with restart markers), and two LOSSLESS JPEG shapes (SOF3 —
+    24 8-bit RGB, 25 16-bit grayscale, predictor seeded 1-7; the
+    decode must reproduce the source samples BIT-EXACTLY)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 24:  # lossless JPEG (SOF3), bit-exact round trip
+        from .kernels import jpeg
+
+        pred = int(rng.integers(1, 8))
+        if fmt == 24:  # 8-bit RGB
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            return jpeg.encode_lossless(px, predictor=pred)
+        px = rng.integers(0, 1 << 16, size=(h, w, 1)).astype(np.uint16)  # 16-bit gray
+        return jpeg.encode_lossless(px, predictor=pred, precision=16)
     if fmt >= 22:  # 12-bit extended sequential JPEG (SOF1)
         from .kernels import jpeg
 

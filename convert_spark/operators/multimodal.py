@@ -500,7 +500,8 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
         from ..kernels import jpeg
 
         raw = jpeg.decode_baseline(data)
-        px = raw.astype(np.float64) / (4095.0 if raw.dtype == np.uint16 else 255.0)
+        _, prec = jpeg.frame_info(data)
+        px = raw.astype(np.float64) / float((1 << prec) - 1)
         chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s, _ = _wav_samples(data)
@@ -706,7 +707,10 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         yi = (np.arange(th, dtype=np.int64) * h) // th
         xi = (np.arange(tw, dtype=np.int64) * w) // tw
         resized = np.ascontiguousarray(px[yi][:, xi])
-        if px.dtype == np.uint16:  # 12-bit source re-encodes at 12 bits
+        marker, prec = jpeg.frame_info(data)
+        if marker == 0xC3:  # lossless source: re-encode losslessly
+            return jpeg.encode_lossless(resized, precision=prec)
+        if prec == 12:  # 12-bit DCT source re-encodes at 12 bits
             return jpeg.encode_baseline(resized, precision=12)
         if nc == 4:
             # re-encode CMYK with the SOURCE's Adobe transform (APP14

@@ -22,7 +22,8 @@ The twin covers exactly the payload corpus convert_spark.mediagen
 emits (all ten PNG IHDR shapes; sequential JPEG plus progressive JPEG
 with both spectral selection and successive approximation; Adobe
 CMYK/YCCK 4-component JPEG; 12-bit extended-sequential JPEG (16-bit
-DQT, level shift 2048); 8/16-bit PCM WAV; G.711 mu-law/A-law
+DQT, level shift 2048); lossless SOF3 JPEG (scalar per-pixel predictor
+recurrence vs production's row cumsum); 8/16-bit PCM WAV; G.711 mu-law/A-law
 WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
 transparency/disposal compositing). Everything else raises
 ValueError — the KAT builder should never hit it.
@@ -363,9 +364,9 @@ def jpeg_pixels(data: bytes):
                     counts, list(body[b + 17 : b + 17 + n])
                 )
                 b += 17 + n
-        elif m in (0xC0, 0xC1, 0xC2):
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):
             prec = body[0]
-            if prec not in (8, 12):
+            if m != 0xC3 and prec not in (8, 12):
                 raise ValueError("jpeg: precision")
             h, w = struct.unpack(">HH", body[1:5])
             comps = []
@@ -386,8 +387,13 @@ def jpeg_pixels(data: bytes):
             frame = {
                 "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
                 "mx": mx, "my": my, "prog": m == 0xC2, "prec": prec,
+                "lossless": m == 0xC3,
             }
-            coeffs = [{} for _ in comps]  # (by,bx) -> zigzag list[64]
+            if frame["lossless"]:
+                # reconstructed sample grids, scalar recurrence per pixel
+                coeffs = [[[0] * w for _ in range(h)] for _ in comps]
+            else:
+                coeffs = [{} for _ in comps]  # (by,bx) -> zigzag list[64]
         elif m == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif m == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
@@ -402,15 +408,82 @@ def jpeg_pixels(data: bytes):
                 ci = next(j for j, c in enumerate(frame["comps"]) if c["id"] == cid)
                 sel.append((ci, tt >> 4, tt & 0x0F))
             ss, se, aa = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            pos = _jscan(data, pos + 2 + ln, frame, sel, ss, se, aa >> 4, aa & 0x0F,
-                         huffs, restart, coeffs)
+            if frame.get("lossless"):
+                pos = _jscan_lossless(data, pos + 2 + ln, frame, sel, ss,
+                                      aa & 0x0F, huffs, restart, coeffs)
+            else:
+                pos = _jscan(data, pos + 2 + ln, frame, sel, ss, se, aa >> 4, aa & 0x0F,
+                             huffs, restart, coeffs)
             continue
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: unsupported SOF")
         pos += 2 + ln
     if frame is None or coeffs is None:
         raise ValueError("jpeg: no frame")
+    if frame.get("lossless"):
+        maxmask = (1 << 16) - 1
+        shift = frame.get("pt", 0)
+        rows = []
+        for y in range(frame["h"]):
+            row = []
+            for x in range(frame["w"]):
+                row.append(tuple((g[y][x] << shift) & maxmask for g in coeffs))
+            rows.append(row)
+        return rows
     return _jfinish(frame, coeffs, qts, adobe)
+
+
+def _jscan_lossless(data, pos, frame, sel, predictor, pt, huffs, restart, grids) -> int:
+    """Scalar T.81 lossless scan: per-sample huffman diff + predictor
+    recurrence computed pixel by pixel (production reconstructs whole
+    rows with cumsum for the affine predictors — structurally
+    disjoint). Modulo-2^16 applied at EVERY step, the literal spec
+    recurrence."""
+    if restart:
+        raise ValueError("jpeg lossless: restart")
+    bits = _JBits(data, pos)
+    w, h = frame["w"], frame["h"]
+    default = 1 << (frame["prec"] - pt - 1)
+    tabs = [huffs[(0, td)] for _, td, _ in sel]
+    for y in range(h):
+        for x in range(w):
+            for si, (ci, _, _) in enumerate(sel):
+                t = _read_sym(bits, tabs[si])
+                if t == 16:
+                    d = 32768
+                elif t:
+                    d = _ext(bits.bits(t), t)
+                else:
+                    d = 0
+                g = grids[ci]
+                if y == 0 and x == 0:
+                    p = default
+                elif y == 0:
+                    p = g[0][x - 1]
+                elif x == 0:
+                    p = g[y - 1][0]
+                else:
+                    ra, rb, rc = g[y][x - 1], g[y - 1][x], g[y - 1][x - 1]
+                    if predictor == 1:
+                        p = ra
+                    elif predictor == 2:
+                        p = rb
+                    elif predictor == 3:
+                        p = rc
+                    elif predictor == 4:
+                        p = ra + rb - rc
+                    elif predictor == 5:
+                        p = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        p = rb + ((ra - rc) >> 1)
+                    elif predictor == 7:
+                        p = (ra + rb) >> 1
+                    else:
+                        raise ValueError("jpeg lossless: predictor")
+                g[y][x] = (p + d) & 0xFFFF
+    frame["pt"] = pt
+    bits.align_to_marker()
+    return bits.p
 
 
 def _block(coeffs, ci, by, bx):

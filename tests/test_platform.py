@@ -1654,7 +1654,7 @@ class TestG711:
         from convert_spark import mediagen
         from convert_spark.operators import multimodal
 
-        for seed in (18, 19, 42, 43):  # the G.711 classes mod N_FORMATS=24
+        for seed in (18, 19, 18 + mediagen.N_FORMATS, 19 + mediagen.N_FORMATS):
             p = mediagen.payload_for(seed)
             assert multimodal.decode_real(p) == mref.header(p)
             ek, es = multimodal.stats_real(p)
@@ -1726,7 +1726,7 @@ class TestJpeg12:
 
         from convert_spark import mediagen
 
-        for seed in (22, 23, 46, 47):
+        for seed in (22, 23, 22 + mediagen.N_FORMATS, 23 + mediagen.N_FORMATS):
             p = mediagen.payload_for(seed)
             assert multimodal.decode_real(p) == mref.header(p)
             ek, es = multimodal.stats_real(p)
@@ -1755,6 +1755,74 @@ class TestJpeg12:
         rz = multimodal.resize_real(p, 7, 6)
         out = jpeg.decode_baseline(rz)
         assert out.dtype == np.uint16 and out.shape[:2] == (6, 7)
+
+
+class TestJpegLossless:
+    """Lossless JPEG (SOF3, T.81 process 14): bit-exact round trips
+    across every predictor and precision, scalar-twin agreement, and
+    the declared boundary."""
+
+    def test_bit_exact_round_trip_every_predictor(self):
+        from convert_spark.kernels import jpeg
+
+        rng = np.random.Generator(np.random.PCG64(21))
+        for pred in range(1, 8):
+            for prec, dt in ((2, np.uint8), (8, np.uint8), (12, np.uint16), (16, np.uint16)):
+                px = rng.integers(0, 1 << prec, size=(11, 7, 2)).astype(dt)
+                out = jpeg.decode_baseline(jpeg.encode_lossless(px, predictor=pred, precision=prec))
+                assert out.dtype == dt and np.array_equal(out, px), (pred, prec)
+
+    def test_edge_shapes(self):
+        from convert_spark.kernels import jpeg
+
+        rng = np.random.Generator(np.random.PCG64(22))
+        for shape in ((1, 1, 1), (1, 12, 3), (12, 1, 1)):
+            px = rng.integers(0, 256, size=shape).astype(np.uint8)
+            assert np.array_equal(jpeg.decode_baseline(jpeg.encode_lossless(px, predictor=7)), px)
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (24, 25, 24 + mediagen.N_FORMATS, 25 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk == "jpeg"
+            assert [tuple(x) for x in es] == [tuple(x) for x in ts]
+
+    def test_resize_stays_lossless(self):
+        from convert_spark import mediagen
+        from convert_spark.kernels import jpeg
+
+        p = mediagen.payload_for(25)  # 16-bit grayscale
+        src = jpeg.decode_baseline(p)
+        rz = jpeg.decode_baseline(multimodal.resize_real(p, 5, 4))
+        h, w, _ = src.shape
+        yi = (np.arange(4) * h) // 4
+        xi = (np.arange(5) * w) // 5
+        # nearest-neighbor of a LOSSLESS source re-encoded losslessly is
+        # bit-exact end to end
+        assert np.array_equal(rz, src[yi][:, xi])
+
+    def test_declared_boundaries(self):
+        import pytest
+
+        from convert_spark.kernels import jpeg
+
+        px = np.zeros((4, 4, 1), np.uint8)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_lossless(px, predictor=0)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_lossless(px, precision=17)
+        with pytest.raises(NotImplementedError):
+            jpeg.encode_lossless(np.full((4, 4, 1), 9, np.uint8), precision=3)
+        # truncated entropy stream raises the declared error
+        b = jpeg.encode_lossless(np.arange(64, dtype=np.uint8).reshape(8, 8, 1))
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_baseline(b[: len(b) - 6])
 
 
 class TestGif:
@@ -1823,7 +1891,8 @@ class TestGif:
         from convert_spark import mediagen
         from convert_spark.operators import multimodal
 
-        for seed in (20, 21, 44, 45, 116, 117):  # GIF classes mod 24
+        for seed in (20, 21, 20 + mediagen.N_FORMATS, 21 + mediagen.N_FORMATS,
+                     20 + 4 * mediagen.N_FORMATS, 21 + 4 * mediagen.N_FORMATS):
             p = mediagen.payload_for(seed)
             assert multimodal.decode_real(p) == mref.gif_header(p)
             ek, es = multimodal.stats_real(p)

@@ -34,7 +34,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 26
+N_FORMATS = 28
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -161,7 +161,7 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 26``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 28``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
@@ -171,11 +171,27 @@ def payload_for(seed: int) -> bytes:
     two 12-bit extended-sequential JPEG shapes (22 grayscale, 23 RGB
     4:4:4 with restart markers), and two LOSSLESS JPEG shapes (SOF3 —
     24 8-bit RGB, 25 16-bit grayscale, predictor seeded 1-7; the
-    decode must reproduce the source samples BIT-EXACTLY)."""
+    decode must reproduce the source samples BIT-EXACTLY), a BMP shape
+    (26 — 24-bit BI_RGB, top-down by seeded coin) and a baseline TIFF
+    shape (27 — seeded byte order, gray/RGB coin, seeded multi-strip
+    layout)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 26:  # BMP / baseline TIFF (pure-layout rasters)
+        from .kernels import rasters
+
+        if fmt == 26:
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            return rasters.encode_bmp(px, top_down=bool(rng.integers(0, 2)))
+        nc = 3 if rng.integers(0, 2) else 1
+        px = rng.integers(0, 256, size=(h, w, nc)).astype(np.uint8)
+        return rasters.encode_tiff(
+            px,
+            big_endian=bool(rng.integers(0, 2)),
+            rows_per_strip=int(rng.integers(1, h + 1)),
+        )
     if fmt >= 24:  # lossless JPEG (SOF3), bit-exact round trip
         from .kernels import jpeg
 

@@ -26,7 +26,10 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   disposal methods composited onto the logical screen, so
   ``sample_frames`` performs genuine video-style frame extraction on
   animated GIF); nearest-neighbor RESIZE re-encoded in the source
-  format; container METADATA for MP4 (ISO-BMFF box walk: per-track
+  format; BMP (24-bit + palettized BI_RGB, both orientations) and
+  baseline TIFF (both byte orders, multi-strip, gray/RGB) decoded by
+  pure numpy reshaping — kernels/rasters.py, the fast path: no scalar
+  loops; container METADATA for MP4 (ISO-BMFF box walk: per-track
   codec/dims/channels/sample-rate/duration), Ogg (CRC-checked pages,
   Vorbis/Opus ident headers), FLAC (STREAMINFO block) and MP3
   (MPEG-1/2 Layer III frame-header walk: exact duration, ID3v2/v1
@@ -213,6 +216,16 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
             return _decode_jpeg(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _decode_wav(data)
+        if data[:2] == b"BM":
+            from ..kernels import rasters
+
+            px = rasters.decode_bmp(data)
+            return "bmp", px.shape[1], px.shape[0], px.shape[2]
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from ..kernels import rasters
+
+            px = rasters.decode_tiff(data)
+            return "tiff", px.shape[1], px.shape[0], px.shape[2]
         if data[:6] in (b"GIF87a", b"GIF89a"):
             from ..kernels import gif
 
@@ -511,6 +524,12 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
 
         px = gif.compose(data)[0][0].astype(np.float64) / 255.0
         chans = [px[:, :, c].ravel() for c in range(3)]
+    elif data[:2] == b"BM" or data[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernels import rasters
+
+        raw = rasters.decode_bmp(data) if data[:2] == b"BM" else rasters.decode_tiff(data)
+        px = raw.astype(np.float64) / 255.0
+        chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     else:
         raise NotImplementedError("feature encoder: only PNG/JPEG/GIF/WAV decode without a real codec")
     stats: list[float] = []
@@ -576,6 +595,16 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
         # screen, not the raw sub-rect): what a thumbnailer sees
         px = gif.compose(data)[0][0]
         kind = "gif"
+    elif data[:2] == b"BM":
+        from ..kernels import rasters
+
+        px = rasters.decode_bmp(data)
+        kind = "bmp"
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernels import rasters
+
+        px = rasters.decode_tiff(data)
+        kind = "tiff"
     else:
         raise NotImplementedError("stats: only PNG/JPEG/GIF/WAV decode without a real codec")
     arr = px.astype(np.int64)
@@ -718,6 +747,18 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
             # transform-0 inverted CMYK — ink values round-trip either way)
             return jpeg.encode_baseline(resized, adobe_transform=_jpeg_adobe_transform(data))
         return jpeg.encode_baseline(resized)
+    if data[:2] == b"BM" or data[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernels import rasters
+
+        is_bmp = data[:2] == b"BM"
+        px = rasters.decode_bmp(data) if is_bmp else rasters.decode_tiff(data)
+        h, w, _ = px.shape
+        yi = (np.arange(th, dtype=np.int64) * h) // th
+        xi = (np.arange(tw, dtype=np.int64) * w) // tw
+        resized = np.ascontiguousarray(px[yi][:, xi])
+        if is_bmp:
+            return rasters.encode_bmp(resized)
+        return rasters.encode_tiff(resized, big_endian=data[:2] == b"MM")
     if data[:6] in (b"GIF87a", b"GIF89a"):
         from ..kernels import gif
 

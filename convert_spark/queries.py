@@ -1502,13 +1502,13 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 26 mediagen format classes
+    seed = doc_id/2, cycling through all 28 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
     two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
     layouts, two GIF shapes — static + ANIMATED with sub-rect frames,
     transparency and disposal — two 12-bit extended-sequential JPEG
-    shapes, and two bit-exact LOSSLESS JPEG shapes) at every scale
-    factor. ``fmts``
+    shapes, two bit-exact LOSSLESS JPEG shapes, a BMP shape and a
+    baseline multi-strip TIFF shape) at every scale factor. ``fmts``
     restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""

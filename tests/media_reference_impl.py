@@ -25,7 +25,8 @@ CMYK/YCCK 4-component JPEG; 12-bit extended-sequential JPEG (16-bit
 DQT, level shift 2048); lossless SOF3 JPEG (scalar per-pixel predictor
 recurrence vs production's row cumsum); 8/16-bit PCM WAV; G.711 mu-law/A-law
 WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
-transparency/disposal compositing). Everything else raises
+transparency/disposal compositing; BMP and baseline TIFF via scalar
+per-pixel reads). Everything else raises
 ValueError — the KAT builder should never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
@@ -831,6 +832,10 @@ def header(data: bytes):
         return wav_header(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_header(data)
+    if data[:2] == b"BM":
+        return bmp_header(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_header(data)
     raise ValueError("unknown payload format")
 
 
@@ -853,6 +858,11 @@ def channel_stats(data: bytes):
         kind = "wav"
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_channel_stats(data)
+    elif data[:2] == b"BM" or data[:4] in (b"II*\x00", b"MM\x00*"):
+        grid = bmp_pixels(data) if data[:2] == b"BM" else tiff_pixels(data)
+        nch = len(grid[0][0])
+        chans = [[px[c] for row in grid for px in row] for c in range(nch)]
+        kind = "bmp" if data[:2] == b"BM" else "tiff"
     else:
         raise ValueError("unknown payload format")
     return kind, [
@@ -1055,3 +1065,107 @@ def gif_frame_hashes(data: bytes, n_frames: int):
         raw = bytes(v for row in f for px in row for v in px)
         out.append(hashlib.sha256(raw).hexdigest()[:16])
     return out
+
+
+# --- BMP / baseline TIFF (pure-layout rasters) ----------------------------------
+#
+# Scalar twins of convert_spark/kernels/rasters.py: per-pixel struct
+# reads and explicit row loops (production is numpy frombuffer/reshape).
+
+
+def bmp_pixels(data: bytes):
+    """BMP -> row-major [[(r,g,b)...]...], per-pixel byte reads."""
+    if data[:2] != b"BM":
+        raise ValueError("bmp: bad magic")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("bmp: core header")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (comp,) = struct.unpack("<I", data[30:34])
+    if comp != 0:
+        raise ValueError("bmp: compressed")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * bpp // 8 + 3) & ~3
+    pal = None
+    if bpp == 8:
+        (nc,) = struct.unpack("<I", data[46:50])
+        nc = nc or 256
+        po = 14 + hdr_size
+        pal = [
+            (data[po + 4 * i + 2], data[po + 4 * i + 1], data[po + 4 * i])
+            for i in range(nc)
+        ]
+    elif bpp != 24:
+        raise ValueError("bmp: depth")
+    rows = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        base = pix_off + src_y * stride
+        row = []
+        for x in range(w):
+            if pal is not None:
+                row.append(pal[data[base + x]])
+            else:
+                b3 = base + 3 * x
+                row.append((data[b3 + 2], data[b3 + 1], data[b3]))
+        rows.append(row)
+    return rows
+
+
+def tiff_pixels(data: bytes):
+    """Baseline uncompressed TIFF -> row-major channel-tuple rows,
+    scalar IFD walk and per-sample reads."""
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("tiff: magic")
+    (ifd,) = struct.unpack(e + "I", data[4:8])
+    (n,) = struct.unpack(e + "H", data[ifd : ifd + 2])
+    tags = {}
+    for i in range(n):
+        at = ifd + 2 + 12 * i
+        tag, typ = struct.unpack(e + "HH", data[at : at + 4])
+        (count,) = struct.unpack(e + "I", data[at + 4 : at + 8])
+        sz = {1: 1, 3: 2, 4: 4}.get(typ)
+        if sz is None:
+            continue
+        if sz * count <= 4:
+            raw = data[at + 8 : at + 8 + sz * count]
+        else:
+            (off,) = struct.unpack(e + "I", data[at + 8 : at + 12])
+            raw = data[off : off + sz * count]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * count, raw))
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("tiff: compressed")
+    nc = tags.get(277, [1])[0]
+    raw = bytearray()
+    for off, cnt in zip(tags[273], tags[279]):
+        raw += data[off : off + cnt]
+    rows = []
+    p = 0
+    for _ in range(h):
+        row = []
+        for _x in range(w):
+            row.append(tuple(raw[p + c] for c in range(nc)))
+            p += nc
+        rows.append(row)
+    if tags.get(262, [1])[0] == 0:  # WhiteIsZero
+        rows = [[tuple(255 - v for v in px) for px in row] for row in rows]
+    return rows
+
+
+def bmp_header(data: bytes):
+    rows = bmp_pixels(data)
+    return "bmp", len(rows[0]), len(rows), 3
+
+
+def tiff_header(data: bytes):
+    rows = tiff_pixels(data)
+    return "tiff", len(rows[0]), len(rows), len(rows[0][0])

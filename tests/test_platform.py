@@ -1757,6 +1757,101 @@ class TestJpeg12:
         assert out.dtype == np.uint16 and out.shape[:2] == (6, 7)
 
 
+class TestRasters:
+    """BMP + baseline TIFF (kernels/rasters.py): exact round trips,
+    layout variants, twin agreement, declared boundaries."""
+
+    def test_bmp_round_trip_both_orientations(self):
+        from convert_spark.kernels import rasters
+
+        rng = np.random.Generator(np.random.PCG64(31))
+        for h, w in ((1, 1), (7, 5), (6, 16)):
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for td in (False, True):
+                assert np.array_equal(rasters.decode_bmp(rasters.encode_bmp(px, top_down=td)), px)
+
+    def test_tiff_round_trip_endians_and_strips(self):
+        from convert_spark.kernels import rasters
+
+        rng = np.random.Generator(np.random.PCG64(32))
+        for nc in (1, 3):
+            for be in (False, True):
+                for rps in (None, 3, 1):
+                    px = rng.integers(0, 256, size=(10, 7, nc)).astype(np.uint8)
+                    out = rasters.decode_tiff(rasters.encode_tiff(px, big_endian=be, rows_per_strip=rps))
+                    assert np.array_equal(out, px), (nc, be, rps)
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (26, 27, 26 + mediagen.N_FORMATS, 27 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk and [tuple(x) for x in es] == [tuple(x) for x in ts]
+
+    def test_resize_in_source_format(self):
+        from convert_spark import mediagen
+
+        for seed, kind in ((26, "bmp"), (27, "tiff")):
+            p = mediagen.payload_for(seed)
+            rz = multimodal.resize_real(p, 5, 4)
+            k, w, h, _ = multimodal.decode_real(rz)
+            assert (k, w, h) == (kind, 5, 4)
+
+    def test_bmp_palettized_hand_built(self):
+        """8-bit palettized BI_RGB decode (no encoder emits it, so the
+        payload is hand-assembled): palette lookup, BGRX->RGB order,
+        row padding, bottom-up flip — checked against the scalar twin."""
+        import struct
+
+        import media_reference_impl as mref
+
+        from convert_spark.kernels import rasters
+
+        w, h, n_colors = 5, 3, 4
+        pal = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0, 200, 210, 220, 0])  # BGRX
+        idx = [[0, 1, 2, 3, 0], [3, 3, 1, 0, 2], [2, 0, 0, 1, 3]]
+        stride = (w + 3) & ~3
+        body = b"".join(bytes(r) + bytes(stride - w) for r in reversed(idx))  # bottom-up
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, n_colors, 0)
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(pal) + len(body), 0, 0, 54 + len(pal))
+        data = hdr + info + pal + body
+        out = rasters.decode_bmp(data)
+        assert out.shape == (h, w, 3)
+        assert tuple(out[0, 0]) == (30, 20, 10) and tuple(out[1, 4]) == (90, 80, 70)
+        assert [[tuple(p) for p in row] for row in out] == mref.bmp_pixels(data)
+        corrupt = bytearray(data)
+        corrupt[54 + len(pal)] = 250  # index >= n_colors
+        with pytest.raises(NotImplementedError):
+            rasters.decode_bmp(bytes(corrupt))
+
+    def test_declared_boundaries(self):
+        import struct
+
+        from convert_spark.kernels import rasters
+
+        rng = np.random.Generator(np.random.PCG64(33))
+        px = rng.integers(0, 256, size=(6, 6, 3)).astype(np.uint8)
+        rle = bytearray(rasters.encode_bmp(px))
+        rle[30] = 1  # BI_RLE8
+        with pytest.raises(NotImplementedError):
+            rasters.decode_bmp(bytes(rle))
+        lzw = bytearray(rasters.encode_tiff(px))
+        # flip the Compression entry (tag 259) to 5 (LZW): entry value
+        # sits 8 bytes into its 12-byte IFD record
+        i = lzw.find(struct.pack("<HH", 259, 3))
+        lzw[i + 8] = 5
+        with pytest.raises(NotImplementedError):
+            rasters.decode_tiff(bytes(lzw))
+        for bad in (b"", b"BM", b"II*\x00" + bytes(4), b"BM" + bytes(60)):
+            with pytest.raises(NotImplementedError):
+                (rasters.decode_bmp if bad[:2] == b"BM" else rasters.decode_tiff)(bad)
+
+
 class TestJpegLossless:
     """Lossless JPEG (SOF3, T.81 process 14): bit-exact round trips
     across every predictor and precision, scalar-twin agreement, and

@@ -86,7 +86,8 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
     fam_fmt = {"png": range(0, 10), "jpeg": range(10, 14), "wav": range(14, 16),
                "cmyk_jpeg": range(16, 18), "g711_wav": range(18, 20),
                "gif": range(20, 22), "jpeg12": range(22, 24),
-               "jpeg_lossless": range(24, 26), "bmp_tiff": range(26, 28)}
+               "jpeg_lossless": range(24, 26), "bmp_tiff": range(26, 28),
+               "avi": range(28, 30), "adpcm_wav": range(30, 32)}
     out: dict[str, dict[str, float]] = {}
     for fam, fmts in fam_fmt.items():
         payloads = []

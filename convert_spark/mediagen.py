@@ -10,9 +10,12 @@ with seeded filter types 0-4), a genuine JPEG (kernels/jpeg.py encoder —
 sequential 4:4:4 / 4:2:0 / grayscale / restart markers / progressive),
 a genuine WAV (stdlib ``wave``; 8-bit mono / 16-bit stereo PCM, plus
 hand-assembled RIFF for ITU-T G.711 mu-law/A-law — format tags 7/6 —
-which ``wave`` cannot write), or a genuine GIF (kernels/gif.py encoder —
+which ``wave`` cannot write), a genuine GIF (kernels/gif.py encoder —
 static incl. interlace, and ANIMATED with sub-rect frames, transparency
-masks, seeded disposal methods and delays).
+masks, seeded disposal methods and delays), a genuine AVI VIDEO
+(kernels/avi.py — MJPG frames through the from-scratch JPEG encoder, or
+uncompressed DIB rasters), or genuine IMA ADPCM compressed audio
+(kernels/adpcm.py — 4-bit differential WAV, fmt tag 0x11).
 
 The generator is SHARED INPUT between the Spark query and the KAT twin
 (tests/media_reference_impl.py): what's under test is the DECODE path,
@@ -34,7 +37,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 28
+N_FORMATS = 32
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -161,7 +164,7 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 28``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 32``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
@@ -174,11 +177,55 @@ def payload_for(seed: int) -> bytes:
     decode must reproduce the source samples BIT-EXACTLY), a BMP shape
     (26 — 24-bit BI_RGB, top-down by seeded coin) and a baseline TIFF
     shape (27 — seeded byte order, gray/RGB coin, seeded multi-strip
-    layout)."""
+    layout), two AVI VIDEO shapes (28 MJPG — every frame a real
+    baseline JPEG — and 29 uncompressed DIB, each 3-6 frames at a
+    seeded fps) and two IMA ADPCM WAV shapes (30 mono, 31 stereo —
+    genuine 4-bit compressed audio with multi-block layouts and a
+    fact-trimmed tail)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 30:  # IMA ADPCM WAV (4-bit compressed audio)
+        from .kernels import adpcm
+
+        nch = 1 if fmt == 30 else 2
+        rate = int(rng.integers(4, 9)) * 1000
+        # multiple blocks + a non-multiple tail so the fact trim and
+        # block re-seeding both decode under the gate
+        spb = int(rng.integers(2, 8)) * 8 + 1
+        n = int(rng.integers(spb + 1, 4 * spb))
+        t = np.arange(n)[:, None]
+        freq = rng.uniform(5.0, 30.0, size=nch)
+        phase = rng.uniform(0.0, 6.0, size=nch)
+        amp = rng.uniform(3000.0, 20000.0, size=nch)
+        samples = (amp * np.sin(t / freq + phase)).astype(np.int16)
+        return adpcm.encode_ima_wav(samples, rate, samples_pb=spb)
+    if fmt >= 28:  # AVI video (MJPG / uncompressed DIB streams)
+        from .kernels import avi
+
+        n_frames = int(rng.integers(3, 7))
+        fps = int(rng.integers(5, 31))
+        if fmt == 28:  # MJPG: smooth sine frames keep entropy data small
+            yy, xx = np.mgrid[0:h, 0:w]
+            f1, f2 = rng.uniform(3.0, 9.0, size=2)
+            p = rng.uniform(0.0, 6.0, size=3)
+            frames = [
+                np.stack(
+                    [
+                        (128 + 90 * np.sin(xx / f1 + yy / f2 + ph + 0.7 * t)).astype(np.uint8)
+                        for ph in p
+                    ],
+                    axis=2,
+                )
+                for t in range(n_frames)
+            ]
+            return avi.encode_avi(frames, fps, codec="MJPG", quality=85)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for _ in range(n_frames)
+        ]
+        return avi.encode_avi(frames, fps, codec="DIB")
     if fmt >= 26:  # BMP / baseline TIFF (pure-layout rasters)
         from .kernels import rasters
 

@@ -189,6 +189,37 @@ def _g711_table(audio_fmt: int) -> np.ndarray:
     return t
 
 
+def _wav_adpcm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """IMA ADPCM WAV (fmt tag 0x11) -> (int16 samples (n, nch), rate,
+    nch). Re-walks the RIFF chunks because the decode needs fields the
+    generic walk drops: nBlockAlign and the ``fact`` frame count that
+    trims the final block's padding (kernels/adpcm.py)."""
+    from ..kernels import adpcm
+
+    pos, fmt, pcm, fact = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            pcm = body
+        elif tag == b"fact" and len(body) >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or pcm is None or len(fmt) < 16:
+        raise NotImplementedError("malformed WAV payload: missing fmt/data chunk")
+    _, nch, rate = struct.unpack("<HHI", fmt[0:8])
+    (block_align,) = struct.unpack("<H", fmt[12:14])
+    if nch < 1 or block_align < 4 * nch + 4 * nch:
+        raise NotImplementedError("malformed ADPCM WAV: bad block layout")
+    try:
+        return adpcm.decode_blocks(pcm, block_align, nch, n_frames=fact), rate, nch
+    except Exception as exc:  # noqa: BLE001 — corrupt block layout
+        raise NotImplementedError(f"malformed ADPCM WAV: {exc}") from exc
+
+
 def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
     audio_fmt, nch, rate, _, pcm = _wav_chunks(data)
     if audio_fmt == 1:
@@ -200,6 +231,9 @@ def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
             return "wav", wf.getnframes(), wf.getframerate(), wf.getnchannels()
     if audio_fmt in (6, 7):  # G.711: one byte per sample
         return "wav", len(pcm) // nch, rate, nch
+    if audio_fmt == 0x11:  # IMA ADPCM: decode IS the frame count
+        s, rate, nch = _wav_adpcm(data)
+        return "wav", s.shape[0], rate, nch
     raise NotImplementedError(f"WAV audio format {audio_fmt}: real codec territory")
 
 
@@ -216,6 +250,14 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
             return _decode_jpeg(data)
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             return _decode_wav(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from ..kernels import avi
+
+            # video mapping onto the image-shaped schema (mirrors the
+            # GIF convention): width/height are the raster dims, the
+            # channels slot carries the FRAME COUNT
+            w, h, n_frames, _fps = avi.header(data)
+            return "avi", w, h, n_frames
         if data[:2] == b"BM":
             from ..kernels import rasters
 
@@ -266,9 +308,11 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
 # per-scanline unfiltering (PNG spec filters 0-4, EVERY IHDR shape the
 # spec allows), JPEG pixels via the baseline codec in kernels/jpeg.py,
 # WAV PCM samples via wave.readframes (G.711 mu-law/A-law expanded by
-# the spec lookup tables). Video rasters and compressed audio beyond
-# G.711 genuinely need a real codec and stay behind the declared
-# NotImplementedError.
+# the spec lookup tables, IMA ADPCM via kernels/adpcm.py). Video frames
+# decode for REAL from animated GIF (kernels/gif.py) and AVI with MJPG
+# or uncompressed DIB streams (kernels/avi.py); video/audio codecs
+# beyond those genuinely need a real codec library and stay behind the
+# declared NotImplementedError.
 
 
 # Adam7 pass geometry: (x0, y0, dx, dy) per pass, PNG spec order
@@ -478,6 +522,9 @@ def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
         s = lin.astype(np.float64) / 32768.0
         return s[: (len(s) // nch) * nch].reshape(-1, nch), fr
+    if audio_fmt == 0x11:  # IMA ADPCM -> linear int16
+        ints, fr, _ = _wav_adpcm(data)
+        return ints.astype(np.float64) / 32768.0, fr
     import wave
 
     try:
@@ -524,6 +571,11 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
 
         px = gif.compose(data)[0][0].astype(np.float64) / 255.0
         chans = [px[:, :, c].ravel() for c in range(3)]
+    elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..kernels import avi
+
+        px = avi.decode_avi(data)[0][0].astype(np.float64) / 255.0
+        chans = [px[:, :, c].ravel() for c in range(3)]
     elif data[:2] == b"BM" or data[:4] in (b"II*\x00", b"MM\x00*"):
         from ..kernels import rasters
 
@@ -553,6 +605,8 @@ def _wav_ints(data: bytes) -> np.ndarray:
     if audio_fmt in (6, 7):
         lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
         return lin[: (len(lin) // nch) * nch].reshape(-1, nch)
+    if audio_fmt == 0x11:  # IMA ADPCM: the decode IS the expansion
+        return _wav_adpcm(data)[0]
     import wave
 
     try:
@@ -584,6 +638,10 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
         kind = "jpeg"
     elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         s = _wav_ints(data)
+        if not s.shape[0]:
+            # zero-sample audio: per-channel min/max are undefined, so
+            # the stats stage declares the payload malformed
+            raise NotImplementedError("malformed WAV payload: no samples to aggregate")
         return "wav", [
             (s.shape[0], int(s[:, c].sum()), int(s[:, c].min()), int(s[:, c].max()))
             for c in range(s.shape[1])
@@ -595,6 +653,12 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
         # screen, not the raw sub-rect): what a thumbnailer sees
         px = gif.compose(data)[0][0]
         kind = "gif"
+    elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..kernels import avi
+
+        # same first-presented-frame convention as GIF
+        px = avi.decode_avi(data)[0][0]
+        kind = "avi"
     elif data[:2] == b"BM":
         from ..kernels import rasters
 
@@ -775,10 +839,34 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
             for f, d in zip(frames, delays)
         ]
         return gif.encode_gif(specs, tw, th)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..kernels import avi
+
+        # every frame resampled to (tw, th) and re-encoded in the
+        # SOURCE stream codec at the source fps: DIB exactly, MJPG
+        # through the baseline encoder (presentation-equivalent, the
+        # GIF re-encode convention)
+        frames, fps = avi.decode_avi(data)
+        h, w, _ = frames[0].shape
+        yi = (np.arange(th, dtype=np.int64) * h) // th
+        xi = (np.arange(tw, dtype=np.int64) * w) // tw
+        resized = [np.ascontiguousarray(f[yi][:, xi]) for f in frames]
+        mjpg = avi.stream_codec(data) == "MJPG"
+        return avi.encode_avi(resized, fps or 1, codec="MJPG" if mjpg else "DIB")
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 
         audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
+        if audio_fmt == 0x11:
+            from ..kernels import adpcm
+
+            # decode to linear PCM, nearest-neighbor frame resample,
+            # re-encode as IMA ADPCM at rate ``th`` (lossy like any
+            # ADPCM re-encode; deterministic encoder)
+            ints, _, nch = _wav_adpcm(data)
+            n = ints.shape[0]
+            idx = (np.arange(tw, dtype=np.int64) * n) // max(tw, 1) if n else np.zeros(0, np.int64)
+            return adpcm.encode_ima_wav(ints[idx], th)
         if audio_fmt in (6, 7):
             # G.711 is one byte per sample, so nearest-neighbor frame
             # selection works directly on the compressed stream — the
@@ -830,9 +918,31 @@ def frames_real(data: bytes, n_frames: int) -> list[str]:
             hashlib.sha256(frames[i * len(frames) // n_frames].tobytes()).hexdigest()[:16]
             for i in range(n_frames)
         ]
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..kernels import avi
+
+        # GENUINE video frame extraction from a real container: sample
+        # i is decoded frame i*F//n_frames (MJPG via kernels/jpeg.py,
+        # BI_RGB via DIB reshape), hashed over its raw (H, W, 3) bytes
+        frames, _ = avi.decode_avi(data)
+        return [
+            hashlib.sha256(frames[i * len(frames) // n_frames].tobytes()).hexdigest()[:16]
+            for i in range(n_frames)
+        ]
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
-        raise NotImplementedError("frame sampling: only WAV/GIF decode without a real codec")
+        raise NotImplementedError("frame sampling: only WAV/GIF/AVI decode without a real codec")
     audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
+    if audio_fmt == 0x11:
+        # IMA ADPCM: windows hash the DECODED little-endian int16
+        # stream (the G.711 decode-then-window convention)
+        ints, _, nch = _wav_adpcm(data)
+        raw = ints.astype("<i2").tobytes()
+        n, frame_bytes = ints.shape[0], nch * 2
+        bounds = [i * n // n_frames for i in range(n_frames + 1)]
+        return [
+            hashlib.sha256(raw[bounds[i] * frame_bytes : bounds[i + 1] * frame_bytes]).hexdigest()[:16]
+            for i in range(n_frames)
+        ]
     if audio_fmt in (6, 7):
         lin = _g711_table(audio_fmt)[np.frombuffer(g_pcm, dtype=np.uint8)]
         raw = lin.astype("<i2").tobytes()

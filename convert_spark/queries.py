@@ -1502,13 +1502,15 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 28 mediagen format classes
+    seed = doc_id/2, cycling through all 32 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
     two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
     layouts, two GIF shapes — static + ANIMATED with sub-rect frames,
     transparency and disposal — two 12-bit extended-sequential JPEG
     shapes, two bit-exact LOSSLESS JPEG shapes, a BMP shape and a
-    baseline multi-strip TIFF shape) at every scale factor. ``fmts``
+    baseline multi-strip TIFF shape, two AVI VIDEO shapes — MJPG and
+    uncompressed DIB — and two IMA ADPCM compressed-audio WAV shapes)
+    at every scale factor. ``fmts``
     restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""
@@ -1551,18 +1553,24 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling under the hash gate: WAV payloads (PCM
-    classes 14/15, G.711 classes 18/19) split into 3 fixed-stride PCM
-    windows on frame boundaries, PLUS genuine video-style frame
-    extraction — GIF payloads (classes 20/21, incl. ANIMATED sub-rect
-    frames with transparency and disposal) sampled as 3 composited
-    logical-screen rasters (kernels/gif.py), each window/frame
-    identified by its sha256 (operators/multimodal.frames_real).
-    Oracle: twin KAT — the independent decoder re-derives PCM by a
-    manual RIFF walk (no stdlib wave) and GIF frames by a per-bit LZW
-    cursor + per-pixel compositing loops, and hashes the same bytes."""
+    classes 14/15, G.711 classes 18/19, IMA ADPCM classes 30/31 —
+    compressed audio decoded to linear int16 first) split into 3
+    fixed-stride PCM windows on frame boundaries, PLUS genuine
+    video-style frame extraction — GIF payloads (classes 20/21, incl.
+    ANIMATED sub-rect frames with transparency and disposal) sampled
+    as 3 composited logical-screen rasters (kernels/gif.py), and AVI
+    payloads (classes 28/29) sampled as 3 DECODED video frames (MJPG
+    through kernels/jpeg.py, uncompressed DIB via kernels/avi.py) —
+    each window/frame identified by its sha256
+    (operators/multimodal.frames_real). Oracle: twin KAT — the
+    independent decoder re-derives PCM by a manual RIFF walk (no
+    stdlib wave), GIF frames by a per-bit LZW cursor + per-pixel
+    compositing loops, AVI frames by a scalar byte-cursor RIFF walk +
+    the twin's own scalar JPEG/DIB decode, and ADPCM samples by the
+    per-sample IMA loop, hashing the same bytes."""
     from .operators import multimodal
 
-    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19, 20, 21))
+    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19, 20, 21, 28, 29, 30, 31))
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 

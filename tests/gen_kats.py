@@ -208,14 +208,17 @@ def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     rows = []
     for doc_id in _media_ids(sf_dir):
         fmt = (doc_id // 2) % mediagen.N_FORMATS
-        if fmt not in (14, 15, 18, 19, 20, 21):
+        if fmt not in (14, 15, 18, 19, 20, 21, 28, 29, 30, 31):
             continue
         payload = mediagen.payload_for(doc_id // 2)
-        hashes = (
-            mref.gif_frame_hashes(payload, 3)
-            if fmt >= 20
-            else mref.wav_frame_windows(payload, 3)
-        )
+        if fmt in (28, 29):  # AVI: decoded video frame rasters
+            hashes = mref.avi_frame_hashes(payload, 3)
+        elif fmt in (30, 31):  # IMA ADPCM: decoded int16 windows
+            hashes = mref.adpcm_frame_windows(payload, 3)
+        elif fmt in (20, 21):
+            hashes = mref.gif_frame_hashes(payload, 3)
+        else:
+            hashes = mref.wav_frame_windows(payload, 3)
         for i, sha in enumerate(hashes):
             rows.append({"url": f"media://{doc_id}", "frame_idx": i, "frame_sha": sha})
     return pd.DataFrame(rows).astype({"frame_idx": "int32"})

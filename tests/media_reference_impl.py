@@ -26,8 +26,11 @@ DQT, level shift 2048); lossless SOF3 JPEG (scalar per-pixel predictor
 recurrence vs production's row cumsum); 8/16-bit PCM WAV; G.711 mu-law/A-law
 WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
 transparency/disposal compositing; BMP and baseline TIFF via scalar
-per-pixel reads). Everything else raises
-ValueError — the KAT builder should never hit it.
+per-pixel reads; AVI video — byte-cursor RIFF walk with MJPG frames
+through this module's own scalar JPEG decoder and DIB frames via
+per-pixel row loops; IMA ADPCM WAV — per-sample if/else step/index
+recurrence vs production's numpy block-lockstep decode). Everything
+else raises ValueError — the KAT builder should never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
 transform in float64 from the same published constants and round
@@ -828,7 +831,11 @@ def header(data: bytes):
         return png_header(data)
     if data[:3] == b"\xff\xd8\xff":
         return jpeg_header(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return avi_header(data)
     if data[:4] == b"RIFF":
+        if wav_fmt_tag(data) == 0x11:
+            return adpcm_header(data)
         return wav_header(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_header(data)
@@ -853,8 +860,10 @@ def channel_stats(data: bytes):
         nch = len(grid[0][0])
         chans = [[px[c] for row in grid for px in row] for c in range(nch)]
         kind = "jpeg"
+    elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return avi_channel_stats(data)
     elif data[:4] == b"RIFF":
-        chans = wav_samples(data)
+        chans = adpcm_samples(data)[0] if wav_fmt_tag(data) == 0x11 else wav_samples(data)
         kind = "wav"
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_channel_stats(data)
@@ -1169,3 +1178,227 @@ def bmp_header(data: bytes):
 def tiff_header(data: bytes):
     rows = tiff_pixels(data)
     return "tiff", len(rows[0]), len(rows), len(rows[0][0])
+
+# --- AVI (Microsoft AVI RIFF form) ----------------------------------------------
+#
+# Scalar twin of convert_spark/kernels/avi.py: byte-cursor RIFF walk,
+# per-pixel DIB row loops, MJPG frames through this module's own scalar
+# JPEG decoder (jpeg_pixels) — deliberately no numpy.
+
+
+def _avi_walk(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        tag = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if pos + 8 + ln > end:
+            raise ValueError("avi: chunk overruns parent")
+        yield tag, pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+
+
+def _avi_dib_grid(body: bytes, w: int, h: int):
+    stride = (w * 3 + 3) & ~3
+    if len(body) < stride * h:
+        raise ValueError("avi: truncated DIB frame")
+    grid = []
+    for y in range(h):
+        row_off = (h - 1 - y) * stride  # bottom-up rows
+        row = []
+        for x in range(w):
+            b, g, r = body[row_off + 3 * x : row_off + 3 * x + 3]
+            row.append([r, g, b])
+        grid.append(row)
+    return grid
+
+
+def avi_parse(data: bytes):
+    """-> (w, h, n_frames, fps, frame grids as nested RGB lists)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: bad RIFF header")
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "little"))
+    w = h = fps = n_frames = 0
+    comp = None
+    chunks = []
+    for tag, s, ln in _avi_walk(data, 12, end):
+        if tag != b"LIST":
+            continue
+        four = data[s : s + 4]
+        if four == b"hdrl":
+            for t2, s2, l2 in _avi_walk(data, s + 4, s + ln):
+                if t2 == b"avih":
+                    n_frames = int.from_bytes(data[s2 + 16 : s2 + 20], "little")
+                    w = int.from_bytes(data[s2 + 32 : s2 + 36], "little")
+                    h = int.from_bytes(data[s2 + 36 : s2 + 40], "little")
+                elif t2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                    fcc = None
+                    scale = rate = 0
+                    c = None
+                    for t3, s3, l3 in _avi_walk(data, s2 + 4, s2 + l2):
+                        if t3 == b"strh":
+                            fcc = data[s3 : s3 + 4]
+                            scale = int.from_bytes(data[s3 + 20 : s3 + 24], "little")
+                            rate = int.from_bytes(data[s3 + 24 : s3 + 28], "little")
+                        elif t3 == b"strf" and fcc == b"vids":
+                            c = data[s3 + 16 : s3 + 20]
+                    if fcc == b"vids" and comp is None:
+                        comp = c
+                        fps = rate // scale if scale else 0
+        elif four == b"movi":
+            for t2, s2, l2 in _avi_walk(data, s + 4, s + ln):
+                if t2[2:4] in (b"dc", b"db"):
+                    chunks.append(data[s2 : s2 + l2])
+    if comp is None or not w or not h or not chunks:
+        raise ValueError("avi: no video stream")
+    grids = []
+    for body in chunks:
+        if comp == b"MJPG":
+            g = jpeg_pixels(body)
+            if len(g[0][0]) == 1:  # grayscale MJPG -> replicate to RGB
+                g = [[[px[0]] * 3 for px in row] for row in g]
+            grids.append(g)
+        elif comp == b"\x00\x00\x00\x00":
+            grids.append(_avi_dib_grid(body, w, h))
+        else:
+            raise ValueError(f"avi: codec {comp!r} unsupported")
+    return w, h, n_frames or len(grids), fps, grids
+
+
+def avi_header(data: bytes):
+    w, h, n_frames, _, _ = avi_parse(data)
+    return "avi", w, h, n_frames
+
+
+def avi_channel_stats(data: bytes):
+    grid = avi_parse(data)[4][0]  # first presented frame
+    chans = [[px[c] for row in grid for px in row] for c in range(3)]
+    return "avi", [(len(ch), sum(ch), min(ch), max(ch)) for ch in chans]
+
+
+def avi_frame_hashes(data: bytes, n_frames: int):
+    import hashlib
+
+    grids = avi_parse(data)[4]
+    out = []
+    for i in range(n_frames):
+        g = grids[i * len(grids) // n_frames]
+        raw = bytes(v for row in g for px in row for v in px)
+        out.append(hashlib.sha256(raw).hexdigest()[:16])
+    return out
+
+
+# --- IMA ADPCM WAV (fmt tag 0x11) -----------------------------------------------
+#
+# Scalar twin of convert_spark/kernels/adpcm.py: per-sample if/else
+# decode loop straight from the IMA recommendation, byte-cursor RIFF
+# walk (no numpy, no lockstep vectorization).
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def wav_fmt_tag(data: bytes) -> int:
+    """Format tag of a RIFF/WAVE payload (scalar chunk walk)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF header")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if tag == b"fmt ":
+            return int.from_bytes(data[pos + 8 : pos + 10], "little")
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("wav: missing fmt chunk")
+
+
+def adpcm_parse(data: bytes):
+    """-> (nch, rate, block_align, fact_frames_or_None, data_bytes)."""
+    pos = 12
+    fmt = pcm = fact = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            pcm = body
+        elif tag == b"fact" and len(body) >= 4:
+            fact = int.from_bytes(body[:4], "little")
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or pcm is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    nch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    ba = int.from_bytes(fmt[12:14], "little")
+    return nch, rate, ba, fact, pcm
+
+
+def adpcm_samples(data: bytes):
+    """Per-channel int16 sample lists + rate, per-sample scalar decode."""
+    nch, rate, ba, fact, pcm = adpcm_parse(data)
+    chans = [[] for _ in range(nch)]
+    for b in range(len(pcm) // ba):
+        block = pcm[b * ba : (b + 1) * ba]
+        preds, idxs = [], []
+        for c in range(nch):
+            v = block[4 * c] | (block[4 * c + 1] << 8)
+            if v >= 0x8000:
+                v -= 0x10000
+            preds.append(v)
+            idxs.append(max(0, min(88, block[4 * c + 2])))
+            chans[c].append(v)  # header sample IS sample 0
+        body = block[4 * nch :]
+        n_words = len(body) // (4 * nch)
+        for wd in range(n_words):
+            for c in range(nch):
+                grp = body[(wd * nch + c) * 4 : (wd * nch + c) * 4 + 4]
+                for byte in grp:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            diff = -diff
+                        v = max(-32768, min(32767, preds[c] + diff))
+                        preds[c] = v
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib & 7]))
+                        chans[c].append(v)
+    if fact is not None:
+        chans = [ch[:fact] for ch in chans]
+    return chans, rate
+
+
+def adpcm_header(data: bytes):
+    chans, rate = adpcm_samples(data)
+    return "wav", len(chans[0]) if chans else 0, rate, len(chans)
+
+
+def adpcm_frame_windows(data: bytes, n_frames: int):
+    """Windows hash the DECODED little-endian int16 interleaved stream
+    (the engine's decode-then-window convention for compressed audio)."""
+    import hashlib
+
+    chans, _ = adpcm_samples(data)
+    nch, n = len(chans), len(chans[0]) if chans else 0
+    raw = b"".join(
+        struct.pack("<h", chans[c][f]) for f in range(n) for c in range(nch)
+    )
+    fb = nch * 2
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    return [
+        hashlib.sha256(raw[bounds[i] * fb : bounds[i + 1] * fb]).hexdigest()[:16]
+        for i in range(n_frames)
+    ]

@@ -2427,3 +2427,224 @@ class TestKnnSalted:
                   .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(base, salted)
         assert stats and stats[0][0] == 1 and stats[-1][1] == 0
+
+
+class TestAvi:
+    """AVI video (kernels/avi.py): exact DIB round trips, MJPG frame
+    decode, genuine frame extraction through frames_real, twin
+    agreement on the corpus classes, declared codec boundary."""
+
+    def test_dib_round_trip_exact(self):
+        from convert_spark.kernels import avi
+
+        rng = np.random.Generator(np.random.PCG64(41))
+        for h, w, n in ((1, 1, 1), (9, 7, 3), (6, 16, 5)):
+            frames = [rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n)]
+            out, fps = avi.decode_avi(avi.encode_avi(frames, fps=15, codec="DIB"))
+            assert fps == 15 and len(out) == n
+            for a, b in zip(frames, out):
+                assert np.array_equal(a, b)
+
+    def test_mjpg_frames_decode_close(self):
+        from convert_spark.kernels import avi  # noqa: F401 — used below
+
+        yy, xx = np.mgrid[0:16, 0:24]
+        frames = [
+            np.stack(
+                [(128 + 90 * np.sin(xx / 5 + yy / 7 + p + t)).astype(np.uint8) for p in (0, 2, 4)],
+                axis=2,
+            )
+            for t in range(3)
+        ]
+        out, fps = avi.decode_avi(avi.encode_avi(frames, fps=25, codec="MJPG"))
+        assert fps == 25 and len(out) == 3
+        for a, b in zip(frames, out):
+            assert np.abs(a.astype(int) - b.astype(int)).max() < 40  # DCT loss only
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (28, 29, 28 + mediagen.N_FORMATS, 29 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk and [tuple(x) for x in es] == [tuple(x) for x in ts]
+            assert multimodal.frames_real(p, 3) == mref.avi_frame_hashes(p, 3)
+
+    def test_resize_in_source_codec(self):
+        from convert_spark import mediagen
+        from convert_spark.kernels import avi
+
+        for seed in (28, 29):
+            p = mediagen.payload_for(seed)
+            src_codec = avi.stream_codec(p)
+            rz = multimodal.resize_real(p, 10, 6)
+            k, w, h, n = multimodal.decode_real(rz)
+            assert (k, w, h) == ("avi", 10, 6)
+            assert n == multimodal.decode_real(p)[3]  # frame count kept
+            assert avi.stream_codec(rz) == src_codec
+
+    def test_declared_codec_boundary(self):
+        from convert_spark.kernels import avi
+
+        rng = np.random.Generator(np.random.PCG64(42))
+        frames = [rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)]
+        data = bytearray(avi.encode_avi(frames, fps=10, codec="DIB"))
+        # flip biCompression in strf to a codec fourcc we don't decode
+        i = data.find(b"strf") + 8 + 16
+        data[i : i + 4] = b"cvid"
+        with pytest.raises(NotImplementedError):
+            avi.decode_avi(bytes(data))
+        for bad in (b"", b"RIFF\x00\x00\x00\x00AVI ", b"RIFF" + bytes(20)):
+            with pytest.raises(NotImplementedError):
+                avi.decode_avi(bad)
+
+    def test_encode_unsupported_codec(self):
+        from convert_spark.kernels import avi
+
+        with pytest.raises(NotImplementedError):
+            avi.encode_avi([np.zeros((2, 2, 3), dtype=np.uint8)], fps=5, codec="H264")
+
+
+class TestAdpcm:
+    """IMA ADPCM WAV (kernels/adpcm.py): decode tracks the source
+    within quantization noise, lockstep decode agrees with the scalar
+    twin, fact-chunk tail trim, frames/resize integration."""
+
+    def _wav_fields(self, wav: bytes):
+        import struct as _s
+
+        pos, fmt, data, fact = 12, None, None, None
+        while pos + 8 <= len(wav):
+            tag = wav[pos : pos + 4]
+            (ln,) = _s.unpack("<I", wav[pos + 4 : pos + 8])
+            body = wav[pos + 8 : pos + 8 + ln]
+            if tag == b"fmt ":
+                fmt = body
+            elif tag == b"data":
+                data = body
+            elif tag == b"fact":
+                (fact,) = _s.unpack("<I", body[:4])
+            pos += 8 + ln + (ln & 1)
+        return fmt, data, fact
+
+    def test_round_trip_quantization_noise(self):
+        import struct as _s
+
+        from convert_spark.kernels import adpcm
+
+        t = np.arange(1500)
+        for nch, spb in ((1, 505), (2, 249)):
+            sig = np.stack(
+                [(9000 * np.sin(t / (13.0 + 6 * c))).astype(np.int16) for c in range(nch)],
+                axis=1,
+            )
+            wav = adpcm.encode_ima_wav(sig, 8000, samples_pb=spb)
+            fmt, data, fact = self._wav_fields(wav)
+            (ba,) = _s.unpack("<H", fmt[12:14])
+            out = adpcm.decode_blocks(data, ba, nch, n_frames=fact)
+            assert out.shape == sig.shape
+            assert np.abs(out.astype(int) - sig.astype(int)).max() < 1000
+
+    def test_fact_trims_partial_tail_block(self):
+        import struct as _s
+
+        from convert_spark.kernels import adpcm
+
+        sig = (4000 * np.sin(np.arange(700) / 11.0)).astype(np.int16).reshape(-1, 1)
+        wav = adpcm.encode_ima_wav(sig, 6000, samples_pb=505)
+        fmt, data, fact = self._wav_fields(wav)
+        assert fact == 700
+        (ba,) = _s.unpack("<H", fmt[12:14])
+        assert adpcm.decode_blocks(data, ba, 1, n_frames=fact).shape == (700, 1)
+        # without the trim the padded block decodes in full
+        assert adpcm.decode_blocks(data, ba, 1).shape == (1010, 1)
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (30, 31, 30 + mediagen.N_FORMATS, 31 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk and [tuple(x) for x in es] == [tuple(x) for x in ts]
+            assert multimodal.frames_real(p, 3) == mref.adpcm_frame_windows(p, 3)
+
+    def test_lockstep_equals_scalar_twin_random_streams(self):
+        """Random nibble streams (every code value, adversarial index
+        walks) decode identically in the numpy lockstep kernel and the
+        per-sample twin — the feedback loop itself, not just smooth
+        corpus audio."""
+        import media_reference_impl as mref
+
+        from convert_spark.kernels import adpcm
+
+        rng = np.random.Generator(np.random.PCG64(43))
+        for nch in (1, 2):
+            spb = 33
+            ba = 4 * nch + (spb - 1) * nch // 2
+            blocks = rng.integers(0, 256, size=3 * ba).astype(np.uint8).tobytes()
+            wav = (
+                b"RIFF" + np.uint32(36 + len(blocks)).tobytes() + b"WAVE"
+                + b"fmt " + np.uint32(20).tobytes()
+                + np.array([0x11, nch], dtype="<u2").tobytes()
+                + np.uint32(8000).tobytes() + np.uint32(0).tobytes()
+                + np.array([ba, 4], dtype="<u2").tobytes()
+                + np.array([2, spb], dtype="<u2").tobytes()
+                + b"data" + np.uint32(len(blocks)).tobytes() + blocks
+            )
+            kernel = adpcm.decode_blocks(blocks, ba, nch)
+            twin, _ = mref.adpcm_samples(wav)
+            for c in range(nch):
+                assert kernel[:, c].tolist() == twin[c], f"nch={nch} ch={c}"
+
+    def test_resize_reencodes_adpcm(self):
+        from convert_spark import mediagen
+
+        p = mediagen.payload_for(30)
+        rz = multimodal.resize_real(p, 40, 5000)
+        k, frames, rate, nch = multimodal.decode_real(rz)
+        assert (k, frames, rate, nch) == ("wav", 40, 5000, 1)
+
+    def test_mutation_fuzz_declared_errors(self):
+        """AVI/ADPCM payloads under byte flips, truncation and garbage
+        insertion: the full stats/frames/resize surface either decodes
+        (mutation missed the parsed region) or raises the declared
+        NotImplementedError — never an untyped struct/numpy error."""
+        from convert_spark import mediagen
+
+        rng = np.random.RandomState(44)
+        goods = [mediagen.payload_for(s) for s in (28, 29, 30, 31)]
+        for good in goods:
+            for _ in range(150):
+                data = bytearray(good)
+                op = rng.randint(3)
+                if op == 0:
+                    for _ in range(rng.randint(1, 6)):
+                        data[rng.randint(len(data))] = rng.randint(256)
+                elif op == 1:
+                    data = data[: rng.randint(4, len(data))]
+                else:
+                    pos = rng.randint(4, len(data))
+                    data = (
+                        data[:pos]
+                        + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8))
+                        + data[pos:]
+                    )
+                payload = bytes(data)
+                for fn in (
+                    lambda d: multimodal.decode_real(d),
+                    lambda d: multimodal.stats_real(d),
+                    lambda d: multimodal.frames_real(d, 2),
+                    lambda d: multimodal.resize_real(d, 4, 3),
+                ):
+                    try:
+                        fn(payload)
+                    except NotImplementedError:
+                        pass  # the declared error; anything else propagates

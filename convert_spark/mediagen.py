@@ -414,9 +414,10 @@ def payload_df(df):
 # pure function of the seed. Separate corpus from ``payload_for`` (the
 # image/audio classes) so the committed real-media KATs never shift.
 # Round 6 adds FLAC STREAMINFO and MPEG-1/2 Layer III MP3 (frame-header
-# walks — again metadata, not sample decode).
+# walks — again metadata, not sample decode) and AVI (class 9 — unlike
+# the others its movi stream IS decodable by the media path).
 
-N_CONTAINER_FORMATS = 9
+N_CONTAINER_FORMATS = 10
 
 
 def _box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
@@ -545,12 +546,36 @@ _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
 
 def container_payload_for(seed: int) -> bytes:
     """One genuine container payload, pure function of ``seed``; class
-    cycles ``seed % 9``: three MP4 track layouts, an MP4 with 64-bit
+    cycles ``seed % 10``: three MP4 track layouts, an MP4 with 64-bit
     boxes + v1 mdhd, Ogg Vorbis, Ogg Opus, FLAC (STREAMINFO + seeded
     extra metadata blocks), MPEG-1 Layer III MP3 (seeded ID3v2 prefix /
-    ID3v1 trailer coins, per-frame padding), MPEG-2 Layer III MP3."""
+    ID3v1 trailer coins, per-frame padding), MPEG-2 Layer III MP3, and
+    a genuine AVI (class 9 — kernels/avi.py, seeded MJPG/DIB codec
+    coin, dims, fps and frame count; the container walk reads only the
+    headers but the movi payload is a real decodable stream)."""
     fmt = int(seed) % N_CONTAINER_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xB0C5E5 ^ (int(seed) * 2654435761)))
+    if fmt == 9:  # AVI container (real MJPG/DIB stream via kernels/avi.py)
+        from .kernels import avi
+
+        w = int(rng.integers(8, 25))
+        h = int(rng.integers(8, 25))
+        fps = int(rng.integers(5, 31))
+        n_frames = int(rng.integers(2, 7))
+        if rng.integers(0, 2):
+            yy, xx = np.mgrid[0:h, 0:w]
+            f1, f2 = rng.uniform(3.0, 9.0, size=2)
+            p = rng.uniform(0.0, 6.0, size=3)
+            frames = [
+                np.stack(
+                    [(128 + 90 * np.sin(xx / f1 + yy / f2 + ph + 0.9 * t)).astype(np.uint8) for ph in p],
+                    axis=2,
+                )
+                for t in range(n_frames)
+            ]
+            return avi.encode_avi(frames, fps, codec="MJPG")
+        frames = [rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n_frames)]
+        return avi.encode_avi(frames, fps, codec="DIB")
     if fmt == 6:  # FLAC: fLaC magic + metadata blocks (format spec §STREAMINFO)
         rate = int(rng.choice([8000, 16000, 22050, 44100, 48000, 96000]))
         ch = int(rng.integers(1, 9))

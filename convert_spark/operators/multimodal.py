@@ -1437,11 +1437,25 @@ def container_tracks(data: bytes) -> tuple[str, list[dict]]:
             return "mp4", out
         if data[:4] == b"OggS":
             return "ogg", [_ogg_track(s) for s in _ogg_streams(data)]
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            from ..kernels import avi
+
+            w, h, n_frames, fps = avi.header(data)
+            # schema mapping for video: sample_rate carries the frame
+            # rate (frames ARE the samples of a video stream);
+            # n_channels 0 — there is no audio stream in this corpus
+            return "avi", [{
+                "track_id": 1, "kind": "video",
+                "codec": avi.stream_codec(data).strip().lower(),
+                "width": w, "height": h, "n_channels": 0,
+                "sample_rate": fps,
+                "duration_ms": n_frames * 1000 // fps if fps else 0,
+            }]
     except NotImplementedError:
         raise
     except Exception as exc:  # noqa: BLE001 — truncated/corrupt headers
         raise NotImplementedError(f"malformed container payload: {exc}") from exc
-    raise NotImplementedError("not a recognized media container (MP4/Ogg/FLAC/MP3)")
+    raise NotImplementedError("not a recognized media container (MP4/Ogg/FLAC/MP3/AVI)")
 
 
 def media_containers(df: DataFrame, binary_col: str = "payload") -> DataFrame:

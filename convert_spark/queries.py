@@ -1644,15 +1644,17 @@ from rt
 
 def q_media_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video/audio CONTAINER metadata under the hash gate: genuine
-    MP4 (ISO-BMFF boxes incl. 64-bit largesize + v1 mdhd) and Ogg
-    (CRC-checked pages, Vorbis/Opus ident headers) payloads — a pure
-    function of doc_id over the ODD ids (the even ids carry the
-    image/audio corpus) — parsed to one row per track: codec id, dims,
-    channels, sample rate, duration. Frame decode stays declared codec
-    territory; this is the metadata a training-data pipeline filters
-    on. Oracle: twin KAT (tests/container_reference_impl.py — scalar
-    byte-cursor walker, bit-serial page CRC, independently derived from
-    ISO/IEC 14496-12, RFC 3533 and RFC 7845)."""
+    MP4 (ISO-BMFF boxes incl. 64-bit largesize + v1 mdhd), Ogg
+    (CRC-checked pages, Vorbis/Opus ident headers), FLAC, MP3 and AVI
+    (classic RIFF form — class 9 carries a REAL MJPG/DIB stream whose
+    frames the media path decodes; this query reads only the headers)
+    payloads — a pure function of doc_id over the ODD ids (the even
+    ids carry the image/audio corpus) — parsed to one row per track:
+    codec id, dims, channels, sample rate (frame rate for video),
+    duration. Oracle: twin KAT (tests/container_reference_impl.py —
+    scalar byte-cursor walker, bit-serial page CRC, independently
+    derived from ISO/IEC 14496-12, RFC 3533, RFC 7845 and the AVI RIFF
+    layout)."""
     from . import mediagen
     from .operators import multimodal
 

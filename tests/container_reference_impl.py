@@ -357,6 +357,67 @@ def container_rows(data: bytes) -> tuple[str, list[dict]]:
         return "ogg", _ogg_rows(data)
     if data[:4] == b"fLaC":
         return "flac", _flac_rows(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi", _avi_rows(data)
     if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 255 and data[1] >= 0xE0):
         return "mp3", _mp3_rows(data)
-    raise ValueError("not an MP4/Ogg/FLAC/MP3 payload")
+    raise ValueError("not an MP4/Ogg/FLAC/MP3/AVI payload")
+
+
+# ------------------------------------------------------------- AVI -------
+
+
+def _avi_rows(data: bytes) -> list[dict]:
+    """Metadata walk of the classic AVI RIFF form: avih for dims/frame
+    count, the first 'vids' strh/strf pair for codec + frame rate.
+    Byte-cursor only — no frame decode (the engine's container path
+    reads the same headers)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("avi: bad RIFF header")
+    end = 8 + int.from_bytes(data[4:8], "little")
+    if end > len(data):
+        end = len(data)
+    w = h = n_frames = 0
+    fps = 0
+    codec = None
+
+    def walk(pos, stop):
+        while pos + 8 <= stop:
+            tag = data[pos : pos + 4]
+            ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            yield tag, pos + 8, ln
+            pos += 8 + ln + (ln & 1)
+
+    for tag, s, ln in walk(12, end):
+        if tag != b"LIST" or data[s : s + 4] != b"hdrl":
+            continue
+        for t2, s2, l2 in walk(s + 4, s + ln):
+            if t2 == b"avih":
+                n_frames = int.from_bytes(data[s2 + 16 : s2 + 20], "little")
+                w = int.from_bytes(data[s2 + 32 : s2 + 36], "little")
+                h = int.from_bytes(data[s2 + 36 : s2 + 40], "little")
+            elif t2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                fcc = None
+                scale = rate = 0
+                comp = None
+                for t3, s3, l3 in walk(s2 + 4, s2 + l2):
+                    if t3 == b"strh":
+                        fcc = data[s3 : s3 + 4]
+                        scale = int.from_bytes(data[s3 + 20 : s3 + 24], "little")
+                        rate = int.from_bytes(data[s3 + 24 : s3 + 28], "little")
+                    elif t3 == b"strf" and fcc == b"vids":
+                        comp = int.from_bytes(data[s3 + 16 : s3 + 20], "little")
+                if fcc == b"vids" and codec is None:
+                    codec = (
+                        "dib" if comp == 0
+                        else comp.to_bytes(4, "little").decode("ascii", "replace").strip().lower()
+                    )
+                    fps = rate // scale if scale else 0
+    if codec is None or not w or not h:
+        raise ValueError("avi: no video stream header")
+    return [{
+        "codec": codec, "track_id": 1, "track_type": "video",
+        "width": w, "height": h, "n_channels": 0,
+        "sample_rate": fps,
+        "duration_ms": n_frames * 1000 // fps if fps else 0,
+    }]

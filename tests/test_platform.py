@@ -2309,12 +2309,13 @@ class TestContainers:
         pdf = pd.DataFrame({"url": [f"u{i}" for i in range(12)], "seed": list(range(12))})
         src = mediagen.container_payload_df(spark.createDataFrame(pdf))
         out = multimodal.media_containers(src).toPandas()
-        # class 2 (seeds 2 and 11 mod N_CONTAINER_FORMATS=9) emits two
-        # tracks; every other class one
-        assert len(out) == 14
-        assert set(out["container"]) == {"mp4", "ogg", "flac", "mp3"}
+        # classes 2 and 12 (seeds 2, 12 mod N_CONTAINER_FORMATS=10)
+        # emit two tracks; every other class one — with 12 seeds only
+        # seed 2 hits a two-track class
+        assert len(out) == 13
+        assert set(out["container"]) == {"mp4", "ogg", "flac", "mp3", "avi"}
         two_track = out[out["n_tracks"] == 2]
-        assert sorted(two_track["track_type"]) == ["audio", "audio", "video", "video"]
+        assert sorted(two_track["track_type"]) == ["audio", "video"]
 
 
 class TestCmykJpeg:
@@ -2648,3 +2649,28 @@ class TestAdpcm:
                         fn(payload)
                     except NotImplementedError:
                         pass  # the declared error; anything else propagates
+
+
+class TestAviContainer:
+    """AVI rides the container-metadata gate too (corpus class 9):
+    header-only walk agrees with the scalar twin, and the movi stream
+    is genuinely decodable by the media path."""
+
+    def test_metadata_matches_twin_and_frames_decode(self):
+        import container_reference_impl as cref
+
+        from convert_spark import mediagen
+        from convert_spark.kernels import avi
+
+        for seed in (9, 19, 29, 39):
+            p = mediagen.container_payload_for(seed)
+            kind, tracks = multimodal.container_tracks(p)
+            tkind, ttracks = cref.container_rows(p)
+            assert kind == tkind == "avi" and len(tracks) == len(ttracks) == 1
+            e, t = tracks[0], ttracks[0]
+            assert (e["codec"], e["width"], e["height"], e["sample_rate"], e["duration_ms"]) == (
+                t["codec"], t["width"], t["height"], t["sample_rate"], t["duration_ms"])
+            frames, fps = avi.decode_avi(p)  # headers describe a real stream
+            assert fps == e["sample_rate"]
+            assert len(frames) == avi.header(p)[2]
+            assert frames[0].shape == (e["height"], e["width"], 3)

@@ -177,7 +177,8 @@ def payload_for(seed: int) -> bytes:
     decode must reproduce the source samples BIT-EXACTLY), a BMP shape
     (26 — 24-bit BI_RGB, top-down by seeded coin) and a baseline TIFF
     shape (27 — seeded byte order, gray/RGB coin, seeded multi-strip
-    layout), two AVI VIDEO shapes (28 MJPG — every frame a real
+    layout, seeded Compression none/LZW/Deflate/PackBits with a
+    horizontal-Predictor coin), two AVI VIDEO shapes (28 MJPG — every frame a real
     baseline JPEG — and 29 uncompressed DIB, each 3-6 frames at a
     seeded fps) and two IMA ADPCM WAV shapes (30 mono, 31 stereo —
     genuine 4-bit compressed audio with multi-block layouts and a
@@ -238,6 +239,11 @@ def payload_for(seed: int) -> bytes:
             px,
             big_endian=bool(rng.integers(0, 2)),
             rows_per_strip=int(rng.integers(1, h + 1)),
+            # seeded Compression: none / LZW / Deflate / PackBits, with
+            # the horizontal Predictor coin the compressed shapes pair
+            # with in real crawls
+            compression=int(rng.choice([1, 5, 8, 32773])),
+            predictor=int(rng.choice([1, 2])),
         )
     if fmt >= 24:  # lossless JPEG (SOF3), bit-exact round trip
         from .kernels import jpeg

@@ -1124,9 +1124,71 @@ def bmp_pixels(data: bytes):
     return rows
 
 
+def _tiff_packbits_s(src: bytes, out_len: int):
+    """Scalar PackBits expansion (TIFF 6.0 §9)."""
+    out = []
+    i = 0
+    while i < len(src) and len(out) < out_len:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out.extend(src[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            out.extend([src[i]] * (257 - n))
+            i += 1
+    if len(out) < out_len:
+        raise ValueError("tiff: packbits underrun")
+    return out[:out_len]
+
+
+def _tiff_lzw_s(src: bytes, out_len: int):
+    """Scalar TIFF LZW (spec §13): per-bit MSB-first cursor, string
+    table as lists, early width change at table size 2^w - 2."""
+    table = [[i] for i in range(256)] + [[], []]
+    out = []
+    width, acc, nbits = 9, 0, 0
+    prev = None
+    for byte in src:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                if len(out) < out_len:
+                    raise ValueError("tiff: lzw underrun")
+                return out[:out_len]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("tiff: lzw code range")
+            out.extend(entry)
+            prev = entry
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= out_len:
+                return out[:out_len]
+    if len(out) < out_len:
+        raise ValueError("tiff: lzw truncated")
+    return out[:out_len]
+
+
 def tiff_pixels(data: bytes):
-    """Baseline uncompressed TIFF -> row-major channel-tuple rows,
-    scalar IFD walk and per-sample reads."""
+    """Baseline TIFF -> row-major channel-tuple rows, scalar IFD walk
+    and per-sample reads; Compression 1/5/8/32773 with the scalar
+    PackBits/LZW expanders above (Deflate via zlib), horizontal
+    Predictor undone per-pixel."""
     if data[:4] == b"II*\x00":
         e = "<"
     elif data[:4] == b"MM\x00*":
@@ -1151,12 +1213,24 @@ def tiff_pixels(data: bytes):
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack(e + fmt * count, raw))
     w, h = tags[256][0], tags[257][0]
-    if tags.get(259, [1])[0] != 1:
-        raise ValueError("tiff: compressed")
+    comp = tags.get(259, [1])[0]
     nc = tags.get(277, [1])[0]
-    raw = bytearray()
-    for off, cnt in zip(tags[273], tags[279]):
-        raw += data[off : off + cnt]
+    rps = tags.get(278, [h])[0] or h
+    raw = []
+    for i, (off, cnt) in enumerate(zip(tags[273], tags[279])):
+        n_rows = min(rps, h - i * rps)
+        strip = data[off : off + cnt]
+        want = n_rows * w * nc
+        if comp == 1:
+            raw.extend(strip[:want])
+        elif comp == 32773:
+            raw.extend(_tiff_packbits_s(strip, want))
+        elif comp == 5:
+            raw.extend(_tiff_lzw_s(strip, want))
+        elif comp in (8, 32946):
+            raw.extend(zlib.decompress(strip)[:want])
+        else:
+            raise ValueError("tiff: compression")
     rows = []
     p = 0
     for _ in range(h):
@@ -1165,6 +1239,10 @@ def tiff_pixels(data: bytes):
             row.append(tuple(raw[p + c] for c in range(nc)))
             p += nc
         rows.append(row)
+    if tags.get(317, [1])[0] == 2:  # horizontal differencing, per pixel
+        for row in rows:
+            for x in range(1, len(row)):
+                row[x] = tuple((row[x][c] + row[x - 1][c]) & 0xFF for c in range(nc))
     if tags.get(262, [1])[0] == 0:  # WhiteIsZero
         rows = [[tuple(255 - v for v in px) for px in row] for row in rows]
     return rows

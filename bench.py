@@ -87,7 +87,8 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
                "cmyk_jpeg": range(16, 18), "g711_wav": range(18, 20),
                "gif": range(20, 22), "jpeg12": range(22, 24),
                "jpeg_lossless": range(24, 26), "bmp_tiff": range(26, 28),
-               "avi": range(28, 30), "adpcm_wav": range(30, 32)}
+               "avi": range(28, 30), "adpcm_wav": range(30, 32),
+               "ms_adpcm_wav": range(32, 34)}
     out: dict[str, dict[str, float]] = {}
     for fam, fmts in fam_fmt.items():
         payloads = []

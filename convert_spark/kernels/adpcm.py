@@ -187,3 +187,156 @@ def encode_ima_wav(samples: np.ndarray, rate: int, samples_pb: int = 505) -> byt
         + chunk(b"data", body)
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# --- Microsoft ADPCM (WAV format tag 0x0002) ------------------------------
+#
+# The other widespread 4-bit WAV codec: per-block 7-coefficient linear
+# prediction (the published iCoef table, fixed-point /256) with a
+# per-sample adaptive delta. Block layout per the Microsoft WAVE
+# mapping: per-channel uint8 predictor indexes, int16 initial deltas,
+# int16 iSamp1 then iSamp2 headers (samples 2/1 of the block, emitted
+# in the order samp2, samp1), then 4-bit SIGNED codes HIGH nibble
+# first, channels interleaved nibble-by-nibble. samples_per_block =
+# 2 + (block_align - 7*nch) * 2 / nch.
+
+MS_COEFS = np.array(
+    [[256, 0], [512, -256], [0, 0], [192, 64], [240, 0], [460, -208], [392, -232]],
+    dtype=np.int64,
+)
+MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64,
+)
+
+
+def ms_samples_per_block(block_align: int, nch: int) -> int:
+    return 2 + (block_align - 7 * nch) * 2 // nch
+
+
+def _ms_nibbles(body: np.ndarray, nch: int) -> np.ndarray:
+    """(nb, data_bytes) -> (nb, nch, n_codes) signed codes in sample
+    order: high nibble first, channels rotating nibble-by-nibble."""
+    nb = body.shape[0]
+    hi = body >> 4
+    lo = body & 0x0F
+    seq = np.stack([hi, lo], axis=2).reshape(nb, -1)  # nibble stream
+    n_codes = seq.shape[1] // nch
+    seq = seq[:, : n_codes * nch].reshape(nb, n_codes, nch)
+    codes = seq.transpose(0, 2, 1).astype(np.int64)
+    return codes - ((codes & 8) << 1)  # signed 4-bit
+
+
+def ms_decode_blocks(raw: bytes, block_align: int, nch: int,
+                     n_frames: int | None = None) -> np.ndarray:
+    """MS-ADPCM block stream -> (frames, nch) int16, block/channel
+    lanes vectorized, per-sample adaptive-delta loop sequential."""
+    nb = len(raw) // block_align
+    if nb == 0:
+        return np.zeros((0, nch), dtype=np.int16)
+    blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(nb, block_align)
+    pred_idx = blocks[:, :nch].astype(np.int64)
+    if int(pred_idx.max(initial=0)) >= len(MS_COEFS):
+        raise NotImplementedError("malformed MS-ADPCM: predictor index out of range")
+
+    def i16(col: np.ndarray) -> np.ndarray:
+        v = col[:, :, 0].astype(np.int64) | (col[:, :, 1].astype(np.int64) << 8)
+        return (v ^ 0x8000) - 0x8000
+
+    hdr = blocks[:, nch : 7 * nch].reshape(nb, 3, nch, 2).transpose(0, 2, 1, 3)
+    delta = i16(hdr[:, :, 0])   # iDelta
+    samp1 = i16(hdr[:, :, 1])   # iSamp1 (sample 2 of the block)
+    samp2 = i16(hdr[:, :, 2])   # iSamp2 (sample 1 of the block)
+    c1 = MS_COEFS[pred_idx, 0]
+    c2 = MS_COEFS[pred_idx, 1]
+    codes = _ms_nibbles(blocks[:, 7 * nch :], nch)
+    n_codes = codes.shape[2]
+    out = np.empty((nb, nch, n_codes + 2), dtype=np.int16)
+    out[:, :, 0] = samp2.astype(np.int16)
+    out[:, :, 1] = samp1.astype(np.int16)
+    for t in range(n_codes):
+        c = codes[:, :, t]
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        samp = np.clip(pred + c * delta, -32768, 32767)
+        delta = np.maximum((MS_ADAPT[c & 0x0F] * delta) >> 8, 16)
+        samp2 = samp1
+        samp1 = samp
+        out[:, :, t + 2] = samp.astype(np.int16)
+    frames = np.ascontiguousarray(out.transpose(0, 2, 1)).reshape(-1, nch)
+    if n_frames is not None:
+        frames = frames[:n_frames]
+    return frames
+
+
+def ms_encode_blocks(samples: np.ndarray, samples_pb: int) -> tuple[bytes, int]:
+    """(frames, nch) int16 -> (MS-ADPCM block stream, block_align),
+    predictor 0 (iCoef 256/0) with delta seeded from the local slew —
+    quantize-reconstruct in the same lockstep shape as the decoder."""
+    n, nch = samples.shape
+    if samples_pb < 4 or (samples_pb - 2) * nch % 2:
+        raise NotImplementedError("MS-ADPCM encode: bad samples_per_block")
+    nb = max(1, -(-n // samples_pb))
+    pad = nb * samples_pb - n
+    if pad:
+        tail = samples[-1:] if n else np.zeros((1, nch), dtype=np.int16)
+        samples = np.concatenate([samples, np.repeat(tail, pad, axis=0)])
+    s = samples.astype(np.int64).reshape(nb, samples_pb, nch).transpose(0, 2, 1)
+    samp2 = s[:, :, 0].copy()
+    samp1 = s[:, :, 1].copy()
+    probe = np.abs(np.diff(s[:, :, : min(10, samples_pb)], axis=2))
+    delta0 = np.maximum(probe.mean(axis=2).astype(np.int64) >> 2, 16) if probe.shape[2] \
+        else np.full((nb, nch), 16, dtype=np.int64)
+    delta = delta0.copy()
+    c1, c2 = 256, 0  # predictor 0
+    n_codes = samples_pb - 2
+    codes = np.empty((nb, nch, n_codes), dtype=np.int64)
+    for t in range(n_codes):
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        c = np.clip((s[:, :, t + 2] - pred + (delta >> 1) * np.sign(s[:, :, t + 2] - pred)) // delta, -8, 7)
+        codes[:, :, t] = c
+        samp = np.clip(pred + c * delta, -32768, 32767)
+        delta = np.maximum((MS_ADAPT[c & 0x0F] * delta) >> 8, 16)
+        samp2 = samp1
+        samp1 = samp
+    # pack: headers then nibbles (high first, channels rotating)
+    u = (codes & 0x0F).astype(np.uint8).transpose(0, 2, 1).reshape(nb, -1)  # nibble order
+    hi = u[:, 0::2]
+    lo = u[:, 1::2]
+    body = ((hi << 4) | lo).astype(np.uint8)
+    block_align = 7 * nch + n_codes * nch // 2
+    out = np.zeros((nb, block_align), dtype=np.uint8)
+    out[:, :nch] = 0  # predictor index 0 every channel
+
+    def put16(dst_off: int, vals: np.ndarray) -> None:
+        v = vals.astype(np.uint16)
+        out[:, dst_off : dst_off + 2 * vals.shape[1] : 2] = (v & 0xFF).astype(np.uint8)
+        out[:, dst_off + 1 : dst_off + 2 * vals.shape[1] : 2] = (v >> 8).astype(np.uint8)
+
+    put16(nch, delta0)
+    put16(3 * nch, s[:, :, 1])  # iSamp1
+    put16(5 * nch, s[:, :, 0])  # iSamp2
+    out[:, 7 * nch :] = body
+    return out.tobytes(), block_align
+
+
+def encode_ms_wav(samples: np.ndarray, rate: int, samples_pb: int = 500) -> bytes:
+    """(frames, nch) int16 -> WAV fmt-0x0002 payload (coefficient
+    table + wSamplesPerBlock in the fmt extension, exact ``fact``)."""
+    n, nch = samples.shape
+    body, block_align = ms_encode_blocks(samples, samples_pb)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (b"\x00" if len(payload) & 1 else b"")
+
+    avg = rate * block_align // samples_pb if samples_pb else 0
+    ext = struct.pack("<HH", samples_pb, len(MS_COEFS))
+    for a, b in MS_COEFS:
+        ext += struct.pack("<hh", int(a), int(b))
+    fmt = struct.pack("<HHIIHHH", 0x02, nch, rate, avg, block_align, 4, len(ext)) + ext
+    riff_body = (
+        b"WAVE"
+        + chunk(b"fmt ", fmt)
+        + chunk(b"fact", struct.pack("<I", n))
+        + chunk(b"data", body)
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

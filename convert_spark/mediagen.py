@@ -15,7 +15,7 @@ static incl. interlace, and ANIMATED with sub-rect frames, transparency
 masks, seeded disposal methods and delays), a genuine AVI VIDEO
 (kernels/avi.py — MJPG frames through the from-scratch JPEG encoder, or
 uncompressed DIB rasters), or genuine IMA ADPCM compressed audio
-(kernels/adpcm.py — 4-bit differential WAV, fmt tag 0x11).
+(kernels/adpcm.py — IMA fmt tag 0x11 or Microsoft fmt tag 0x02).
 
 The generator is SHARED INPUT between the Spark query and the KAT twin
 (tests/media_reference_impl.py): what's under test is the DECODE path,
@@ -37,7 +37,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 32
+N_FORMATS = 34
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -164,7 +164,7 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 32``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 34``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
@@ -180,27 +180,33 @@ def payload_for(seed: int) -> bytes:
     layout, seeded Compression none/LZW/Deflate/PackBits with a
     horizontal-Predictor coin), two AVI VIDEO shapes (28 MJPG — every frame a real
     baseline JPEG — and 29 uncompressed DIB, each 3-6 frames at a
-    seeded fps) and two IMA ADPCM WAV shapes (30 mono, 31 stereo —
+    seeded fps), two IMA ADPCM WAV shapes (30 mono, 31 stereo —
     genuine 4-bit compressed audio with multi-block layouts and a
-    fact-trimmed tail)."""
+    fact-trimmed tail) and two MICROSOFT ADPCM WAV shapes (32 mono,
+    33 stereo — 7-coefficient linear prediction, adaptive delta)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
-    if fmt >= 30:  # IMA ADPCM WAV (4-bit compressed audio)
+    if fmt >= 30:  # ADPCM WAV (4-bit compressed audio: IMA 30/31, MS 32/33)
         from .kernels import adpcm
 
-        nch = 1 if fmt == 30 else 2
+        nch = 1 if fmt in (30, 32) else 2
         rate = int(rng.integers(4, 9)) * 1000
         # multiple blocks + a non-multiple tail so the fact trim and
         # block re-seeding both decode under the gate
-        spb = int(rng.integers(2, 8)) * 8 + 1
+        if fmt >= 32:  # Microsoft ADPCM: any samples_per_block >= 4 works
+            spb = int(rng.integers(8, 60)) * 2
+        else:  # IMA: 8k+1 nibble layout
+            spb = int(rng.integers(2, 8)) * 8 + 1
         n = int(rng.integers(spb + 1, 4 * spb))
         t = np.arange(n)[:, None]
         freq = rng.uniform(5.0, 30.0, size=nch)
         phase = rng.uniform(0.0, 6.0, size=nch)
         amp = rng.uniform(3000.0, 20000.0, size=nch)
         samples = (amp * np.sin(t / freq + phase)).astype(np.int16)
+        if fmt >= 32:
+            return adpcm.encode_ms_wav(samples, rate, samples_pb=spb)
         return adpcm.encode_ima_wav(samples, rate, samples_pb=spb)
     if fmt >= 28:  # AVI video (MJPG / uncompressed DIB streams)
         from .kernels import avi

@@ -190,10 +190,11 @@ def _g711_table(audio_fmt: int) -> np.ndarray:
 
 
 def _wav_adpcm(data: bytes) -> tuple[np.ndarray, int, int]:
-    """IMA ADPCM WAV (fmt tag 0x11) -> (int16 samples (n, nch), rate,
-    nch). Re-walks the RIFF chunks because the decode needs fields the
-    generic walk drops: nBlockAlign and the ``fact`` frame count that
-    trims the final block's padding (kernels/adpcm.py)."""
+    """ADPCM WAV (fmt tag 0x11 IMA, 0x02 Microsoft) -> (int16 samples
+    (n, nch), rate, nch). Re-walks the RIFF chunks because the decode
+    needs fields the generic walk drops: nBlockAlign and the ``fact``
+    frame count that trims the final block's padding
+    (kernels/adpcm.py)."""
     from ..kernels import adpcm
 
     pos, fmt, pcm, fact = 12, None, None, None
@@ -210,12 +211,17 @@ def _wav_adpcm(data: bytes) -> tuple[np.ndarray, int, int]:
         pos += 8 + ln + (ln & 1)
     if fmt is None or pcm is None or len(fmt) < 16:
         raise NotImplementedError("malformed WAV payload: missing fmt/data chunk")
-    _, nch, rate = struct.unpack("<HHI", fmt[0:8])
+    audio_fmt, nch, rate = struct.unpack("<HHI", fmt[0:8])
     (block_align,) = struct.unpack("<H", fmt[12:14])
-    if nch < 1 or block_align < 4 * nch + 4 * nch:
+    min_hdr = 7 * nch if audio_fmt == 0x02 else 8 * nch
+    if nch < 1 or block_align < min_hdr:
         raise NotImplementedError("malformed ADPCM WAV: bad block layout")
     try:
+        if audio_fmt == 0x02:
+            return adpcm.ms_decode_blocks(pcm, block_align, nch, n_frames=fact), rate, nch
         return adpcm.decode_blocks(pcm, block_align, nch, n_frames=fact), rate, nch
+    except NotImplementedError:
+        raise
     except Exception as exc:  # noqa: BLE001 — corrupt block layout
         raise NotImplementedError(f"malformed ADPCM WAV: {exc}") from exc
 
@@ -231,7 +237,7 @@ def _decode_wav(data: bytes) -> tuple[str, int, int, int]:
             return "wav", wf.getnframes(), wf.getframerate(), wf.getnchannels()
     if audio_fmt in (6, 7):  # G.711: one byte per sample
         return "wav", len(pcm) // nch, rate, nch
-    if audio_fmt == 0x11:  # IMA ADPCM: decode IS the frame count
+    if audio_fmt in (0x11, 0x02):  # IMA / Microsoft ADPCM: decode IS the frame count
         s, rate, nch = _wav_adpcm(data)
         return "wav", s.shape[0], rate, nch
     raise NotImplementedError(f"WAV audio format {audio_fmt}: real codec territory")
@@ -522,7 +528,7 @@ def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
         s = lin.astype(np.float64) / 32768.0
         return s[: (len(s) // nch) * nch].reshape(-1, nch), fr
-    if audio_fmt == 0x11:  # IMA ADPCM -> linear int16
+    if audio_fmt in (0x11, 0x02):  # IMA / MS ADPCM -> linear int16
         ints, fr, _ = _wav_adpcm(data)
         return ints.astype(np.float64) / 32768.0, fr
     import wave
@@ -605,7 +611,7 @@ def _wav_ints(data: bytes) -> np.ndarray:
     if audio_fmt in (6, 7):
         lin = _g711_table(audio_fmt)[np.frombuffer(pcm, dtype=np.uint8)]
         return lin[: (len(lin) // nch) * nch].reshape(-1, nch)
-    if audio_fmt == 0x11:  # IMA ADPCM: the decode IS the expansion
+    if audio_fmt in (0x11, 0x02):  # IMA / MS ADPCM: the decode IS the expansion
         return _wav_adpcm(data)[0]
     import wave
 
@@ -857,15 +863,17 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         import wave
 
         audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
-        if audio_fmt == 0x11:
+        if audio_fmt in (0x11, 0x02):
             from ..kernels import adpcm
 
             # decode to linear PCM, nearest-neighbor frame resample,
-            # re-encode as IMA ADPCM at rate ``th`` (lossy like any
-            # ADPCM re-encode; deterministic encoder)
+            # re-encode in the SOURCE ADPCM flavor at rate ``th``
+            # (lossy like any ADPCM re-encode; deterministic encoder)
             ints, _, nch = _wav_adpcm(data)
             n = ints.shape[0]
             idx = (np.arange(tw, dtype=np.int64) * n) // max(tw, 1) if n else np.zeros(0, np.int64)
+            if audio_fmt == 0x02:
+                return adpcm.encode_ms_wav(ints[idx], th)
             return adpcm.encode_ima_wav(ints[idx], th)
         if audio_fmt in (6, 7):
             # G.711 is one byte per sample, so nearest-neighbor frame
@@ -932,8 +940,8 @@ def frames_real(data: bytes, n_frames: int) -> list[str]:
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
         raise NotImplementedError("frame sampling: only WAV/GIF/AVI decode without a real codec")
     audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
-    if audio_fmt == 0x11:
-        # IMA ADPCM: windows hash the DECODED little-endian int16
+    if audio_fmt in (0x11, 0x02):
+        # IMA / MS ADPCM: windows hash the DECODED little-endian int16
         # stream (the G.711 decode-then-window convention)
         ints, _, nch = _wav_adpcm(data)
         raw = ints.astype("<i2").tobytes()

@@ -208,13 +208,15 @@ def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     rows = []
     for doc_id in _media_ids(sf_dir):
         fmt = (doc_id // 2) % mediagen.N_FORMATS
-        if fmt not in (14, 15, 18, 19, 20, 21, 28, 29, 30, 31):
+        if fmt not in (14, 15, 18, 19, 20, 21, 28, 29, 30, 31, 32, 33):
             continue
         payload = mediagen.payload_for(doc_id // 2)
         if fmt in (28, 29):  # AVI: decoded video frame rasters
             hashes = mref.avi_frame_hashes(payload, 3)
         elif fmt in (30, 31):  # IMA ADPCM: decoded int16 windows
             hashes = mref.adpcm_frame_windows(payload, 3)
+        elif fmt in (32, 33):  # Microsoft ADPCM: decoded int16 windows
+            hashes = mref.ms_adpcm_frame_windows(payload, 3)
         elif fmt in (20, 21):
             hashes = mref.gif_frame_hashes(payload, 3)
         else:

@@ -28,9 +28,10 @@ WAV; static and ANIMATED GIF — per-bit LZW cursor, per-pixel
 transparency/disposal compositing; BMP and baseline TIFF via scalar
 per-pixel reads; AVI video — byte-cursor RIFF walk with MJPG frames
 through this module's own scalar JPEG decoder and DIB frames via
-per-pixel row loops; IMA ADPCM WAV — per-sample if/else step/index
-recurrence vs production's numpy block-lockstep decode). Everything
-else raises ValueError — the KAT builder should never hit it.
+per-pixel row loops; IMA and Microsoft ADPCM WAV — per-sample if/else
+step/coefficient recurrences vs production's numpy block-lockstep
+decode). Everything else raises ValueError — the KAT builder should
+never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
 transform in float64 from the same published constants and round
@@ -834,8 +835,11 @@ def header(data: bytes):
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return avi_header(data)
     if data[:4] == b"RIFF":
-        if wav_fmt_tag(data) == 0x11:
+        tag = wav_fmt_tag(data)
+        if tag == 0x11:
             return adpcm_header(data)
+        if tag == 0x02:
+            return ms_adpcm_header(data)
         return wav_header(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_header(data)
@@ -863,7 +867,13 @@ def channel_stats(data: bytes):
     elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return avi_channel_stats(data)
     elif data[:4] == b"RIFF":
-        chans = adpcm_samples(data)[0] if wav_fmt_tag(data) == 0x11 else wav_samples(data)
+        tag = wav_fmt_tag(data)
+        if tag == 0x11:
+            chans = adpcm_samples(data)[0]
+        elif tag == 0x02:
+            chans = ms_adpcm_samples(data)[0]
+        else:
+            chans = wav_samples(data)
         kind = "wav"
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_channel_stats(data)
@@ -1470,6 +1480,77 @@ def adpcm_frame_windows(data: bytes, n_frames: int):
     import hashlib
 
     chans, _ = adpcm_samples(data)
+    nch, n = len(chans), len(chans[0]) if chans else 0
+    raw = b"".join(
+        struct.pack("<h", chans[c][f]) for f in range(n) for c in range(nch)
+    )
+    fb = nch * 2
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    return [
+        hashlib.sha256(raw[bounds[i] * fb : bounds[i + 1] * fb]).hexdigest()[:16]
+        for i in range(n_frames)
+    ]
+
+
+# --- Microsoft ADPCM WAV (fmt tag 0x0002) ---------------------------------------
+#
+# Scalar twin of kernels/adpcm.py's MS path: per-sample loop with the
+# published 7-row coefficient table and 16-entry adaptation table.
+
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _s16(lo: int, hi: int) -> int:
+    v = lo | (hi << 8)
+    return v - 0x10000 if v >= 0x8000 else v
+
+
+def ms_adpcm_samples(data: bytes):
+    """Per-channel int16 sample lists + rate, per-sample scalar decode
+    of Microsoft ADPCM blocks (high nibble first, channels rotating)."""
+    nch, rate, ba, fact, pcm = adpcm_parse(data)
+    chans = [[] for _ in range(nch)]
+    for b in range(len(pcm) // ba):
+        block = pcm[b * ba : (b + 1) * ba]
+        preds = [block[c] for c in range(nch)]
+        if any(p >= len(_MS_COEFS) for p in preds):
+            raise ValueError("ms-adpcm: predictor index")
+        deltas = [_s16(block[nch + 2 * c], block[nch + 2 * c + 1]) for c in range(nch)]
+        samp1 = [_s16(block[3 * nch + 2 * c], block[3 * nch + 2 * c + 1]) for c in range(nch)]
+        samp2 = [_s16(block[5 * nch + 2 * c], block[5 * nch + 2 * c + 1]) for c in range(nch)]
+        for c in range(nch):
+            chans[c].append(samp2[c])  # block sample 1
+            chans[c].append(samp1[c])  # block sample 2
+        nibs = []
+        for byte in block[7 * nch :]:
+            nibs.append(byte >> 4)
+            nibs.append(byte & 0x0F)
+        for i in range(len(nibs) // nch):
+            for c in range(nch):
+                u = nibs[i * nch + c]
+                sgn = u - 16 if u >= 8 else u
+                c1, c2 = _MS_COEFS[preds[c]]
+                pred = (samp1[c] * c1 + samp2[c] * c2) >> 8
+                samp = max(-32768, min(32767, pred + sgn * deltas[c]))
+                deltas[c] = max(16, (_MS_ADAPT[u] * deltas[c]) >> 8)
+                samp2[c] = samp1[c]
+                samp1[c] = samp
+                chans[c].append(samp)
+    if fact is not None:
+        chans = [ch[:fact] for ch in chans]
+    return chans, rate
+
+
+def ms_adpcm_header(data: bytes):
+    chans, rate = ms_adpcm_samples(data)
+    return "wav", len(chans[0]) if chans else 0, rate, len(chans)
+
+
+def ms_adpcm_frame_windows(data: bytes, n_frames: int):
+    import hashlib
+
+    chans, _ = ms_adpcm_samples(data)
     nch, n = len(chans), len(chans[0]) if chans else 0
     raw = b"".join(
         struct.pack("<h", chans[c][f]) for f in range(n) for c in range(nch)

@@ -2734,3 +2734,111 @@ class TestTiffCompression:
         lzw = rasters.encode_tiff(px, compression=5)
         with pytest.raises(NotImplementedError):
             rasters.decode_tiff(lzw[:-3] + b"")
+
+
+class TestMsAdpcm:
+    """Microsoft ADPCM (fmt tag 0x0002): quantization-noise round
+    trips, lockstep-vs-scalar-twin agreement on adversarial streams,
+    corpus classes 32/33 under the twin, mutation fuzz."""
+
+    def test_round_trip_quantization_noise(self):
+        import struct as _s
+
+        from convert_spark.kernels import adpcm
+
+        t = np.arange(1600)
+        for nch, spb in ((1, 500), (2, 244)):
+            sig = np.stack(
+                [(9000 * np.sin(t / (17.0 + 5 * c))).astype(np.int16) for c in range(nch)],
+                axis=1,
+            )
+            wav = adpcm.encode_ms_wav(sig, 8000, samples_pb=spb)
+            pos, fmt, data, fact = 12, None, None, None
+            while pos + 8 <= len(wav):
+                tag = wav[pos : pos + 4]
+                (ln,) = _s.unpack("<I", wav[pos + 4 : pos + 8])
+                body = wav[pos + 8 : pos + 8 + ln]
+                if tag == b"fmt ":
+                    fmt = body
+                elif tag == b"data":
+                    data = body
+                elif tag == b"fact":
+                    (fact,) = _s.unpack("<I", body[:4])
+                pos += 8 + ln + (ln & 1)
+            (ba,) = _s.unpack("<H", fmt[12:14])
+            out = adpcm.ms_decode_blocks(data, ba, nch, n_frames=fact)
+            assert out.shape == sig.shape
+            assert np.abs(out.astype(int) - sig.astype(int)).max() < 2500
+
+    def test_lockstep_equals_scalar_twin_random_streams(self):
+        import media_reference_impl as mref
+
+        from convert_spark.kernels import adpcm
+
+        rng = np.random.Generator(np.random.PCG64(45))
+        for nch in (1, 2):
+            spb = 20
+            ba = 7 * nch + (spb - 2) * nch // 2
+            blocks = rng.integers(0, 256, size=3 * ba).astype(np.uint8)
+            # keep predictor indexes in range (0-6); everything else random
+            view = blocks.reshape(3, ba)
+            view[:, :nch] = rng.integers(0, 7, size=(3, nch)).astype(np.uint8)
+            raw = view.tobytes()
+            wav = (
+                b"RIFF" + np.uint32(36 + len(raw)).tobytes() + b"WAVE"
+                + b"fmt " + np.uint32(18).tobytes()
+                + np.array([0x02, nch], dtype="<u2").tobytes()
+                + np.uint32(8000).tobytes() + np.uint32(0).tobytes()
+                + np.array([ba, 4], dtype="<u2").tobytes()
+                + np.array([0], dtype="<u2").tobytes()
+                + b"data" + np.uint32(len(raw)).tobytes() + raw
+            )
+            kernel = adpcm.ms_decode_blocks(raw, ba, nch)
+            twin, _ = mref.ms_adpcm_samples(wav)
+            for c in range(nch):
+                assert kernel[:, c].tolist() == twin[c], f"nch={nch} ch={c}"
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (32, 33, 32 + mediagen.N_FORMATS, 33 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk and [tuple(x) for x in es] == [tuple(x) for x in ts]
+            assert multimodal.frames_real(p, 3) == mref.ms_adpcm_frame_windows(p, 3)
+
+    def test_mutation_fuzz_declared_errors(self):
+        from convert_spark import mediagen
+
+        rng = np.random.RandomState(46)
+        for good in (mediagen.payload_for(32), mediagen.payload_for(33)):
+            for _ in range(150):
+                data = bytearray(good)
+                op = rng.randint(3)
+                if op == 0:
+                    for _ in range(rng.randint(1, 6)):
+                        data[rng.randint(len(data))] = rng.randint(256)
+                elif op == 1:
+                    data = data[: rng.randint(4, len(data))]
+                else:
+                    pos = rng.randint(4, len(data))
+                    data = (
+                        data[:pos]
+                        + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8))
+                        + data[pos:]
+                    )
+                payload = bytes(data)
+                for fn in (
+                    lambda d: multimodal.decode_real(d),
+                    lambda d: multimodal.stats_real(d),
+                    lambda d: multimodal.frames_real(d, 2),
+                    lambda d: multimodal.resize_real(d, 4, 3),
+                ):
+                    try:
+                        fn(payload)
+                    except NotImplementedError:
+                        pass

@@ -1502,15 +1502,16 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 32 mediagen format classes
+    seed = doc_id/2, cycling through all 34 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
     two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
     layouts, two GIF shapes — static + ANIMATED with sub-rect frames,
     transparency and disposal — two 12-bit extended-sequential JPEG
     shapes, two bit-exact LOSSLESS JPEG shapes, a BMP shape and a
-    baseline multi-strip TIFF shape, two AVI VIDEO shapes — MJPG and
-    uncompressed DIB — and two IMA ADPCM compressed-audio WAV shapes)
-    at every scale factor. ``fmts``
+    baseline multi-strip TIFF shape with seeded LZW/Deflate/PackBits
+    compression, two AVI VIDEO shapes — MJPG and uncompressed DIB —
+    and four ADPCM compressed-audio WAV shapes, IMA 30/31 and
+    Microsoft 32/33) at every scale factor. ``fmts``
     restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""
@@ -1553,7 +1554,7 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling under the hash gate: WAV payloads (PCM
-    classes 14/15, G.711 classes 18/19, IMA ADPCM classes 30/31 —
+    classes 14/15, G.711 classes 18/19, IMA/MS ADPCM classes 30-33 —
     compressed audio decoded to linear int16 first) split into 3
     fixed-stride PCM windows on frame boundaries, PLUS genuine
     video-style frame extraction — GIF payloads (classes 20/21, incl.

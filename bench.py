@@ -88,7 +88,7 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
                "gif": range(20, 22), "jpeg12": range(22, 24),
                "jpeg_lossless": range(24, 26), "bmp_tiff": range(26, 28),
                "avi": range(28, 30), "adpcm_wav": range(30, 32),
-               "ms_adpcm_wav": range(32, 34)}
+               "ms_adpcm_wav": range(32, 34), "flac": range(34, 36)}
     out: dict[str, dict[str, float]] = {}
     for fam, fmts in fam_fmt.items():
         payloads = []

@@ -15,7 +15,9 @@ static incl. interlace, and ANIMATED with sub-rect frames, transparency
 masks, seeded disposal methods and delays), a genuine AVI VIDEO
 (kernels/avi.py — MJPG frames through the from-scratch JPEG encoder, or
 uncompressed DIB rasters), or genuine IMA ADPCM compressed audio
-(kernels/adpcm.py — IMA fmt tag 0x11 or Microsoft fmt tag 0x02).
+(kernels/adpcm.py — IMA fmt tag 0x11 or Microsoft fmt tag 0x02), or
+genuine LOSSLESS FLAC (kernels/flac.py — every subframe type and
+stereo decorrelation mode, bit-exact round trips).
 
 The generator is SHARED INPUT between the Spark query and the KAT twin
 (tests/media_reference_impl.py): what's under test is the DECODE path,
@@ -37,7 +39,7 @@ import zlib
 
 import numpy as np
 
-N_FORMATS = 34
+N_FORMATS = 36
 
 # Adam7 pass geometry (x0, y0, dx, dy) — PNG spec order
 _ADAM7 = (
@@ -164,7 +166,7 @@ def write_png(
 
 def payload_for(seed: int) -> bytes:
     """One genuine media payload, a pure function of ``seed``. Format
-    class cycles ``seed % 34``: ten PNG IHDR shapes, four JPEG scan
+    class cycles ``seed % 36``: ten PNG IHDR shapes, four JPEG scan
     shapes, two WAV PCM layouts, two Adobe CMYK/YCCK JPEG shapes, two
     G.711 WAV layouts (18 mu-law mono, 19 A-law stereo — every byte
     value is a valid G.711 code, so the compressed stream is drawn
@@ -182,12 +184,36 @@ def payload_for(seed: int) -> bytes:
     baseline JPEG — and 29 uncompressed DIB, each 3-6 frames at a
     seeded fps), two IMA ADPCM WAV shapes (30 mono, 31 stereo —
     genuine 4-bit compressed audio with multi-block layouts and a
-    fact-trimmed tail) and two MICROSOFT ADPCM WAV shapes (32 mono,
-    33 stereo — 7-coefficient linear prediction, adaptive delta)."""
+    fact-trimmed tail), two MICROSOFT ADPCM WAV shapes (32 mono,
+    33 stereo — 7-coefficient linear prediction, adaptive delta) and
+    two FLAC shapes (34 mono, 35 stereo — LOSSLESS: the decode must
+    reproduce the source samples bit-exactly; seeded subframe-mode
+    pool cycling constant/verbatim/fixed 0-4/LPC, seeded block size
+    and stereo decorrelation)."""
     fmt = int(seed) % N_FORMATS
     rng = np.random.Generator(np.random.PCG64(0xC0FFEE ^ (int(seed) * 2654435761)))
     w = int(rng.integers(8, 25))
     h = int(rng.integers(8, 25))
+    if fmt >= 34:  # FLAC (lossless compressed audio, kernels/flac.py)
+        from .kernels import flac
+
+        nch = 1 if fmt == 34 else 2
+        rate = int(rng.integers(4, 9)) * 1000
+        bs = int(rng.integers(4, 17)) * 16
+        n = int(rng.integers(bs + 1, 4 * bs))
+        t = np.arange(n)[:, None]
+        freq = rng.uniform(5.0, 30.0, size=nch)
+        phase = rng.uniform(0.0, 6.0, size=nch)
+        amp = rng.uniform(3000.0, 20000.0, size=nch)
+        samples = (amp * np.sin(t / freq + phase)).astype(np.int16)
+        # seeded subframe-mode pool cycles every type the decoder has:
+        # constant/verbatim/fixed 0-4/LPC with seeded quantized coeffs
+        pool = [("constant",), ("verbatim",)] + [("fixed", int(o)) for o in rng.permutation(5)]
+        order = int(rng.integers(1, 5))
+        coefs = [int(c) for c in rng.integers(-2048, 2048, size=order)]
+        pool.append(("lpc", coefs, int(rng.integers(6, 13)), 13))
+        stereo = ["independent", "left_side", "right_side", "mid_side"][int(rng.integers(0, 4))]
+        return flac.encode_flac(samples, rate, block_size=bs, modes=pool, stereo=stereo)
     if fmt >= 30:  # ADPCM WAV (4-bit compressed audio: IMA 30/31, MS 32/33)
         from .kernels import adpcm
 

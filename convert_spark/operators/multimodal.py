@@ -283,10 +283,16 @@ def decode_real(data: bytes) -> tuple[str, int, int, int]:
             # COUNT — the pipeline-relevant cardinality of an animation
             w, h, n_frames = gif.header(data)
             return "gif", w, h, n_frames
+        if data[:4] == b"fLaC":
+            from ..kernels import flac
+
+            # FLAC gets REAL sample decode (kernels/flac.py) — same
+            # audio mapping as WAV: width = frames, height = rate
+            s, rate = flac.decode_flac(data)
+            return "flac", s.shape[0], rate, s.shape[1]
         if (
             (len(data) >= 12 and data[4:8] == b"ftyp")
             or data[:4] == b"OggS"
-            or data[:4] == b"fLaC"
             or _is_mp3(data)
         ):
             # container formats: headers carry the filterable metadata
@@ -582,6 +588,12 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
 
         px = avi.decode_avi(data)[0][0].astype(np.float64) / 255.0
         chans = [px[:, :, c].ravel() for c in range(3)]
+    elif data[:4] == b"fLaC":
+        from ..kernels import flac
+
+        s, _ = flac.decode_flac(data)
+        sf = s.astype(np.float64) / 32768.0
+        chans = [(sf[:, c] + 1.0) / 2.0 for c in range(sf.shape[1])]
     elif data[:2] == b"BM" or data[:4] in (b"II*\x00", b"MM\x00*"):
         from ..kernels import rasters
 
@@ -665,6 +677,16 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
         # same first-presented-frame convention as GIF
         px = avi.decode_avi(data)[0][0]
         kind = "avi"
+    elif data[:4] == b"fLaC":
+        from ..kernels import flac
+
+        s, _ = flac.decode_flac(data)
+        if not s.shape[0]:
+            raise NotImplementedError("malformed FLAC payload: no samples to aggregate")
+        return "flac", [
+            (s.shape[0], int(s[:, c].sum()), int(s[:, c].min()), int(s[:, c].max()))
+            for c in range(s.shape[1])
+        ]
     elif data[:2] == b"BM":
         from ..kernels import rasters
 
@@ -859,6 +881,15 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
         resized = [np.ascontiguousarray(f[yi][:, xi]) for f in frames]
         mjpg = avi.stream_codec(data) == "MJPG"
         return avi.encode_avi(resized, fps or 1, codec="MJPG" if mjpg else "DIB")
+    if data[:4] == b"fLaC":
+        from ..kernels import flac
+
+        # decode, nearest-neighbor frame resample, re-encode FLAC at
+        # rate ``th`` (verbatim subframes: deterministic and lossless)
+        s, _ = flac.decode_flac(data)
+        n = s.shape[0]
+        idx = (np.arange(tw, dtype=np.int64) * n) // max(tw, 1) if n else np.zeros(0, np.int64)
+        return flac.encode_flac(s[idx].astype(np.int16), th)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         import wave
 
@@ -937,8 +968,21 @@ def frames_real(data: bytes, n_frames: int) -> list[str]:
             hashlib.sha256(frames[i * len(frames) // n_frames].tobytes()).hexdigest()[:16]
             for i in range(n_frames)
         ]
+    if data[:4] == b"fLaC":
+        from ..kernels import flac
+
+        # compressed audio: decode-then-window (the ADPCM convention),
+        # hashing the little-endian int16 interleaved stream
+        s, _ = flac.decode_flac(data)
+        raw = s.astype("<i2").tobytes()
+        n, frame_bytes = s.shape[0], s.shape[1] * 2
+        bounds = [i * n // n_frames for i in range(n_frames + 1)]
+        return [
+            hashlib.sha256(raw[bounds[i] * frame_bytes : bounds[i + 1] * frame_bytes]).hexdigest()[:16]
+            for i in range(n_frames)
+        ]
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
-        raise NotImplementedError("frame sampling: only WAV/GIF/AVI decode without a real codec")
+        raise NotImplementedError("frame sampling: only WAV/FLAC/GIF/AVI decode without a real codec")
     audio_fmt, g_nch, _, _, g_pcm = _wav_chunks(data)
     if audio_fmt in (0x11, 0x02):
         # IMA / MS ADPCM: windows hash the DECODED little-endian int16

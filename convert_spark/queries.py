@@ -1571,7 +1571,7 @@ def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-sample IMA loop, hashing the same bytes."""
     from .operators import multimodal
 
-    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19, 20, 21, 28, 29, 30, 31, 32, 33))
+    d = _media_real_input(spark, sf_dir, fmts=(14, 15, 18, 19, 20, 21, 28, 29, 30, 31, 32, 33, 34, 35))
     return multimodal.sample_frames(d, binary_col="payload", n_frames=3, deterministic_fake=False)
 
 

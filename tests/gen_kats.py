@@ -208,7 +208,7 @@ def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
     rows = []
     for doc_id in _media_ids(sf_dir):
         fmt = (doc_id // 2) % mediagen.N_FORMATS
-        if fmt not in (14, 15, 18, 19, 20, 21, 28, 29, 30, 31, 32, 33):
+        if fmt not in (14, 15, 18, 19, 20, 21, 28, 29, 30, 31, 32, 33, 34, 35):
             continue
         payload = mediagen.payload_for(doc_id // 2)
         if fmt in (28, 29):  # AVI: decoded video frame rasters
@@ -217,6 +217,8 @@ def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
             hashes = mref.adpcm_frame_windows(payload, 3)
         elif fmt in (32, 33):  # Microsoft ADPCM: decoded int16 windows
             hashes = mref.ms_adpcm_frame_windows(payload, 3)
+        elif fmt in (34, 35):  # FLAC: bit-exact decoded int16 windows
+            hashes = mref.flac_frame_windows(payload, 3)
         elif fmt in (20, 21):
             hashes = mref.gif_frame_hashes(payload, 3)
         else:

@@ -834,6 +834,8 @@ def header(data: bytes):
         return jpeg_header(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return avi_header(data)
+    if data[:4] == b"fLaC":
+        return flac_header(data)
     if data[:4] == b"RIFF":
         tag = wav_fmt_tag(data)
         if tag == 0x11:
@@ -866,6 +868,8 @@ def channel_stats(data: bytes):
         kind = "jpeg"
     elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return avi_channel_stats(data)
+    elif data[:4] == b"fLaC":
+        return flac_channel_stats(data)
     elif data[:4] == b"RIFF":
         tag = wav_fmt_tag(data)
         if tag == 0x11:
@@ -1551,6 +1555,270 @@ def ms_adpcm_frame_windows(data: bytes, n_frames: int):
     import hashlib
 
     chans, _ = ms_adpcm_samples(data)
+    nch, n = len(chans), len(chans[0]) if chans else 0
+    raw = b"".join(
+        struct.pack("<h", chans[c][f]) for f in range(n) for c in range(nch)
+    )
+    fb = nch * 2
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    return [
+        hashlib.sha256(raw[bounds[i] * fb : bounds[i + 1] * fb]).hexdigest()[:16]
+        for i in range(n_frames)
+    ]
+
+
+# --- FLAC (xiph FLAC format specification) --------------------------------------
+#
+# Scalar twin of convert_spark/kernels/flac.py: index/bit-offset cursor
+# (no accumulator), plain-list sample reconstruction with explicit
+# per-sample predictor loops, table-free bitwise CRCs.
+
+
+class _FBits:
+    def __init__(self, data, pos):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n):
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def unary(self):
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _flac_crc8_s(data):
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16_s(data):
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _flac_utf8_s(r):
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: utf8")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _flac_residual_s(r, block_size, order):
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: residual method")
+    pbits = 5 if method == 1 else 4
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    n_parts = 1 << porder
+    if block_size % n_parts:
+        raise ValueError("flac: partitions")
+    res = []
+    for p in range(n_parts):
+        cnt = (block_size >> porder) - (order if p == 0 else 0)
+        k = r.read(pbits)
+        if k == escape:
+            width = r.read(5)
+            for _ in range(cnt):
+                v = r.read(width) if width else 0
+                if width and v >= (1 << (width - 1)):
+                    v -= 1 << width
+                res.append(v)
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                u = (q << k) | (r.read(k) if k else 0)
+                res.append(-((u + 1) >> 1) if u & 1 else u >> 1)
+    return res
+
+
+_FLAC_FIXED_S = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe_s(r, block_size, bps):
+    if r.read(1):
+        raise ValueError("flac: subframe pad bit")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.unary()
+    ebps = bps - wasted
+
+    def signed(v, bits):
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    if t == 0:
+        x = [signed(r.read(ebps), ebps)] * block_size
+    elif t == 1:
+        x = [signed(r.read(ebps), ebps) for _ in range(block_size)]
+    elif 8 <= t <= 12:
+        order = t - 8
+        x = [signed(r.read(ebps), ebps) for _ in range(order)]
+        res = _flac_residual_s(r, block_size, order)
+        coefs = _FLAC_FIXED_S[order]
+        for i in range(order, block_size):
+            x.append(res[i - order] + sum(c * x[i - 1 - j] for j, c in enumerate(coefs)))
+    elif t >= 32:
+        order = (t & 0x1F) + 1
+        x = [signed(r.read(ebps), ebps) for _ in range(order)]
+        precision = r.read(4) + 1
+        shift = r.read(5)
+        coefs = [signed(r.read(precision), precision) for _ in range(order)]
+        res = _flac_residual_s(r, block_size, order)
+        for i in range(order, block_size):
+            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            x.append(res[i - order] + pred)
+    else:
+        raise ValueError(f"flac: subframe type {t}")
+    return [v << wasted for v in x]
+
+
+_FLAC_BS_S = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATE_S = {0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+                0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+                0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
+_FLAC_BPS_S = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+
+def flac_samples(data):
+    """Per-channel int sample lists + rate — full scalar frame decode
+    with CRC-8/CRC-16 verification."""
+    if data[:4] != b"fLaC":
+        raise ValueError("flac: magic")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:
+            streaminfo = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("flac: STREAMINFO")
+    bits = int.from_bytes(streaminfo[10:18], "big")
+    si_rate = bits >> 44
+    nch = ((bits >> 41) & 0x7) + 1
+    si_bps = ((bits >> 36) & 0x1F) + 1
+    total = bits & ((1 << 36) - 1)
+    chans = [[] for _ in range(nch)]
+    rate = si_rate
+    while pos < len(data) - 1:
+        start = pos
+        r = _FBits(data, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("flac: sync")
+        r.read(2)
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        ch_code = r.read(4)
+        bps_code = r.read(3)
+        r.read(1)
+        _flac_utf8_s(r)
+        if bs_code == 0b0110:
+            block_size = r.read(8) + 1
+        elif bs_code == 0b0111:
+            block_size = r.read(16) + 1
+        else:
+            block_size = _FLAC_BS_S[bs_code]
+        if rate_code == 0b1100:
+            rate = r.read(8) * 1000
+        elif rate_code == 0b1101:
+            rate = r.read(16)
+        elif rate_code == 0b1110:
+            rate = r.read(16) * 10
+        elif rate_code == 0:
+            rate = si_rate
+        else:
+            rate = _FLAC_RATE_S[rate_code]
+        bps = si_bps if bps_code == 0 else _FLAC_BPS_S[bps_code]
+        if _flac_crc8_s(data[start : r.byte]) != r.read(8):
+            raise ValueError("flac: header crc")
+        if ch_code <= 7:
+            sub_bps = [bps] * (ch_code + 1)
+        elif ch_code == 0b1000:
+            sub_bps = [bps, bps + 1]
+        elif ch_code == 0b1001:
+            sub_bps = [bps + 1, bps]
+        elif ch_code == 0b1010:
+            sub_bps = [bps, bps + 1]
+        else:
+            raise ValueError("flac: channel assignment")
+        if len(sub_bps) != nch:
+            raise ValueError("flac: channel count")
+        subs = [_flac_subframe_s(r, block_size, b) for b in sub_bps]
+        r.align()
+        end = r.byte
+        if _flac_crc16_s(data[start:end]) != int.from_bytes(data[end : end + 2], "big"):
+            raise ValueError("flac: frame crc")
+        pos = end + 2
+        if ch_code == 0b1000:  # left/side
+            subs = [subs[0], [l - s for l, s in zip(subs[0], subs[1])]]
+        elif ch_code == 0b1001:  # right/side
+            subs = [[rr + s for s, rr in zip(subs[0], subs[1])], subs[1]]
+        elif ch_code == 0b1010:  # mid/side
+            left = [((m << 1 | (s & 1)) + s) >> 1 for m, s in zip(subs[0], subs[1])]
+            subs = [left, [l - s for l, s in zip(left, subs[1])]]
+        for c in range(nch):
+            chans[c].extend(subs[c])
+    if total:
+        chans = [ch[:total] for ch in chans]
+    return chans, rate
+
+
+def flac_header(data):
+    chans, rate = flac_samples(data)
+    return "flac", len(chans[0]) if chans else 0, rate, len(chans)
+
+
+def flac_channel_stats(data):
+    chans, _ = flac_samples(data)
+    return "flac", [(len(ch), sum(ch), min(ch), max(ch)) for ch in chans]
+
+
+def flac_frame_windows(data, n_frames):
+    import hashlib
+
+    chans, _ = flac_samples(data)
     nch, n = len(chans), len(chans[0]) if chans else 0
     raw = b"".join(
         struct.pack("<h", chans[c][f]) for f in range(n) for c in range(nch)

@@ -2842,3 +2842,102 @@ class TestMsAdpcm:
                         fn(payload)
                     except NotImplementedError:
                         pass
+
+
+class TestFlac:
+    """FLAC (kernels/flac.py): BIT-EXACT round trips across every
+    subframe type and stereo decorrelation, scalar-twin agreement,
+    corpus classes 34/35, CRC enforcement, mutation fuzz."""
+
+    def test_bit_exact_all_modes(self):
+        from convert_spark.kernels import flac
+
+        t = np.arange(1000)
+        sig = (8000 * np.sin(t / 19.0)).astype(np.int16).reshape(-1, 1)
+        modes = [("constant",), ("verbatim",), ("fixed", 0), ("fixed", 1), ("fixed", 2),
+                 ("fixed", 3), ("fixed", 4), ("lpc", [1024, -512], 10, 12),
+                 ("lpc", [700, 300, -200], 10, 11)]
+        out, rate = flac.decode_flac(flac.encode_flac(sig, 8000, modes=modes))
+        assert rate == 8000 and np.array_equal(out, sig.astype(np.int32))
+
+    def test_bit_exact_stereo_decorrelation(self):
+        from convert_spark.kernels import flac
+
+        rng = np.random.Generator(np.random.PCG64(61))
+        noise = rng.integers(-32768, 32768, size=(777, 2)).astype(np.int16)
+        for st in ("independent", "left_side", "right_side", "mid_side"):
+            out, _ = flac.decode_flac(
+                flac.encode_flac(noise, 44100, modes=[("fixed", 2), ("verbatim",)], stereo=st))
+            assert np.array_equal(out, noise.astype(np.int32)), st
+
+    def test_constant_and_tiny_blocks(self):
+        from convert_spark.kernels import flac
+
+        const = np.full((600, 1), -1234, dtype=np.int16)
+        out, _ = flac.decode_flac(flac.encode_flac(const, 16000, modes=[("constant",)]))
+        assert np.array_equal(out, const.astype(np.int32))
+        rng = np.random.Generator(np.random.PCG64(62))
+        odd = rng.integers(-2000, 2000, size=(61, 1)).astype(np.int16)
+        out, _ = flac.decode_flac(flac.encode_flac(odd, 11025, modes=[("fixed", 1)], block_size=16))
+        assert np.array_equal(out, odd.astype(np.int32))
+
+    def test_corpus_matches_twin(self):
+        import media_reference_impl as mref
+
+        from convert_spark import mediagen
+
+        for seed in (34, 35, 34 + mediagen.N_FORMATS, 35 + mediagen.N_FORMATS):
+            p = mediagen.payload_for(seed)
+            assert multimodal.decode_real(p) == mref.header(p)
+            ek, es = multimodal.stats_real(p)
+            tk, ts = mref.channel_stats(p)
+            assert ek == tk == "flac" and [tuple(x) for x in es] == [tuple(x) for x in ts]
+            assert multimodal.frames_real(p, 3) == mref.flac_frame_windows(p, 3)
+
+    def test_crc_enforced(self):
+        from convert_spark.kernels import flac
+
+        sig = (5000 * np.sin(np.arange(300) / 9.0)).astype(np.int16).reshape(-1, 1)
+        data = bytearray(flac.encode_flac(sig, 8000, modes=[("fixed", 2)]))
+        data[-3] ^= 0x40  # flip a bit inside the last frame body
+        with pytest.raises(NotImplementedError):
+            flac.decode_flac(bytes(data))
+
+    def test_resize_reencodes_flac(self):
+        from convert_spark import mediagen
+
+        p = mediagen.payload_for(34)
+        rz = multimodal.resize_real(p, 50, 9000)
+        assert multimodal.decode_real(rz) == ("flac", 50, 9000, 1)
+
+    def test_mutation_fuzz_declared_errors(self):
+        from convert_spark import mediagen
+
+        rng = np.random.RandomState(63)
+        for good in (mediagen.payload_for(34), mediagen.payload_for(35)):
+            for _ in range(150):
+                data = bytearray(good)
+                op = rng.randint(3)
+                if op == 0:
+                    for _ in range(rng.randint(1, 6)):
+                        data[rng.randint(len(data))] = rng.randint(256)
+                elif op == 1:
+                    data = data[: rng.randint(4, len(data))]
+                else:
+                    pos = rng.randint(4, len(data))
+                    data = (
+                        data[:pos]
+                        + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8))
+                        + data[pos:]
+                    )
+                payload = bytes(data)
+                for fn in (
+                    lambda d: multimodal.decode_real(d),
+                    lambda d: multimodal.stats_real(d),
+                    lambda d: multimodal.frames_real(d, 2),
+                    lambda d: multimodal.resize_real(d, 4, 3),
+                ):
+                    try:
+                        fn(payload)
+                    except NotImplementedError:
+                        pass

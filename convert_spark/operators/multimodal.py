@@ -601,7 +601,7 @@ def features_real(data: bytes, dim: int) -> np.ndarray:
         px = raw.astype(np.float64) / 255.0
         chans = [px[:, :, c].ravel() for c in range(px.shape[2])]
     else:
-        raise NotImplementedError("feature encoder: only PNG/JPEG/GIF/WAV decode without a real codec")
+        raise NotImplementedError("feature encoder: only PNG/JPEG/GIF/BMP/TIFF/AVI/WAV/FLAC decode without a real codec")
     stats: list[float] = []
     for ch in chans:
         if ch.size:
@@ -698,7 +698,7 @@ def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:
         px = rasters.decode_tiff(data)
         kind = "tiff"
     else:
-        raise NotImplementedError("stats: only PNG/JPEG/GIF/WAV decode without a real codec")
+        raise NotImplementedError("stats: only PNG/JPEG/GIF/BMP/TIFF/AVI/WAV/FLAC decode without a real codec")
     arr = px.astype(np.int64)
     return kind, [
         (
@@ -930,7 +930,7 @@ def resize_real(data: bytes, tw: int, th: int) -> bytes:
             return out.getvalue()
         except Exception as exc:  # noqa: BLE001
             raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
-    raise NotImplementedError("resize: only PNG/JPEG/WAV decode without a real codec")
+    raise NotImplementedError("resize: only PNG/JPEG/GIF/BMP/TIFF/AVI/WAV/FLAC decode without a real codec")
 
 
 def frames_real(data: bytes, n_frames: int) -> list[str]:

@@ -27,18 +27,24 @@ Arrow-batched ``mapInPandas`` stages. Two decode paths:
   ``sample_frames`` performs genuine video-style frame extraction on
   animated GIF); nearest-neighbor RESIZE re-encoded in the source
   format; BMP (24-bit + palettized BI_RGB, both orientations) and
-  baseline TIFF (both byte orders, multi-strip, gray/RGB) decoded by
-  pure numpy reshaping — kernels/rasters.py, the fast path: no scalar
-  loops; container METADATA for MP4 (ISO-BMFF box walk: per-track
-  codec/dims/channels/sample-rate/duration), Ogg (CRC-checked pages,
-  Vorbis/Opus ident headers), FLAC (STREAMINFO block) and MP3
-  (MPEG-1/2 Layer III frame-header walk: exact duration, ID3v2/v1
-  skipped) via ``container_tracks`` / ``media_containers``. Everything
-  past that — FRAME decode of video beyond animated GIF and SAMPLE
-  decode of compressed audio beyond G.711 (MP3/AAC/Vorbis/FLAC
-  frames...), arithmetic-coded JPEG — needs a full codec
-  (Pillow/ffmpeg/pyav) and raises the one declared
-  NotImplementedError.
+  baseline TIFF (both byte orders, multi-strip, gray/RGB; Compression
+  none/LZW/Deflate/PackBits with the horizontal Predictor) decoded by
+  kernels/rasters.py (layout paths pure numpy); AVI VIDEO frames
+  (kernels/avi.py — MJPG streams through the JPEG codec, uncompressed
+  DIB streams by reshaping: genuine container video extraction in
+  ``sample_frames``); IMA + Microsoft ADPCM WAV (fmt tags 0x11/0x02,
+  kernels/adpcm.py — block/channel lanes numpy-lockstep) and LOSSLESS
+  FLAC sample decode (kernels/flac.py — bit-exact, every subframe
+  type, stereo decorrelation, per-frame CRCs); container METADATA for
+  MP4 (ISO-BMFF box walk: per-track codec/dims/channels/sample-rate/
+  duration), Ogg (CRC-checked pages, Vorbis/Opus ident headers), FLAC
+  (STREAMINFO block), MP3 (MPEG-1/2 Layer III frame-header walk:
+  exact duration, ID3v2/v1 skipped) and AVI (avih/strh/strf walk) via
+  ``container_tracks`` / ``media_containers``. Everything past that —
+  FRAME decode of video beyond animated GIF + MJPG/DIB AVI, SAMPLE
+  decode of perceptual audio (MP3/AAC/Vorbis/Opus frames),
+  arithmetic-coded JPEG — needs a full codec (Pillow/ffmpeg/pyav) and
+  raises the one declared NotImplementedError.
 """
 
 from __future__ import annotations

@@ -30,8 +30,11 @@ per-pixel reads; AVI video — byte-cursor RIFF walk with MJPG frames
 through this module's own scalar JPEG decoder and DIB frames via
 per-pixel row loops; IMA and Microsoft ADPCM WAV — per-sample if/else
 step/coefficient recurrences vs production's numpy block-lockstep
-decode). Everything else raises ValueError — the KAT builder should
-never hit it.
+decode; compressed TIFF — scalar PackBits/LZW expanders and a
+per-pixel predictor undo; FLAC — a per-bit cursor with table-free
+bitwise CRCs and explicit per-sample predictor loops vs production's
+accumulator reader and numpy reconstruction). Everything else raises
+ValueError — the KAT builder should never hit it.
 
 Float-parity note (JPEG): both sides compute the IDCT and YCbCr
 transform in float64 from the same published constants and round

@@ -270,9 +270,10 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 
 def kat_media_containers(sf_dir: str = SF_DIR) -> pd.DataFrame:
-    """Genuine MP4/Ogg payloads (mediagen, shared input-gen) ->
-    INDEPENDENT scalar container parse (container_reference_impl:
-    byte-cursor box walk, bit-serial Ogg CRC — no struct, no numpy)."""
+    """Genuine MP4/Ogg/FLAC/MP3/AVI payloads (mediagen, shared
+    input-gen) -> INDEPENDENT scalar container parse
+    (container_reference_impl: byte-cursor box/chunk walks, bit-serial
+    Ogg CRC — no struct, no numpy)."""
     import container_reference_impl as cref
 
     from convert_spark import mediagen

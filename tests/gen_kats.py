@@ -195,12 +195,15 @@ def kat_media_stats_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
 
 
 def kat_media_frames_real(sf_dir: str = SF_DIR) -> pd.DataFrame:
-    """WAV payloads (PCM classes 14/15 + G.711 classes 18/19) ->
-    INDEPENDENT PCM window hashes (manual RIFF walk, no stdlib wave;
-    G.711 expanded per byte with scalar spec arithmetic) — plus GIF
-    payloads (classes 20/21) -> COMPOSITED animation frame hashes
-    (scalar per-bit LZW + per-pixel transparency/disposal loops):
-    genuine video-style frame sampling under the same gate."""
+    """Audio payloads -> INDEPENDENT decoded-sample window hashes:
+    PCM classes 14/15 + G.711 18/19 (manual RIFF walk, no stdlib
+    wave), IMA/MS ADPCM 30-33 (per-sample scalar recurrences) and
+    LOSSLESS FLAC 34/35 (per-bit cursor, bit-exact). Plus genuine
+    VIDEO frame hashes: GIF classes 20/21 (scalar per-bit LZW +
+    per-pixel transparency/disposal compositing) and AVI classes
+    28/29 (byte-cursor RIFF walk, MJPG frames through the twin's own
+    scalar JPEG decoder, DIB frames via per-pixel row loops) — all
+    under the same gate."""
     import media_reference_impl as mref
 
     from convert_spark import mediagen

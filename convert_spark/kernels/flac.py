@@ -179,8 +179,10 @@ def _utf8_number(w: _BitWriter, n: int) -> None:
     if n < 0x80:
         w.write(n, 8)
         return
+    # capacity at nbytes: (7 - nbytes) head payload bits + 6 bits per
+    # continuation byte = 1 + 5*nbytes total (spec UTF-8 coding)
     for nbytes in range(2, 8):
-        if n < (1 << (6 - nbytes + 5 * nbytes)):
+        if n < (1 << (1 + 5 * nbytes)):
             break
     head = (0xFF << (8 - nbytes)) & 0xFF
     w.write(head | ((n >> (6 * (nbytes - 1))) & ((1 << (7 - nbytes)) - 1)), 8)
@@ -313,8 +315,22 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 256,
         w.write(0, 1)  # fixed blocksize strategy
         # block size code: escape 0b0111 -> 16-bit (bs-1) at header end
         w.write(0b0111, 4)
-        # sample rate code: escape 0b1101 -> 16-bit rate in Hz at header end
-        w.write(0b1101, 4)
+        # sample rate code: dedicated table code when one exists, else the
+        # 16-bit-Hz escape (rate < 65536), else the tens-of-Hz escape
+        # (multiples of 10 under 655360). Anything else fits no frame-header
+        # encoding — raise rather than silently truncate to 16 bits.
+        rate_to_code = {v: k for k, v in _RATE_CODES.items()}
+        if rate in rate_to_code:
+            rate_code, rate_tail = rate_to_code[rate], None
+        elif 0 < rate < (1 << 16):
+            rate_code, rate_tail = 0b1101, rate
+        elif rate % 10 == 0 and 0 < rate // 10 < (1 << 16):
+            rate_code, rate_tail = 0b1110, rate // 10
+        else:
+            raise NotImplementedError(
+                f"FLAC sample rate {rate} Hz fits no frame-header encoding"
+            )
+        w.write(rate_code, 4)
         ch_mode = stereo if nch == 2 and bs > 1 else "independent"
         ch_code = {"independent": nch - 1, "left_side": 0b1000,
                    "right_side": 0b1001, "mid_side": 0b1010}[ch_mode]
@@ -323,7 +339,8 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 256,
         w.write(0, 1)  # reserved
         _utf8_number(w, frame_idx)
         w.write(bs - 1, 16)
-        w.write(rate, 16)
+        if rate_tail is not None:
+            w.write(rate_tail, 16)
         # writer is byte-aligned here (header is whole bytes): CRC-8
         w.write(crc8(bytes(w.out)), 8)
         # channel streams under the chosen decorrelation

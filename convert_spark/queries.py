@@ -1502,7 +1502,7 @@ from documents
 def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     """Genuine media payloads keyed by the documents table: every other
     doc_id carries one payload whose bytes are a pure function of
-    seed = doc_id/2, cycling through all 34 mediagen format classes
+    seed = doc_id/2, cycling through all 36 mediagen format classes
     (ten PNG IHDR shapes, four JPEG scan shapes, two WAV PCM layouts,
     two Adobe CMYK/YCCK JPEG shapes, two G.711 mu-law/A-law WAV
     layouts, two GIF shapes — static + ANIMATED with sub-rect frames,
@@ -1510,8 +1510,9 @@ def _media_real_input(spark: SparkSession, sf_dir: str, fmts=None):
     shapes, two bit-exact LOSSLESS JPEG shapes, a BMP shape and a
     baseline multi-strip TIFF shape with seeded LZW/Deflate/PackBits
     compression, two AVI VIDEO shapes — MJPG and uncompressed DIB —
-    and four ADPCM compressed-audio WAV shapes, IMA 30/31 and
-    Microsoft 32/33) at every scale factor. ``fmts``
+    four ADPCM compressed-audio WAV shapes, IMA 30/31 and
+    Microsoft 32/33, and two lossless FLAC shapes — 34 mono and 35
+    stereo with per-frame decorrelation) at every scale factor. ``fmts``
     restricts to a set of format
     classes — filtered on the slim seed column BEFORE payload
     generation, so excluded payloads are never synthesized."""
@@ -1554,8 +1555,9 @@ def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling under the hash gate: WAV payloads (PCM
-    classes 14/15, G.711 classes 18/19, IMA/MS ADPCM classes 30-33 —
-    compressed audio decoded to linear int16 first) split into 3
+    classes 14/15, G.711 classes 18/19, IMA/MS ADPCM classes 30-33,
+    lossless FLAC classes 34/35 — compressed audio decoded to linear
+    int16 first) split into 3
     fixed-stride PCM windows on frame boundaries, PLUS genuine
     video-style frame extraction — GIF payloads (classes 20/21, incl.
     ANIMATED sub-rect frames with transparency and disposal) sampled

@@ -2910,6 +2910,29 @@ class TestFlac:
         rz = multimodal.resize_real(p, 50, 9000)
         assert multimodal.decode_real(rz) == ("flac", 50, 9000, 1)
 
+    def test_utf8_frame_number_round_trip(self):
+        # spec capacity is 1 + 5*nbytes bits: indices >= 2048 must survive
+        # the 3+ byte encodings (the old 6+4*nbytes bound corrupted them)
+        from convert_spark.kernels import flac
+
+        for n in (0, 127, 128, 2047, 2048, 16383, 16384, (1 << 20) + 17, (1 << 31) - 5):
+            w = flac._BitWriter()
+            flac._utf8_number(w, n)
+            r = flac._BitReader(bytes(w.out))
+            assert flac._read_utf8_number(r) == n, n
+
+    def test_sample_rate_header_encodings(self):
+        from convert_spark.kernels import flac
+
+        sig = (3000 * np.sin(np.arange(200) / 7.0)).astype(np.int16).reshape(-1, 1)
+        # dedicated table code (96 kHz used to truncate through the 16-bit
+        # escape and decode as 30464 Hz), 16-bit-Hz escape, tens-of-Hz escape
+        for rate in (96000, 192000, 44100, 65535, 70000, 654320):
+            out, got = flac.decode_flac(flac.encode_flac(sig, rate, modes=[("fixed", 1)]))
+            assert got == rate and np.array_equal(out, sig.astype(np.int32)), rate
+        with pytest.raises(NotImplementedError):
+            flac.encode_flac(sig, 65537, modes=[("fixed", 1)])  # fits no encoding
+
     def test_mutation_fuzz_declared_errors(self):
         from convert_spark import mediagen
 

@@ -112,6 +112,52 @@ def media_codec_rates(per_family: int = 48) -> dict[str, dict[str, float]]:
     return out
 
 
+def cc_convergence(spark) -> dict:
+    """Large-star/small-star convergence evidence at the worst-case graph
+    shape (VERDICT r6 item 7): a single LONG CHAIN — the diameter-n graph
+    where naive min-propagation needs n rounds — plus a seeded mix of
+    small clusters (the realistic dedup shape). Reports round count and
+    per-round surviving edge counts; the SoCC'14 O(log n) contraction
+    claim becomes a measured number on this engine. The per-round counts
+    come from the convergence fingerprint the loop already computes, so
+    the instrumentation adds no extra jobs."""
+    from pyspark.sql import functions as F
+
+    from convert_spark.operators.components import connected_components
+
+    out: dict = {}
+    for label, edges_df in (
+        (
+            # 100k-node path graph: worst case for propagation depth
+            "chain_100k",
+            spark.range(99_999).select(
+                F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+            ),
+        ),
+        (
+            # 50k dup clusters of ~5 docs chained (typical near-dup output)
+            "clusters_50kx5",
+            spark.range(250_000)
+            .filter(F.pmod("id", F.lit(5)) != 4)
+            .select(F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")),
+        ),
+    ):
+        stats: list = []
+        t0 = time.time()
+        n_comp = (
+            connected_components(edges_df, round_stats=stats)
+            .agg(F.countDistinct("component").alias("c"))
+            .collect()[0]["c"]
+        )
+        out[label] = {
+            "rounds": len(stats),
+            "edges_per_round": [int(n) for _, n in stats],
+            "n_components": int(n_comp),
+            "wall_sec": round(time.time() - t0, 3),
+        }
+    return out
+
+
 def skew_stress(spark) -> dict:
     """Deliberately hot-keyed corpora — evidence that the explicit
     salting the join docstrings promise actually buys what it claims
@@ -366,8 +412,15 @@ def main() -> None:
         "media_codec_rates": media_codec_rates(),
         # salted-vs-unsalted walls on deliberately hot-keyed corpora
         "skew_stress": skew_stress(spark),
+        # CC round-count evidence on the worst-case chain graph
+        "cc_rounds": cc_convergence(spark),
         "cpus": CPUS,
     }
+    # the driver artifact (BENCH_r{N}.json) keeps only the tail of stdout,
+    # which truncates the per-query walls — persist the complete dict
+    # in-repo so cross-round per-query audits survive (VERDICT r6 item 2)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
     print(json.dumps(result))
 
 

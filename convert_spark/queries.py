@@ -2407,6 +2407,213 @@ def q_mesh_drape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- datasets JSON sink on the gate (round 7) ----------------------------------
+
+
+def canon_json_digest(text: str) -> str:
+    """Float-canonical md5 of a JSON document: every float rounded to 6
+    decimals (and -0.0 normalized) so the digest compares VALUES to 1e-6
+    while staying immune to last-ulp drift between the vectorized engine
+    and the scalar twin; structure, key sets and non-float values pass
+    through exactly (sort_keys canonicalizes map order).
+
+    Shared by q_datasets_json and the twin KAT builder the same way
+    mesh_features is: DIGEST plumbing, not the conversion under test —
+    tests/test_source_gate.py pins that it is structure- and
+    value-preserving (key-order-insensitive, value-sensitive)."""
+    import hashlib
+    import json as _json
+
+    def walk(v):
+        if isinstance(v, float):
+            r = round(v, 6)
+            return r + 0.0 if r == 0 else r
+        if isinstance(v, list):
+            return [walk(x) for x in v]
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        return v
+
+    canon = _json.dumps(walk(_json.loads(text)), sort_keys=True)
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+def datasets_json_corpus(bboxes) -> list[tuple[str, str, str]]:
+    """Deterministic GeoJSON documents for the S6 sink gate: one
+    FeatureCollection per dataset bbox exercising every assembly branch
+    (convert.go:29-80 struct tags; 627-832 geometry + attribute dispatch):
+    2D/3D points, a rich property map hitting the F2 falsy-drop quirk
+    (numeric 0 KEPT, string "0"/""/null dropped), F3 key routing
+    (name/styletype/id-ish/tags-way-geomz), the Go %v numeric forms
+    (P8: scientific at >=1e6 and <1e-4), LineString, per-part
+    MultiLineString explode (E2), a draped polygon-with-hole, a 3D
+    polygon (ring-point path), a draped multipolygon (PIP trim), a
+    bad-arity point (F1 drop), a null-geometry and an unsupported-type
+    feature (skipped), and a properties:null feature.
+
+    Shared by the Spark query and the scalar-twin KAT builder
+    (tests/datasets_reference_impl.py) — the CORPUS is common, the
+    PIPELINE differs (vectorized kernels vs scalar re-derivation).
+
+    ``bboxes``: iterable of (dataset_id, lx, ly, rx, uy) in 4326 degrees.
+    """
+    import json as _json
+
+    docs = []
+    for did, lx, ly, rx, uy in bboxes:
+        did, lx, ly, rx, uy = int(did), float(lx), float(ly), float(rx), float(uy)
+        # per-dataset sub-bbox: the seed bboxes are near-world-sized at every
+        # SF (each rowid-residue class sweeps the full lat/lon lattice), so
+        # shrink+shift by dataset id to vary covering levels, DEM terrain
+        # and projected magnitudes across datasets
+        fw = 0.03 + 0.045 * (did % 12)
+        fx = (did % 7) / 8.0
+        fy = (did % 5) / 6.0
+        w0, h0 = rx - lx, uy - ly
+        lx, ly = lx + fx * (1.0 - fw) * w0, ly + fy * (1.0 - fw) * h0
+        w, h = fw * w0, fw * h0
+
+        def pt(fx: float, fy: float, z: float | None = None) -> list[float]:
+            p = [lx + fx * w, ly + fy * h]
+            return p + [z] if z is not None else p
+
+        def rect(x0, y0, x1, y1, z: float | None = None):
+            corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+            return [pt(fx, fy, z) for fx, fy in corners]
+
+        def feat(geom, props="default"):
+            return {
+                "type": "Feature",
+                "geometry": geom,
+                "properties": None if props is None else (props if props != "default" else {}),
+            }
+
+        rich_props = {
+            "name": f"site {did}",
+            "styletype": "marker",
+            "id": 1000 + did,
+            "osm_id": 99,  # id-ish too; canonical pick prefers "id"
+            "grade": round(lx, 3),
+            "big": 1417640643,  # -> "1.417640643e+09"
+            "tiny": 0.0000123,  # -> "1.23e-05"
+            "million": 2500000.0,  # -> "2.5e+06"
+            "flag": True,
+            "neg": False,
+            "zero_n": 0,  # Go float64 0 is NOT falsy: kept as "0"
+            "zero_s": "0",  # string "0" IS falsy: dropped
+            "empty": "",  # dropped
+            "nothing": None,  # dropped
+            "tags": "drop-me",  # routed to the discard set
+            "way": 3,
+            "geomz": 9,
+            "note": "ok",
+        }
+        features = [
+            feat({"type": "Point", "coordinates": pt(0.2, 0.3)}, rich_props),
+            feat({"type": "Point", "coordinates": pt(0.7, 0.6, 123.45 + did)},
+                 {"name": f"peak {did}", "depth": -0.5}),
+            feat({"type": "Point", "coordinates": [lx + 0.5 * w]}),  # F1: arity-1 drop
+            feat({"type": "LineString",
+                  "coordinates": [pt(0.0, 0.0), pt(0.3, 0.5), pt(0.6, 0.2)]},
+                 {"id": f"L{did}", "kind": "trail"}),
+            feat({"type": "MultiLineString",
+                  "coordinates": [
+                      [pt(0.1, 0.9), pt(0.4, 0.8)],
+                      [pt(0.7, 0.1, 5.5), pt(0.9, 0.3, 6.5), pt(0.95, 0.5, 7.5)],
+                  ]}),
+            feat({"type": "Polygon",
+                  "coordinates": [rect(0.1, 0.1, 0.9, 0.9), rect(0.4, 0.4, 0.6, 0.6)]},
+                 {"name": f"zone {did}", "area": "big"}),
+            feat({"type": "Polygon",
+                  "coordinates": [rect(0.15, 0.15, 0.35, 0.35, z=10.0 + did)]},
+                 {"fid": 7 + did}),
+            feat({"type": "MultiPolygon",
+                  "coordinates": [
+                      [rect(0.0, 0.0, 0.45, 1.0), rect(0.1, 0.25, 0.35, 0.75)],
+                      [rect(0.55, 0.2, 1.0, 0.8)],
+                  ]}),
+            feat(None),  # null geometry: skipped
+            feat({"type": "GeometryCollection", "geometries": []}),  # unsupported: skipped
+            feat({"type": "Point", "coordinates": pt(0.05, 0.05)}, None),  # properties null
+        ]
+        ds = f"d{did:02d}"
+        docs.append((ds, f"dataset {did}",
+                     _json.dumps({"type": "FeatureCollection", "features": features})))
+    return docs
+
+
+def q_datasets_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the MineAR per-dataset Datasets JSON document (the reference's
+    actual deliverable, convert.go:29-39; caller marshal
+    convert_test.go:101) on the driver's hash gate: the full REAL sink
+    path — GeoJSON parse (S2) -> normalize/project (P2-P6) -> mesh drape
+    (S7/A6-A8/F6) -> assemble_datasets (A1-A5 + the Go-tagged marshal) —
+    over a seeded 20-document corpus, digested per dataset. Oracle: twin
+    KAT (tests/datasets_reference_impl.py re-derives every document with
+    scalar parsing, a fresh Go-%v formatter, scalar mercator/DEM/PIP/
+    Delaunay/S2 twins; cross-SF swept by tests/test_kat_cross_sf.py).
+
+    The corpus build collects only the 20-row per-dataset bbox table
+    (bounded); parse/normalize/drape/assemble all run distributed."""
+    import json as _json
+
+    import pandas as pd
+
+    from .operators import features as features_mod
+    from .sources.geojson import features_from_geojson
+
+    _load(spark, sf_dir, "lineitem")
+    bb = spark.sql(SQL_MESH_BBOX).collect()
+    corpus = datasets_json_corpus((r.dataset_id, r.lx, r.ly, r.rx, r.uy) for r in bb)
+    names = {ds: nm for ds, nm, _ in corpus}
+    docs = spark.createDataFrame(
+        [(ds, txt) for ds, _, txt in corpus], "dataset_id string, geojson string"
+    ).repartition(8, "dataset_id")
+    norm = features_mod.normalize_features(features_from_geojson(docs))
+    mesh = features_mod.drape_meshes(norm)
+    assembled = features_mod.assemble_datasets(norm, mesh, names)
+
+    def digest(batches):
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                doc = _json.loads(r["dataset_json"])
+                pts = doc["points"] or []
+                lines = doc["lines"] or []
+                shapes = doc["shapes"] or []
+                s2 = doc["s2"] or []
+                c = doc["center"][0]
+                rows.append(
+                    {
+                        "dataset_id": r["dataset_id"],
+                        "name": doc["name"],
+                        "n_features": int(r["n_features"]),
+                        "n_points": len(pts),
+                        "n_lines": len(lines),
+                        "n_shapes": len(shapes),
+                        "n_meshes": sum(1 for s in shapes if s["vertices"] is not None),
+                        "center_x": float(c["x"]),
+                        "center_y": float(c["y"]),
+                        "center_z": float(c["z"]),
+                        "n_s2": len(s2),
+                        "s2_hash": hashlib.md5(",".join(s2).encode()).hexdigest(),
+                        "json_md5": canon_json_digest(r["dataset_json"]),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return assembled.mapInPandas(
+        digest,
+        schema="dataset_id string, name string, n_features long, n_points int, "
+        "n_lines int, n_shapes int, n_meshes int, center_x double, "
+        "center_y double, center_z double, n_s2 int, s2_hash string, "
+        "json_md5 string",
+    )
+
+
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
@@ -2463,6 +2670,7 @@ QUERIES = {
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
     "q_mesh_drape": q_mesh_drape,
+    "q_datasets_json": q_datasets_json,
 }
 
 
@@ -2527,5 +2735,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape", "q_datasets_json")},
     }

@@ -272,6 +272,39 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def kat_datasets_json(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """S6 sink twin (round 7): DuckDB derives the per-dataset seed bboxes
+    (the same SQL restatement the mesh KAT uses), the SHARED corpus
+    builder (queries.datasets_json_corpus — input construction) shapes
+    the GeoJSON documents, and the scalar twin
+    (tests/datasets_reference_impl.py) re-derives each full MineAR
+    Datasets document — fresh scalar parse + Go-%v formatter, scalar
+    mercator/DEM/PIP/Delaunay/S2 — down to the float-canonical JSON md5.
+    Digest columns mirror q_datasets_json."""
+    import datasets_reference_impl as dsref
+
+    from convert_spark import queries as Q  # SQL + corpus builder only — no Spark
+
+    con = duckdb.connect()
+    con.execute(f"create view lineitem as select * from '{sf_dir}/lineitem.parquet'")
+    bb = con.execute(Q.SQL_MESH_BBOX).fetchdf()
+    rows = [
+        r
+        for ds, nm, txt in Q.datasets_json_corpus(bb.itertuples(index=False))
+        if (r := dsref.digest_row(ds, nm, txt)) is not None
+    ]
+    return pd.DataFrame(rows).astype(
+        {
+            "n_features": "int64",
+            "n_points": "int32",
+            "n_lines": "int32",
+            "n_shapes": "int32",
+            "n_meshes": "int32",
+            "n_s2": "int32",
+        }
+    )
+
+
 def kat_media_containers(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """Genuine MP4/Ogg/FLAC/MP3/AVI payloads (mediagen, shared
     input-gen) -> INDEPENDENT scalar container parse
@@ -320,6 +353,7 @@ KAT_BUILDERS = {
     "q_media_frames_real": kat_media_frames_real,
     "q_media_containers": kat_media_containers,
     "q_mesh_drape": kat_mesh_drape,
+    "q_datasets_json": kat_datasets_json,
 }
 KAT_QUERIES = list(KAT_BUILDERS)
 

@@ -98,3 +98,75 @@ class TestSourceGate:
         k2 = kml[kml.dataset_id == "k2_odds"]
         assert list(k2.geom_kind) == ["point"]  # bare LineString ignored
         assert (kml[kml.geom_kind == "polygon"].ele0 == 0.0).all()  # 2D -> 0.0 on gate
+
+
+class TestDatasetsJsonGate:
+    """S6 sink gate (q_datasets_json): digest plumbing properties + the
+    branch coverage the corpus claims. Engine-vs-twin value agreement is
+    swept at all three SFs by tests/test_kat_cross_sf.py."""
+
+    def test_canon_digest_structure_preserving(self):
+        import json
+
+        from convert_spark.queries import canon_json_digest as dig
+
+        base = {"a": [1.0, {"b": "x", "c": None}], "z": 2}
+        reordered = {"z": 2, "a": [1.0, {"c": None, "b": "x"}]}
+        assert dig(json.dumps(base)) == dig(json.dumps(reordered))  # key order
+        # sub-1e-7 float drift is absorbed (the twin-vs-engine ulp margin)
+        drift = {"a": [1.0 + 4e-8, {"b": "x", "c": None}], "z": 2}
+        assert dig(json.dumps(base)) == dig(json.dumps(drift))
+        # real value / structure changes flip the digest
+        for bad in (
+            {"a": [1.001, {"b": "x", "c": None}], "z": 2},  # value
+            {"a": [1.0, {"b": "x", "c": None}]},  # dropped key
+            {"a": [1.0, {"b": "x", "c": None}], "z": 2.0},  # int vs float
+            {"a": [{"b": "x", "c": None}, 1.0], "z": 2},  # list order
+            {"a": [1.0, {"b": "x", "c": 0}], "z": 2},  # null vs 0
+        ):
+            assert dig(json.dumps(bad)) != dig(json.dumps(base)), bad
+        # -0.0 normalizes to +0.0 (sign of a rounded-away value is noise)
+        assert dig(json.dumps({"v": -1e-9})) == dig(json.dumps({"v": 0.0}))
+
+    def test_corpus_branch_coverage(self, spark):
+        import json
+
+        from convert_spark import queries as Q
+
+        bb = [(0, -100.0, -40.0, -60.0, 10.0)]
+        (ds, name, text) = Q.datasets_json_corpus(bb)[0]
+        doc = json.loads(text)
+        assert len(doc["features"]) == 11
+        from convert_spark.operators import features as feat_ops
+        from convert_spark.sources.geojson import features_from_geojson
+
+        docs = spark.createDataFrame([(ds, text)], "dataset_id string, geojson string")
+        norm = feat_ops.normalize_features(features_from_geojson(docs))
+        mesh = feat_ops.drape_meshes(norm)
+        out = feat_ops.assemble_datasets(norm, mesh, {ds: name}).collect()
+        got = json.loads(out[0]["dataset_json"])
+        # 11 authored - (arity-1 drop, null geometry, unsupported type)
+        # + 1 (the 2-part MultiLineString explodes to two lines) = 9
+        assert out[0]["n_features"] == 9
+        pts, lines, shapes = got["points"], got["lines"], got["shapes"]
+        assert len(pts) == 3 and len(lines) == 3 and len(shapes) == 3
+        meshed = [s for s in shapes if s["vertices"] is not None]
+        ringed = [s for s in shapes if s["vertices"] is None]
+        assert len(meshed) == 2 and len(ringed) == 1  # 3D polygon keeps rings
+        rich = next(p for p in pts if p["name"] == "site 0")
+        attrs = {a["key"]: a["value"] for a in rich["attributes"]}
+        # F3 routing: name/styletype/id-ish extracted, tags/way/geomz gone
+        assert rich["id"] == "1000"  # "id" (1000+did) wins over osm_id (99)
+        assert rich["type"] == "marker"
+        assert not {"name", "styletype", "id", "osm_id", "tags", "way", "geomz"} & attrs.keys()
+        # F2 falsy quirk: numeric 0 kept as "0"; ""/null/"0"-string dropped
+        assert attrs["zero_n"] == "0"
+        assert not {"zero_s", "empty", "nothing"} & attrs.keys()
+        # P8 Go %v forms
+        assert attrs["big"] == "1.417640643e+09"
+        assert attrs["tiny"] == "1.23e-05"
+        assert attrs["million"] == "2.5e+06"
+        assert attrs["flag"] == "true" and attrs["neg"] == "false"
+        # properties:null feature survives with empty identity
+        bare = [p for p in pts if p["name"] == "" and p["attributes"] is None]
+        assert len(bare) == 1

@@ -551,12 +551,18 @@ def _wav_samples(data: bytes) -> tuple[np.ndarray, int]:
             raw = wf.readframes(wf.getnframes())
     except Exception as exc:  # noqa: BLE001
         raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
+    if sw not in (1, 2):
+        raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+    if len(raw) % sw:
+        raise NotImplementedError("malformed WAV payload: truncated sample")
     if sw == 2:
         s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif sw == 1:  # 8-bit WAV PCM is unsigned, midpoint 128
+    else:  # 8-bit WAV PCM is unsigned, midpoint 128
         s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+    if nch <= 0 or len(s) % nch:
+        raise NotImplementedError(
+            "malformed WAV payload: data chunk is not a whole number of frames"
+        )
     return s.reshape(-1, nch), fr
 
 
@@ -639,11 +645,16 @@ def _wav_ints(data: bytes) -> np.ndarray:
             raw = wf.readframes(wf.getnframes())
     except Exception as exc:  # noqa: BLE001
         raise NotImplementedError(f"malformed WAV payload: {exc}") from exc
-    if sw == 2:
-        return np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
-    if sw == 1:
-        return np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)
-    raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+    if sw not in (1, 2):
+        raise NotImplementedError(f"WAV sample width {sw}: real codec territory")
+    if len(raw) % sw:
+        raise NotImplementedError("malformed WAV payload: truncated sample")
+    arr = np.frombuffer(raw, dtype="<i2" if sw == 2 else np.uint8)
+    if nch <= 0 or len(arr) % nch:
+        raise NotImplementedError(
+            "malformed WAV payload: data chunk is not a whole number of frames"
+        )
+    return arr.reshape(-1, nch)
 
 
 def stats_real(data: bytes) -> tuple[str, list[tuple[int, int, int, int]]]:

@@ -2844,6 +2844,69 @@ class TestMsAdpcm:
                         pass
 
 
+class TestAllClassMutationFuzz:
+    """Corrupt-payload envelope over the ENTIRE corpus (VERDICT r6 item 6):
+    every one of the 36 mediagen payload classes AND all 10 container
+    classes, mutated (byte flips / truncation / junk insertion), through
+    every real decode entry point. The contract: a mutated payload either
+    still decodes (e.g. a bit flip inside uncompressed pixel data) or
+    raises the DECLARED NotImplementedError — never IndexError /
+    struct.error / ZeroDivisionError / silent garbage. Round 4's fuzz
+    predates the round-6 kernels (FLAC/GIF/AVI/ADPCM/TIFF); this class
+    covers all of them uniformly and permanently."""
+
+    @staticmethod
+    def _mutations(good: bytes, rng, n: int):
+        for _ in range(n):
+            data = bytearray(good)
+            op = rng.randint(3)
+            if op == 0:  # scattered byte flips
+                for _ in range(rng.randint(1, 6)):
+                    data[rng.randint(len(data))] = rng.randint(256)
+            elif op == 1:  # truncation
+                data = data[: rng.randint(1, len(data))]
+            else:  # junk insertion
+                pos = rng.randint(1, len(data))
+                data = (
+                    data[:pos]
+                    + bytes(rng.randint(0, 256, rng.randint(1, 20), dtype=np.uint8))
+                    + data[pos:]
+                )
+            yield bytes(data)
+
+    @pytest.mark.parametrize("fmt", list(range(36)))
+    def test_payload_classes_declared_errors(self, fmt):
+        from convert_spark import mediagen
+
+        assert mediagen.N_FORMATS == 36
+        rng = np.random.RandomState(7000 + fmt)
+        good = mediagen.payload_for(fmt)
+        for payload in self._mutations(good, rng, 60):
+            for fn in (
+                lambda d: multimodal.decode_real(d),
+                lambda d: multimodal.stats_real(d),
+                lambda d: multimodal.frames_real(d, 2),
+                lambda d: multimodal.resize_real(d, 4, 3),
+                lambda d: multimodal.features_real(d, 8),
+            ):
+                try:
+                    fn(payload)
+                except NotImplementedError:
+                    pass  # the declared boundary — anything else fails the test
+
+    @pytest.mark.parametrize("fmt", list(range(10)))
+    def test_container_classes_declared_errors(self, fmt):
+        from convert_spark import mediagen
+
+        rng = np.random.RandomState(7100 + fmt)
+        good = mediagen.container_payload_for(fmt)
+        for payload in self._mutations(good, rng, 60):
+            try:
+                multimodal.container_tracks(payload)
+            except NotImplementedError:
+                pass
+
+
 class TestFlac:
     """FLAC (kernels/flac.py): BIT-EXACT round trips across every
     subframe type and stereo decorrelation, scalar-twin agreement,

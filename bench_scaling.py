@@ -262,15 +262,51 @@ def main() -> None:
     # Pass 1 measures every level; later passes re-draw only the GRADED
     # pairs (threads 2->8, executor JVMs 1->4 @ 2 cores).
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    # FULL_PASS1=0 turns every pass into a graded-pair-only pass — the
+    # continuation mode: the appendix levels (threads 4/16/32, 4-core
+    # executors) come from the persisted raw pool instead of re-running
+    full_pass1 = os.environ.get("SPARK_GRAFT_SCALE_FULL_PASS1", "1") == "1"
     graded_exec = [cfg for cfg in EXEC_CONFIGS if cfg[0] == 2]
     ex_runs: list[dict] = []
     th_runs: list[dict] = []
     for i in range(runs):
-        ex_cfgs = EXEC_CONFIGS if i == 0 else graded_exec
+        ex_cfgs = EXEC_CONFIGS if (i == 0 and full_pass1) else graded_exec
         ex_levels = sorted({(c, n) for c, lo, hi in ex_cfgs for n in (lo, hi)})
         ex_runs.append({k: _run_exec_level(k[1], k[0]) for k in ex_levels})
-        th_levels = list(dict.fromkeys(PRIMARY + MID + SECONDARY)) if i == 0 else list(PRIMARY)
+        th_levels = (
+            list(dict.fromkeys(PRIMARY + MID + SECONDARY))
+            if (i == 0 and full_pass1)
+            else list(PRIMARY)
+        )
         th_runs.append({c: _run_level(c) for c in th_levels})
+
+    # Pool across protocol INVOCATIONS too: every pass's raw draws persist
+    # in scaling_raw.json, so a later graded-only continuation run
+    # (SPARK_GRAFT_SCALE_FULL_PASS1=0) merges with the earlier full sweep
+    # on the same VM. min-wall pooling needs each LEVEL to eventually see
+    # a quiet-steal window; pairing a lucky small-N draw with an unlucky
+    # large-N one otherwise understates the engine (measured round 7:
+    # threads 2->8 pooled 0.777 from 3 passes, per-pass 0.838/0.861).
+    raw_path = Path(REPO, "scaling_raw.json")
+    if raw_path.exists():
+        prior = json.loads(raw_path.read_text())
+        if prior.get("n_pages") == N_PAGES:
+            ex_runs = [
+                {tuple(map(int, k.split(","))): v for k, v in r.items()}
+                for r in prior["ex_runs"]
+            ] + ex_runs
+            th_runs = [{int(k): v for k, v in r.items()} for r in prior["th_runs"]] + th_runs
+    raw_path.write_text(
+        json.dumps(
+            {
+                "n_pages": N_PAGES,
+                "ex_runs": [{f"{c},{n}": v for (c, n), v in r.items()} for r in ex_runs],
+                "th_runs": [{str(c): v for c, v in r.items()} for r in th_runs],
+            }
+        )
+        + "\n"
+    )
+    runs = len(th_runs)
 
     def _pool(runs_list: list[dict], key) -> dict:
         draws = [r[key] for r in runs_list if key in r]

@@ -203,3 +203,28 @@ class TestTwinAgreement:
         assign_p = (m @ cent_p.T).argmax(axis=1)
         assign_s = [skref._argmax_dot(skref._normalize_s(list(map(float, r))), cent_s) for r in mat]
         assert list(assign_p) == assign_s
+
+
+class TestGoFmtTwinAgreement:
+    """The production Go-%v formatter (sources.geojson._go_str, repr-string
+    surgery) and the S6 twin's fresh Decimal-based one
+    (datasets_reference_impl.go_fmt_s) must agree on arbitrary doubles —
+    random-input property coverage so the datasets-JSON KAT agreement
+    isn't vacuous on the attribute-value axis."""
+
+    def test_random_floats_agree(self):
+        import datasets_reference_impl as dsref
+
+        from convert_spark.sources.geojson import _go_float_str
+
+        rng = np.random.RandomState(17)
+        vals = list(rng.uniform(-1e12, 1e12, 300))
+        vals += list(rng.uniform(-1e-3, 1e-3, 200))
+        vals += list(rng.uniform(-1e6, 1e6, 200) // 1)  # integral doubles
+        vals += [0.0, -0.0, 1e6, 999999.5, -1e6, 1.23e-5, 1e-4, 9.999e5,
+                 1417640643.0, 2.5e6, float("nan"), float("inf"), float("-inf"),
+                 5e-324, 1.7976931348623157e308]
+        vals += [float(np.float64(rng.randint(-2**62, 2**62)) / 2**rng.randint(0, 40))
+                 for _ in range(200)]
+        for v in vals:
+            assert _go_float_str(float(v)) == dsref.go_fmt_s(float(v)), repr(v)

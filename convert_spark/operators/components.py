@@ -190,6 +190,46 @@ def connected_components(
     return found.unionByName(singletons)
 
 
+def incremental_components(
+    prev_membership: DataFrame,
+    new_pairs: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    max_rounds: int = 50,
+    round_stats: list | None = None,
+) -> DataFrame:
+    """Update (node, component) membership with a NEW batch of candidate
+    pairs WITHOUT recomputing over the historical pair graph.
+
+    The previous membership's star edges (node -> component) are a
+    component-equivalent contraction of every pair ever seen — a star
+    graph is a fixed point of large-star/small-star, and its component
+    ids are real node ids (the old minima) — so connected components over
+    (star edges UNION new pairs) equals connected components over the
+    full historical-union graph, node for node.
+
+    This is the daily-crawl shape at 10^12 docs: each increment costs
+    O(|corpus nodes| + |new pairs|) instead of O(|all historical pairs|)
+    — the historical candidate-pair graph (quadratic-ish in cluster
+    sizes) never has to be stored or re-shuffled, only the linear-size
+    membership table. Singleton rows (node == component) become
+    self-pairs, which the CC entry keeps as singleton nodes, so no old
+    node ever drops out of the membership. Typically converges in very
+    few rounds: the old graph is already star-shaped, so only the
+    new-pair seams contract.
+    """
+    star = prev_membership.select(
+        F.col("node").alias(a), F.col("component").alias(b)
+    )
+    return connected_components(
+        star.unionByName(new_pairs.select(F.col(a), F.col(b))),
+        a,
+        b,
+        max_rounds=max_rounds,
+        round_stats=round_stats,
+    )
+
+
 def dedup_canonical(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", a: str = "a_id", b: str = "b_id") -> DataFrame:
     """Dedup decision table: every doc in ``docs`` with its cluster id and
     keep flag (keep = not in any cluster, or the cluster's minimum id)."""

@@ -1712,6 +1712,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup clustering (the daily-crawl shape): the same
+    near-dup pair stream as q_dedup_clusters, split deterministically
+    into a historical batch (~2/3 of pairs) and a new increment (~1/3).
+    Full CC runs on the historical batch only; the increment is folded
+    in via components.incremental_components — CC over (previous
+    membership's star edges UNION new pairs), never re-touching the
+    historical pair graph. The oracle is the UNSPLIT recursive-CTE
+    transitive closure (SQL_DEDUP_CLUSTERS verbatim): a green row proves
+    the incremental update reproduces the full recompute row-for-row,
+    including cross-batch merges of previously separate clusters."""
+    from .operators import components
+    from .operators.ann import carry_scope, neardup_lsh
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    nd = neardup_lsh(corpus, threshold=NEARDUP_T)
+    pairs = nd.select("a_id", "b_id")
+    is_new = F.pmod(F.xxhash64("a_id", "b_id", F.lit(3)), F.lit(3)) == 0
+    old_pairs = pairs.filter(~is_new)
+    new_pairs = pairs.filter(is_new)
+    prev = components.connected_components(old_pairs)
+    membership = components.incremental_components(prev, new_pairs)
+    docs = corpus.select(F.col("id").alias("doc_id"))
+    out = docs.join(membership, docs["doc_id"] == membership["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    out = out.withColumn("keep", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    return carry_scope(out, nd)
+
+
 SQL_DEDUP_CLUSTERS = f"""
 with recursive {_NEARDUP_CORPUS_SQL},
 pairs as (
@@ -2662,6 +2693,7 @@ QUERIES = {
     "q_asof_events_strict": q_asof_events_strict,
     "q_range_join": q_range_join,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_csv_datasets": q_csv_datasets,
     "q_geojson_datasets": q_geojson_datasets,
     "q_gpx_datasets": q_gpx_datasets,
@@ -2719,6 +2751,8 @@ def oracles() -> dict[str, str]:
         "q_asof_events_strict": SQL_ASOF_EVENTS_STRICT,
         "q_range_join": SQL_RANGE_JOIN,
         "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+        # same full-graph closure: the incremental path must reproduce it
+        "q_dedup_incremental": SQL_DEDUP_CLUSTERS,
         "q_csv_datasets": _sql_csv_datasets(),
         "q_geojson_datasets": _sql_geojson_datasets(),
         "q_gpx_datasets": _sql_gpx_datasets(),

@@ -413,6 +413,62 @@ class TestSparkSubmit:
             assert p.stat().st_mtime_ns == mtimes[p.name], f"{p.name} was recomputed on resume"
 
 
+class TestIncrementalComponents:
+    """incremental_components: CC over (previous membership star edges +
+    new pairs) must equal CC over the full pair union — including
+    cross-batch cluster merges, brand-new nodes and old singletons."""
+
+    def _member_map(self, df):
+        return {int(r["node"]): int(r["component"]) for r in df.collect()}
+
+    def test_merge_of_old_components(self, spark):
+        from convert_spark.operators import components
+
+        old = spark.createDataFrame([(1, 2), (2, 3), (10, 11), (20, 20)], "a_id long, b_id long")
+        prev = components.connected_components(old)
+        # one pair merges comps 1 and 10; one introduces brand-new nodes
+        new = spark.createDataFrame([(3, 11), (40, 41)], "a_id long, b_id long")
+        got = self._member_map(components.incremental_components(prev, new))
+        assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 40: 40, 41: 40}
+
+    def test_random_graphs_match_full_recompute(self, spark):
+        from convert_spark.operators import components
+
+        rng = np.random.RandomState(29)
+        for trial in range(3):
+            n = 400
+            edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(300, 2))]
+            edges += [(int(i), int(i)) for i in rng.randint(0, n, size=10)]  # self-pair singletons
+            cut = rng.randint(50, 250)
+            old = spark.createDataFrame(edges[:cut], "a_id long, b_id long")
+            new = spark.createDataFrame(edges[cut:], "a_id long, b_id long")
+            full = spark.createDataFrame(edges, "a_id long, b_id long")
+            prev = components.connected_components(old)
+            inc = self._member_map(components.incremental_components(prev, new))
+            exp = self._member_map(components.connected_components(full))
+            assert inc == exp, f"trial {trial}"
+
+    def test_increment_converges_fast(self, spark):
+        """The old graph is already star-shaped, so an increment that only
+        extends existing clusters converges in O(1) rounds regardless of
+        historical size — the property that makes the daily-increment
+        cost independent of corpus history."""
+        from pyspark.sql import functions as F
+
+        from convert_spark.operators import components
+
+        old = spark.range(2000).select(
+            (F.col("id") * 3).alias("a_id"), (F.col("id") * 3 + 1).alias("b_id")
+        )
+        prev = components.connected_components(old)
+        new = spark.range(50).select(
+            (F.col("id") * 3 + 1).alias("a_id"), (F.col("id") * 3 + 2).alias("b_id")
+        )
+        stats: list = []
+        components.incremental_components(prev, new, round_stats=stats).count()
+        assert len(stats) <= 3, stats
+
+
 class TestConnectedComponents:
     def test_known_graphs(self, spark):
         """Chains, a hub (the skew shape large-star exists for), a cycle,

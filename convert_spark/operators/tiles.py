@@ -107,13 +107,24 @@ def tile_datasets(points: DataFrame, group_cols: list[str] | None = None) -> Dat
     UDF over one row per tile.
     """
     keys = group_cols or ["zoom", "cell_id"]
-    agg = points.groupBy(*keys).agg(
+    return _finalize_tiles(_bbox_partial(points, keys), keys)
+
+
+def _bbox_partial(points: DataFrame, keys: list[str]) -> DataFrame:
+    """The decomposable per-tile state: bbox extrema + point count."""
+    return points.groupBy(*keys).agg(
         F.min("x").alias("lx"),
         F.max("x").alias("rx"),
         F.min("y").alias("ly"),
         F.max("y").alias("uy"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def _finalize_tiles(agg: DataFrame, keys: list[str]) -> DataFrame:
+    """Derived fields recomputed from the bbox alone: center, DEM z at the
+    center, S2 covering — which is what makes the summary incrementally
+    maintainable (merge_tile_datasets)."""
     center_x = (F.col("lx") + F.col("rx")) / 2.0
     center_y = (F.col("ly") + F.col("uy")) / 2.0
     return (
@@ -122,6 +133,35 @@ def tile_datasets(points: DataFrame, group_cols: list[str] | None = None) -> Dat
         .withColumn("center_z", udfs.elev_3857_or_zero(F.col("center_x"), F.col("center_y")))
         .withColumn("s2", udfs.s2_covering(F.col("lx"), F.col("ly"), F.col("rx"), F.col("uy")))
     )
+
+
+def merge_tile_datasets(
+    prev: DataFrame, new_points: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Incremental per-tile dataset maintenance (the daily-crawl shape on
+    the tile side): fold a NEW batch of points into existing summaries
+    without re-aggregating history. bbox extrema and counts are
+    decomposable (min/max/sum over the stored partials + the new batch's
+    partials), and every derived field (center, DEM z, S2 covering) is a
+    function of the merged bbox alone — so each increment costs
+    O(|touched tiles| + |new points|), independent of how many points
+    built ``prev``. Deletions are out of scope (min/max are not
+    subtractable); the reference pipeline is append-only.
+
+    ``prev`` is a ``tile_datasets`` output (or a previous merge);
+    returns the same schema, equal to ``tile_datasets`` over the full
+    point union (gate row q_tile_incremental pins the equality)."""
+    keys = group_cols or ["zoom", "cell_id"]
+    delta = _bbox_partial(new_points, keys)
+    both = prev.select(*keys, "lx", "rx", "ly", "uy", "n_points").unionByName(delta)
+    merged = both.groupBy(*keys).agg(
+        F.min("lx").alias("lx"),
+        F.max("rx").alias("rx"),
+        F.min("ly").alias("ly"),
+        F.max("uy").alias("uy"),
+        F.sum("n_points").alias("n_points"),
+    )
+    return _finalize_tiles(merged, keys)
 
 
 def assemble_dataset_json(points: DataFrame, summary: DataFrame, keys: list[str]) -> DataFrame:

@@ -311,6 +311,46 @@ select {_ZOOM - 3}, tx // 8, ty // 8, count(*) from base group by 2, 3
 """
 
 
+def q_tile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-tile dataset maintenance on the gate: ~2/3 of the
+    points build the historical summaries (tiles.tile_datasets), the
+    remaining ~1/3 fold in through tiles.merge_tile_datasets — history is
+    never re-aggregated. The oracle recomputes the summaries from the
+    UNSPLIT point set, so a green row proves merge == full recompute.
+    Digest: the decomposable state (bbox, count) + derived center; the
+    bbox-derived DEM z and S2 covering recompute from the same merged
+    bbox and carry their own gate rows (q_getelev, q_s2_covering)."""
+    pts = _points(spark, sf_dir)
+    keys = ["zoom", "tile_x", "tile_y"]
+    t = tiles.with_tile(pts, _ZOOM).select(
+        *keys,
+        exprs.to3857_x(F.col("lon"), F.col("lat")).alias("x"),
+        exprs.to3857_y(F.col("lon"), F.col("lat")).alias("y"),
+        "rowid",
+    )
+    prev = tiles.tile_datasets(t.filter(F.col("rowid") % 3 != 0), group_cols=keys)
+    merged = tiles.merge_tile_datasets(
+        prev, t.filter(F.col("rowid") % 3 == 0), group_cols=keys
+    )
+    return merged.select(
+        *keys, "lx", "rx", "ly", "uy", "n_points", "center_x", "center_y"
+    )
+
+
+SQL_TILE_INCREMENTAL = f"""
+with proj as (
+  select {exprs.sql_tile_x('lon', _ZOOM)} as tile_x, {exprs.sql_tile_y('lat', _ZOOM)} as tile_y,
+         {exprs.sql_to3857_x('lon', 'lat')} as x, {exprs.sql_to3857_y('lon', 'lat')} as y
+  from ({_PTS_SQL})
+)
+select {_ZOOM} as zoom, tile_x, tile_y,
+       min(x) as lx, max(x) as rx, min(y) as ly, max(y) as uy,
+       count(*) as n_points,
+       (min(x) + max(x)) / 2.0 as center_x, (min(y) + max(y)) / 2.0 as center_y
+from proj group by 2, 3
+"""
+
+
 def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile equi-join: points joined to a (broadcast) tile dimension built
     from the distinct tiles of the customer-derived points."""
@@ -2656,6 +2696,7 @@ QUERIES = {
     "q_tile_assign_deep": q_tile_assign_deep,
     "q_tile_rollup": q_tile_rollup,
     "q_tile_join": q_tile_join,
+    "q_tile_incremental": q_tile_incremental,
     "q_compact_cells": q_compact_cells,
     "q_uncompact_roundtrip": q_uncompact_roundtrip,
     "q_knn": q_knn,
@@ -2724,6 +2765,7 @@ def oracles() -> dict[str, str]:
         "q_tile_assign_deep": _sql_tile_assign_deep(),
         "q_tile_rollup": SQL_TILE_ROLLUP,
         "q_tile_join": SQL_TILE_JOIN,
+        "q_tile_incremental": SQL_TILE_INCREMENTAL,
         "q_compact_cells": _sql_compact_cells(),
         "q_uncompact_roundtrip": SQL_UNCOMPACT_ROUNDTRIP,
         "q_knn": SQL_KNN,

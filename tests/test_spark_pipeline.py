@@ -714,3 +714,35 @@ class TestLangidRandomizedAgreement:
         )
         twin = textkit.lang_scores(pd.Series(texts))["lang"].tolist()
         assert got == twin
+
+
+class TestMergeTileDatasets:
+    """merge_tile_datasets edges the gate row can't isolate: empty delta,
+    delta-only tiles, schema parity with tile_datasets."""
+
+    def test_edges_and_schema(self, spark):
+        from pyspark.sql import functions as F
+
+        from convert_spark.operators import tiles
+
+        keys = ["zoom", "cell_id"]
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "zoom int, cell_id long, x double, y double"
+        )
+        a = mk([(5, 1, 0.0, 0.0), (5, 1, 10.0, -4.0), (5, 2, 3.0, 3.0)])
+        b = mk([(5, 1, -2.0, 7.0), (5, 9, 1.0, 1.0)])
+        prev = tiles.tile_datasets(a, group_cols=keys)
+        merged = tiles.merge_tile_datasets(prev, b, group_cols=keys)
+        full = tiles.tile_datasets(a.unionByName(b), group_cols=keys)
+        # names + types (sum() is nullable where count() isn't — cosmetic)
+        shape = lambda df: [(f.name, f.dataType) for f in df.schema]  # noqa: E731
+        assert shape(merged) == shape(full)
+        key = lambda df: {  # noqa: E731
+            (r["zoom"], r["cell_id"]): (r["lx"], r["rx"], r["ly"], r["uy"], r["n_points"],
+                                        r["center_x"], r["center_y"], r["center_z"], list(r["s2"]))
+            for r in df.collect()
+        }
+        assert key(merged) == key(full)
+        # empty delta: a no-op (incl. the derived fields)
+        empty = mk([]).filter(F.lit(False))
+        assert key(tiles.merge_tile_datasets(prev, empty, group_cols=keys)) == key(prev)

@@ -379,3 +379,15 @@ class TestLangidPlanJvmOnly:
         # column pruning reaches the scan: only doc_id + text are read
         read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
         assert "doc_id:bigint,text:string" in read, read
+
+
+class TestIncrementalPlans:
+    def test_tile_incremental_prunes_derived_udfs(self, spark):
+        """q_tile_incremental selects only the decomposable state + center;
+        the finalize-stage pandas UDFs (DEM z, S2 covering) on BOTH the
+        prev build and the merge must be pruned out of the physical plan
+        — at 10^12 rows an unpruned covering UDF over every historical
+        tile would dominate the increment."""
+        plan = plan_of(Q.q_tile_incremental(spark, SF))
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan

@@ -227,3 +227,77 @@ def clean_attributes(df: DataFrame, attrs_col: str = "attrs") -> DataFrame:
         .withColumn("feature_id", fid)
         .withColumn("attributes", cleaned)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (north_star: the pages table carries html:binary
+# AND text:string; a real Common-Crawl pipeline derives the latter from the
+# former). Semantics are defined as an ORDERED rewrite chain so the engine
+# (Java regex, Catalyst whole-stage codegen), the DuckDB oracle (RE2) and
+# the scalar twin (character walk, tests/html_reference_impl.py) can each
+# restate it independently:
+#
+#   1. drop comments        <!-- ... -->        (dotall, non-greedy)
+#   2. drop script blocks   <script...>...</script>   (dotall+i, \b guard)
+#   3. drop style blocks    <style...>...</style>
+#   4. every remaining tag  <...>  ->  one space
+#   5. entity decode, fixed set, IN ORDER (&amp; LAST so '&amp;nbsp;'
+#      yields the literal text '&nbsp;', per HTML semantics)
+#   6. collapse [ \t\r\n]+ to one space, trim
+#
+# Unclosed comment/script/style constructs do not match (non-greedy needs
+# the closer) and fall through to the tag-strip step — pinned by tests.
+# Known regex-stripper limitation (shared by all three restatements, and
+# excluded from the synthesized corpus): a literal '>' inside a quoted
+# attribute value ends the tag early.
+HTML_COMMENT_RE = "(?s)<!--.*?-->"
+HTML_SCRIPT_RE = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+HTML_STYLE_RE = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+HTML_TAG_RE = "(?s)<[^>]*>"
+HTML_TITLE_RE = "(?is)<title[^>]*>(.*?)</title\\s*>"
+HTML_WS_RE = "[ \\t\\r\\n]+"
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last: never re-interpret what an earlier decode produced
+)
+
+
+def _html_finalize(col: F.Column) -> F.Column:
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(col, HTML_WS_RE, " "))
+
+
+def html_text_col(col: F.Column) -> F.Column:
+    """Body text of an HTML string column — pure Catalyst (steps 1-6)."""
+    for pat, repl in (
+        (HTML_COMMENT_RE, ""),
+        (HTML_SCRIPT_RE, ""),
+        (HTML_STYLE_RE, ""),
+        (HTML_TAG_RE, " "),
+    ):
+        col = F.regexp_replace(col, pat, repl)
+    return _html_finalize(col)
+
+
+def html_title_col(col: F.Column) -> F.Column:
+    """First <title> payload (entity-decoded, whitespace-collapsed); ''
+    when absent — Java regexp_extract returns '' on no-match, matching
+    DuckDB."""
+    return _html_finalize(F.regexp_extract(col, HTML_TITLE_RE, 1))
+
+
+def html_to_text(pages: DataFrame, html_col: str = "html", decode_binary: bool = True) -> DataFrame:
+    """Add ``title`` and ``text`` columns derived from the raw HTML column.
+
+    The whole derivation is built-in string expressions inside one Project
+    (whole-stage codegen, zero JVM<->Python exchange) — at 100 TB the page
+    bytes never leave the JVM, and Catalyst prunes ``html`` from the scan
+    for any consumer that only reads the derived columns' ancestors.
+    """
+    raw = F.decode(F.col(html_col), "UTF-8") if decode_binary else F.col(html_col)
+    return pages.withColumn("title", html_title_col(raw)).withColumn("text", html_text_col(raw))

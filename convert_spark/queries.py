@@ -184,6 +184,94 @@ from x
 """
 
 
+# Deterministic synthetic HTML for the html->text gate: markup assembled
+# from integer arithmetic so both engines build byte-identical pages.
+# Branch coverage by modulus: style block (k%3), script with a '<' inside
+# its body and an embedded newline (k%4), comment hiding fake tags (k%5),
+# UPPERCASE script+div (k%6 — case-insensitivity), unclosed '<script>'
+# tail (k%101 — the no-match fallthrough to tag-strip), entity zoo and
+# tab/newline whitespace in every body.
+def _pages_html_sql(str_t: str) -> str:
+    def n(expr: str) -> str:
+        return f"cast({expr} as {str_t})"
+
+    k = "o_orderkey"
+    style = f"case when {k} % 3 = 0 then '<style>.c' || {n(f'{k} % 7')} || '{{margin:0}}</style>' else '' end"
+    script = (
+        f"case when {k} % 4 = 0 then '<script>var a=' || {n(f'{k} % 10')} || ';' || chr(10) "
+        f"|| 'if(a<9){{b=2;}}</script>' else '' end"
+    )
+    upper = f"case when {k} % 6 = 0 then '<SCRIPT>drop()</SCRIPT><DIV>U' || {n(f'{k} % 17')} || '</DIV>' else '' end"
+    comment = f"case when {k} % 5 = 0 then '<!-- n' || {n(f'{k} % 11')} || ' <b>x</b> -->' else '' end"
+    para = (
+        f"'<p class=\"a\">w' || {n(f'{k} % 13')} || ' &lt;q&gt;' || {n(f'{k} % 9')} "
+        f"|| '&nbsp;end' || chr(10) || chr(9) || '&quot;z' || {n(f'{k} % 8')} || '&quot; &#39;s&#39; &amp;nbsp;</p>'"
+    )
+    tail = f"case when {k} % 101 = 0 then '<script>tail' else '' end"
+    return (
+        f"select {k} as page_id, "
+        f"'<html><head><title>T&amp;' || {n(f'{k} % 50')} || ' ' || chr(10) || 'x</title>' "
+        f"|| {style} || '</head><body>' || {script} || {comment} || {para} || {upper} || {tail} "
+        f"|| '</body></html>' as html "
+        "from orders"
+    )
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine addition (north_star pages table: html:binary -> text:string):
+    HTML body-text + title extraction as a pure Catalyst rewrite chain
+    (extract.html_to_text — regexp_replace/replace inside one codegen'd
+    Project; the page bytes never leave the JVM). Oracle: DuckDB restates
+    the identical ordered chain under RE2; a third, regex-free scalar
+    character-walk twin pins the semantics in tests/html_reference_impl.py."""
+    from .operators import extract
+
+    _load(spark, sf_dir, "orders")
+    pages = spark.sql(_pages_html_sql("string")).select(
+        "page_id", F.encode(F.col("html"), "UTF-8").alias("html")
+    )
+    out = extract.html_to_text(pages)
+    return out.select(
+        "page_id",
+        "title",
+        "text",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split(F.col("text"), " ")))
+        .cast("int")
+        .alias("n_words"),
+    )
+
+
+def _sql_html_text() -> str:
+    from .operators import extract as X
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def finalize(s: str) -> str:
+        for ent, ch in X.HTML_ENTITIES:
+            s = f"replace({s}, {lit(ent)}, {lit(ch)})"
+        return f"trim(regexp_replace({s}, {lit(X.HTML_WS_RE)}, ' ', 'g'))"
+
+    body = "html"
+    for pat, repl in (
+        (X.HTML_COMMENT_RE, ""),
+        (X.HTML_SCRIPT_RE, ""),
+        (X.HTML_STYLE_RE, ""),
+        (X.HTML_TAG_RE, " "),
+    ):
+        body = f"regexp_replace({body}, {lit(pat)}, {lit(repl)}, 'g')"
+    body = finalize(body)
+    title = finalize(f"regexp_extract(html, {lit(X.HTML_TITLE_RE)}, 1)")
+    return f"""
+with pages as ({_pages_html_sql('varchar')}),
+x as (select page_id, {title} as title, {body} as text from pages)
+select page_id, title, text,
+  cast(case when text = '' then 0 else len(string_split(text, ' ')) end as int) as n_words
+from x
+"""
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -2691,6 +2779,7 @@ QUERIES = {
     "q_to3857": q_to3857,
     "q_to4326": q_to4326,
     "q_extract": q_extract,
+    "q_html_text": q_html_text,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -2760,6 +2849,7 @@ def oracles() -> dict[str, str]:
         "q_to3857": SQL_TO3857,
         "q_to4326": SQL_TO4326,
         "q_extract": _sql_extract(),
+        "q_html_text": _sql_html_text(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

@@ -1,0 +1,90 @@
+"""URL decomposition + registered-domain derivation — pure Catalyst.
+
+Common-Crawl-style pipelines group/filter by host and registered domain
+(per-domain dedup quotas, crawl politeness, quality priors). The grammar
+is RFC 3986 Appendix B's regex (public spec), rewritten BACKSLASH-FREE
+(`[?]` for `\\?`, `[0-9]` for `\\d`) so the identical pattern string is
+valid under Java regex, RE2 (DuckDB oracle) and even inside a Spark SQL
+string literal (whose backslash escapes would otherwise corrupt it).
+
+Registered domain uses a small fixed two-level public-suffix set — the
+real PSL is a data file, not an algorithm; swap `PUBLIC_SUFFIX_2LD` for
+the full list in production. Port/userinfo/fragment handling, '' host
+for scheme-relative or relative references, and case folding are pinned
+by the q_url_parse gate row against the DuckDB restatement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RFC 3986 App. B, backslash-free: groups 2=scheme 4=authority 5=path
+# 6=?query 7=query 9=fragment. Matches every string (all parts optional).
+URL_RE = "^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)([?]([^#]*))?(#(.*))?"
+
+# two-level public suffixes recognized by the registered-domain heuristic
+PUBLIC_SUFFIX_2LD = ("co.uk", "ac.uk", "gov.uk", "com.au", "co.jp")
+
+_SUF_ALT = "|".join(s.replace(".", "[.]") for s in PUBLIC_SUFFIX_2LD)
+REG3_RE = f"([^.]+[.](?:{_SUF_ALT}))$"
+REG2_RE = "([^.]+[.][^.]+)$"
+USERINFO_RE = "^[^@]*@"
+PORT_RE = ":([0-9]+)$"
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add scheme, host, port, reg_domain, path, path_depth, has_query.
+
+    One codegen'd Project of regexp_extract/regexp_replace — no UDF, no
+    shuffle; at 100 TB this composes into the scan stage. path_depth is
+    the '/' count of the path ('' and '/' are depth 0); has_query is 1
+    when a '?' part exists (even empty, per RFC: '?' alone is a query).
+    """
+    u = F.col(url_col)
+    hostport = F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, "")
+    host = F.lower(F.regexp_replace(hostport, PORT_RE, ""))
+    path = F.regexp_extract(u, URL_RE, 5)
+    rd3 = F.regexp_extract(host, REG3_RE, 1)
+    rd2 = F.regexp_extract(host, REG2_RE, 1)
+    return (
+        df.withColumn("scheme", F.lower(F.regexp_extract(u, URL_RE, 2)))
+        .withColumn("host", host)
+        .withColumn("port", F.nullif(F.regexp_extract(hostport, PORT_RE, 1), F.lit("")).cast("int"))
+        .withColumn("reg_domain", F.when(rd3 != "", rd3).when(rd2 != "", rd2).otherwise(host))
+        .withColumn("path", path)
+        .withColumn(
+            "path_depth",
+            F.when((path == "") | (path == "/"), 0)
+            .otherwise(F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit(""))))
+            .cast("int"),
+        )
+        .withColumn(
+            "has_query",
+            (F.regexp_extract(u, URL_RE, 6) != "").cast("int"),
+        )
+    )
+
+
+def sql_url_parts(url: str) -> dict[str, str]:
+    """The identical derivation as portable SQL snippets (valid in both
+    DuckDB and Spark SQL — the oracle restatement)."""
+    hostport = f"regexp_replace(regexp_extract({url}, '{URL_RE}', 4), '{USERINFO_RE}', '')"
+    host = f"lower(regexp_replace({hostport}, '{PORT_RE}', ''))"
+    path = f"regexp_extract({url}, '{URL_RE}', 5)"
+    rd3 = f"regexp_extract({host}, '{REG3_RE}', 1)"
+    rd2 = f"regexp_extract({host}, '{REG2_RE}', 1)"
+    return {
+        "scheme": f"lower(regexp_extract({url}, '{URL_RE}', 2))",
+        "host": host,
+        "port": f"cast(nullif(regexp_extract({hostport}, '{PORT_RE}', 1), '') as int)",
+        "reg_domain": (
+            f"case when {rd3} <> '' then {rd3} when {rd2} <> '' then {rd2} else {host} end"
+        ),
+        "path": path,
+        "path_depth": (
+            f"cast(case when {path} = '' or {path} = '/' then 0 "
+            f"else length({path}) - length(replace({path}, '/', '')) end as int)"
+        ),
+        "has_query": f"cast(regexp_extract({url}, '{URL_RE}', 6) <> '' as int)",
+    }

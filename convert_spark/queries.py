@@ -272,6 +272,97 @@ from x
 """
 
 
+# Deterministic synthetic URLs from orders keys — branch coverage:
+# uppercase scheme (k%7) and host (k%19) for case folding, userinfo (k%11),
+# explicit port (k%13), two-level public suffix TLDs (k%5 in {co.uk,
+# com.au}), empty-query '?' (k%17), trailing-slash paths (k%4=3), fragments
+# (k%10) and scheme-less RELATIVE references (k%29 — '' scheme/host).
+def _urls_sql(str_t: str) -> str:
+    def n(expr: str) -> str:
+        return f"cast({expr} as {str_t})"
+
+    k = "o_orderkey"
+    scheme = f"case when {k} % 7 = 0 then 'FTP://' when {k} % 2 = 0 then 'https://' else 'http://' end"
+    userinfo = f"case when {k} % 11 = 0 then 'u' || {n(f'{k} % 5')} || ':pw@' else '' end"
+    sub = (
+        f"case when {k} % 19 = 0 then 'WWW.' when {k} % 3 = 0 then '' "
+        f"when {k} % 3 = 1 then 'www.' else 'a' || {n(f'{k} % 4')} || '.b.' end"
+    )
+    tld = (
+        f"case {k} % 5 when 0 then 'com' when 1 then 'org' when 2 then 'co.uk' "
+        "when 3 then 'com.au' else 'io' end"
+    )
+    port = f"case when {k} % 13 = 0 then ':' || {n(f'8000 + {k} % 100')} else '' end"
+    path = (
+        f"case when {k} % 4 = 1 then '/' when {k} % 4 = 2 then '/p' || {n(f'{k} % 6')} "
+        f"when {k} % 4 = 3 then '/p' || {n(f'{k} % 6')} || '/q' || {n(f'{k} % 3')} || '/' else '' end"
+    )
+    query = f"case when {k} % 17 = 0 then '?' when {k} % 3 = 0 then '?q=' || {n(f'{k} % 8')} || '&r=1' else '' end"
+    frag = f"case when {k} % 10 = 0 then '#s' || {n(f'{k} % 4')} else '' end"
+    absolute = (
+        f"{scheme} || {userinfo} || {sub} || 'site' || {n(f'{k} % 97')} || '.' || {tld} "
+        f"|| {port} || {path} || {query} || {frag}"
+    )
+    relative = f"'docs/p' || {n(f'{k} % 6')} || {query}"
+    return (
+        f"select {k} as page_id, "
+        f"case when {k} % 29 = 0 then {relative} else {absolute} end as url "
+        "from orders"
+    )
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine addition (crawl analytics): RFC 3986 URL decomposition +
+    registered-domain heuristic, one codegen'd Project (functions/urls.py).
+    The oracle runs the IDENTICAL backslash-free SQL snippets in DuckDB."""
+    from .functions import urls
+
+    _load(spark, sf_dir, "orders")
+    pages = spark.sql(_urls_sql("string"))
+    return urls.with_url_parts(pages).select(
+        "page_id", "scheme", "host", "port", "reg_domain", "path", "path_depth", "has_query"
+    )
+
+
+def _sql_url_parse() -> str:
+    from .functions.urls import sql_url_parts
+
+    p = sql_url_parts("url")
+    cols = ", ".join(f"{p[c]} as {c}" for c in ("scheme", "host", "port", "reg_domain", "path", "path_depth", "has_query"))
+    return f"with pages as ({_urls_sql('varchar')}) select page_id, {cols} from pages"
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl rollup (the politeness/quota unit):
+    one shuffle on reg_domain; count distinct host rides the same
+    aggregation. At 100 TB the domain key is the natural partitioner —
+    heavy-hitter domains are exactly what the salted-join path handles."""
+    parsed = q_url_parse(spark, sf_dir)
+    return (
+        parsed.groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum((F.col("scheme") == "https").cast("int")).cast("long").alias("n_https"),
+            F.sum("has_query").cast("long").alias("n_query"),
+            F.max("path_depth").cast("int").alias("max_depth"),
+        )
+        .orderBy("reg_domain")
+    )
+
+
+def _sql_domain_rollup() -> str:
+    return f"""
+with parsed as ({_sql_url_parse()})
+select reg_domain, cast(count(*) as bigint) as n_urls,
+  cast(count(distinct host) as bigint) as n_hosts,
+  cast(sum(cast(scheme = 'https' as int)) as bigint) as n_https,
+  cast(sum(has_query) as bigint) as n_query,
+  cast(max(path_depth) as int) as max_depth
+from parsed group by reg_domain order by reg_domain
+"""
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -2780,6 +2871,8 @@ QUERIES = {
     "q_to4326": q_to4326,
     "q_extract": q_extract,
     "q_html_text": q_html_text,
+    "q_url_parse": q_url_parse,
+    "q_domain_rollup": q_domain_rollup,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -2850,6 +2943,8 @@ def oracles() -> dict[str, str]:
         "q_to4326": SQL_TO4326,
         "q_extract": _sql_extract(),
         "q_html_text": _sql_html_text(),
+        "q_url_parse": _sql_url_parse(),
+        "q_domain_rollup": _sql_domain_rollup(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

@@ -1,0 +1,50 @@
+"""URL decomposition: hand-pinned RFC 3986 edge semantics + plan hygiene.
+Cross-engine equivalence is the q_url_parse / q_domain_rollup gate rows;
+here the expected VALUES are pinned so both engines being identically
+wrong would still fail."""
+
+from pyspark.sql import functions as F
+
+from convert_spark.functions import urls
+
+CASES = [
+    # url, scheme, host, port, reg_domain, path, depth, has_query
+    ("https://u:pw@WWW.Site.CO.UK:8080/a/b?q=1#f", "https", "www.site.co.uk", 8080, "site.co.uk", "/a/b", 2, 1),
+    ("http://example.com", "http", "example.com", None, "example.com", "", 0, 0),
+    ("FTP://example.com/", "ftp", "example.com", None, "example.com", "/", 0, 0),
+    ("docs/p1", "", "", None, "", "docs/p1", 1, 0),
+    ("//cdn.example.com/x.js", "", "cdn.example.com", None, "example.com", "/x.js", 1, 0),
+    ("http://localhost:9?", "http", "localhost", 9, "localhost", "", 0, 1),
+    ("http://a.gov.uk/", "http", "a.gov.uk", None, "a.gov.uk", "/", 0, 0),
+    ("http://x.y.com.au/p/", "http", "x.y.com.au", None, "y.com.au", "/p/", 2, 0),
+    ("", "", "", None, "", "", 0, 0),
+    ("http://example.com#f?notquery", "http", "example.com", None, "example.com", "", 0, 0),
+    ("http://example.com/a//b", "http", "example.com", None, "example.com", "/a//b", 3, 0),
+]
+
+
+class TestUrlParts:
+    def test_pinned_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, *_) in enumerate(CASES)], "i int, url string"
+        )
+        rows = urls.with_url_parts(df).orderBy("i").collect()
+        for r, (u, sch, host, port, rd, path, depth, hq) in zip(rows, CASES):
+            got = (r["scheme"], r["host"], r["port"], r["reg_domain"], r["path"], r["path_depth"], r["has_query"])
+            assert got == (sch, host, port, rd, path, depth, hq), (u, got)
+
+    def test_no_python_eval_single_project(self, spark):
+        df = spark.createDataFrame([(1, "http://a.com/x")], "i int, url string")
+        plan = urls.with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan, plan
+
+    def test_rollup_single_shuffle(self, spark):
+        """The domain rollup must be one shuffle: partial_count(distinct)
+        expands to two aggregate passes but only one Exchange on the
+        grouping key (plus the orderBy's range exchange)."""
+        from convert_spark import queries as Q
+
+        plan = Q.q_domain_rollup(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex <= 2, plan  # (reg_domain) and (reg_domain, host) for the distinct
+        assert "BatchEvalPython" not in plan, plan

@@ -106,3 +106,37 @@ def foreach_batch_pipeline(pages: DataFrame, out_dir: str, zoom: int = 10):
         )
 
     return pages.writeStream.foreachBatch(handle)
+
+
+def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10):
+    """Streaming maintenance of the per-tile dataset table (the daily-crawl
+    shape, continuously): each micro-batch of new pages runs the SAME batch
+    stages (extract -> normalize -> tile) and folds into the previous
+    state via ``tiles.merge_tile_datasets`` — O(|touched tiles| + |batch|)
+    per epoch, history never re-aggregated (q_tile_incremental pins
+    merge == full recompute).
+
+    Epoch commit protocol (resumable, idempotent under foreachBatch's
+    replay-last-epoch semantics): state for epoch E is written to
+    ``<state_dir>/vE`` FIRST, then the ``_LATEST`` pointer file is updated
+    (commit-last). A crash between the two leaves the pointer at E-1, so
+    the replayed epoch re-reads the same previous state, overwrites vE and
+    re-commits — same result. Prior versions stay until vacuumed, which
+    also gives snapshot reads of any epoch."""
+    from pathlib import Path
+
+    def _latest(spark: SparkSession):
+        ptr = Path(state_dir) / "_LATEST"
+        if not ptr.exists():
+            return None
+        return spark.read.parquet(f"{state_dir}/v{ptr.read_text().strip()}")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        mentions = extract.extract_mentions(batch_df)
+        tiled = tiles.with_tile(extract.normalize_points(mentions), zoom)
+        prev = _latest(batch_df.sparkSession)
+        out = tiles.tile_datasets(tiled) if prev is None else tiles.merge_tile_datasets(prev, tiled)
+        out.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id}")
+        (Path(state_dir) / "_LATEST").write_text(str(epoch_id))
+
+    return pages.writeStream.option("checkpointLocation", f"{state_dir}/_chk").foreachBatch(handle)

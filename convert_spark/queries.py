@@ -2558,6 +2558,34 @@ from unioned
 """
 
 
+def q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source on the gate (round 7, engine addition — the container
+    Common Crawl actually ships): binaryFile scan over the fixture
+    archives (plain + per-record-gzip-member .warc.gz) -> mapInPandas
+    record walk -> per-response projection, with title/text derived by
+    the Catalyst html->text chain for text/html payloads. Oracle: KAT
+    parquet from the structurally-disjoint scalar twin (gzip module +
+    readline walk + char-walk html twin, tests/warc_reference_impl.py)."""
+    from .operators.extract import html_text_col, html_title_col
+    from .sources.warc import read_warc
+
+    recs = read_warc(spark, str(_FIXTURE_DIR / "warc"))
+    is_html = F.lower(F.col("content_type")).startswith("text/html")
+    decoded = F.decode(F.col("payload"), "UTF-8")
+    return recs.select(
+        "warc_file",
+        "record_idx",
+        "url",
+        "warc_ts",
+        "http_status",
+        "content_type",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+        F.when(is_html, html_title_col(decoded)).alias("title"),
+        F.when(is_html, html_text_col(decoded)).alias("text"),
+    )
+
+
 # --- mesh drape on the gate (round 6) ------------------------------------------
 
 # Per-dataset 4326 bbox over the lineitem-derived points — the seed for the
@@ -2921,6 +2949,7 @@ QUERIES = {
     "q_geojson_datasets": q_geojson_datasets,
     "q_gpx_datasets": q_gpx_datasets,
     "q_kml_datasets": q_kml_datasets,
+    "q_warc_pages": q_warc_pages,
     "q_getelev": q_getelev,
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
@@ -2996,5 +3025,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape", "q_datasets_json")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape", "q_datasets_json", "q_warc_pages")},
     }

@@ -272,6 +272,23 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def kat_warc_pages() -> pd.DataFrame:
+    """WARC fixture corpus (ISO 28500) -> response-record projection via
+    the scalar twin (gzip module + readline walk + char-walk html twin,
+    tests/warc_reference_impl.py) — independent of the engine's
+    binaryFile -> mapInPandas path and its Catalyst html chain."""
+    import warc_reference_impl as wref
+
+    rows = []
+    for p in sorted((Path(__file__).resolve().parent / "fixtures" / "sources" / "warc").iterdir()):
+        rows.extend(wref.response_rows(p.name, p.read_bytes()))
+    pdf = pd.DataFrame(rows)
+    pdf["record_idx"] = pdf["record_idx"].astype("int32")
+    pdf["http_status"] = pdf["http_status"].astype("int32")
+    pdf["n_bytes"] = pdf["n_bytes"].astype("int32")
+    return pdf
+
+
 def kat_datasets_json(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """S6 sink twin (round 7): DuckDB derives the per-dataset seed bboxes
     (the same SQL restatement the mesh KAT uses), the SHARED corpus
@@ -342,6 +359,7 @@ def _container_ids(sf_dir: str) -> list[int]:
 
 
 KAT_BUILDERS = {
+    "q_warc_pages": kat_warc_pages,
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
     "q_simhash": kat_simhash,

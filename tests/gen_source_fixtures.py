@@ -272,6 +272,61 @@ def _kml(d: Path) -> None:
     (d / "k4_nofolder.kml").write_text(k4)
 
 
+def _warc(d: Path) -> None:
+    """Round-7: WARC archives (ISO 28500, the Common-Crawl container) for
+    q_warc_pages. Two plain .warc + two per-record-gzip-member .warc.gz;
+    coverage: warcinfo/request records (filtered out), 200/404/301
+    statuses, text/html payloads exercising the html->text chain
+    (entities, script/style/comment blocks, case-folded tags),
+    application/json and image/png (binary, NULL text), an empty payload,
+    a no-reason-phrase status line, and second-resolution WARC-Dates."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from convert_spark.sources import warc as W
+
+    rng = random.Random(77)
+    ents = ["&amp;", "&lt;b&gt;", "&quot;q&quot;", "&#39;s&#39;", "&nbsp;", "&amp;nbsp;"]
+    for fi in range(4):
+        gz = fi >= 2
+        recs = [W.build_record("warcinfo", b"software: fixturegen\r\n", date="2026-02-01T00:00:00Z")]
+        for ri in range(5 + fi * 2):
+            url = f"https://www.site{(fi * 31 + ri * 7) % 23}.co.uk/p{ri}" + ("?q=1" if ri % 3 == 0 else "")
+            date = f"2026-02-0{fi + 1}T0{ri % 10}:1{ri % 6}:0{ri % 7}Z"
+            if ri % 4 == 3:
+                recs.append(W.build_record("request", b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", url=url, date=date))
+                continue
+            kind = (fi * 5 + ri) % 5
+            if kind == 0:
+                html = (
+                    f"<html><head><title>T{fi}.{ri} {rng.choice(ents)}</title>"
+                    f"<style>p{{x:{ri}}}</style></head><body><P a='b'>w{ri} "
+                    f"{rng.choice(ents)}</P><script>if({ri}<9){{a=1;}}</script>"
+                    f"<!-- c{ri} <i>h</i> -->tail{ri}\n\t end</body></html>"
+                ).encode()
+                block = W.build_http_response(html, 200, "text/html; charset=utf-8")
+            elif kind == 1:
+                block = W.build_http_response(
+                    f"<body>plain {ri} {rng.choice(ents)} <br/>line</body>".encode(), 200, "text/html"
+                )
+            elif kind == 2:
+                block = W.build_http_response(
+                    json.dumps({"k": ri, "f": fi}).encode(), 200, "application/json"
+                )
+            elif kind == 3:
+                block = W.build_http_response(bytes([rng.randrange(256) for _ in range(48)]), 200, "image/png")
+            else:
+                status = 404 if ri % 2 else 301
+                block = W.build_http_response(b"" if ri % 2 else b"<a href='x'>moved</a>", status, "text/html")
+            recs.append(W.build_record("response", block, url=url, date=date))
+        # one response whose status line has no reason phrase (valid per spec)
+        if fi == 1:
+            blk = b"HTTP/1.1 204\r\nContent-Type: text/html\r\n\r\n"
+            recs.append(W.build_record("response", blk, url="https://e.com/nc", date="2026-02-02T09:00:00Z"))
+        name = f"cc-{fi:03d}.warc" + (".gz" if gz else "")
+        (d / name).write_bytes(W.build_warc(recs, gzip_members=gz))
+
+
 def main() -> None:
     for name, fn in (
         ("csv_xy", _csv_xy),
@@ -279,6 +334,7 @@ def main() -> None:
         ("geojson", _geojson),
         ("gpx", _gpx),
         ("kml", _kml),
+        ("warc", _warc),
     ):
         d = OUT / name
         d.mkdir(parents=True, exist_ok=True)

@@ -1153,21 +1153,17 @@ from documents
 """
 
 
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features: punct/stopword ratios, mean word length, and the
-    COMPOSITE [0,1] score (built-in expressions; mirrors
-    kernels.textkit.quality_features' weighted-clip formula — now
-    oracle-checked end to end, not just the individual ratios)."""
-    _load(spark, sf_dir, "documents")
-    d = spark.table("documents")
+def _quality_cols(text_col: str = "text") -> dict[str, F.Column]:
+    """The quality-feature expressions (shared by q_quality and the
+    composed filter pipeline so both stay definitionally identical)."""
     stop = "the,a,an,and,or,of,to,in,is,are,was,were,be,been,it,this,that,for,on,with,as,at,by"
-    words = F.split(F.col("text"), " ")
+    words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(*stop.split(","))))
-    n_punct = F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)"))
+    n_punct = F.size(F.expr(rf"regexp_extract_all({text_col}, '[^\\w\\s]', 0)"))
     total_wlen = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
     safe_w = F.greatest(n_words, F.lit(1)).cast("double")
-    safe_c = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    safe_c = F.greatest(F.length(text_col), F.lit(1)).cast("double")
     punct_ratio = n_punct / safe_c
     stop_ratio = n_stop / safe_w
     mwl = total_wlen / safe_w
@@ -1180,6 +1176,26 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + clip01(stop_ratio / F.lit(0.4)) * 0.3
         + clip01(F.lit(1.0) - punct_ratio / F.lit(0.2)) * 0.2
         + clip01(F.lit(1.0) - F.abs(mwl - F.lit(5.0)) / F.lit(5.0)) * 0.1
+    )
+    return {
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mwl": mwl,
+        "score": score,
+    }
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: punct/stopword ratios, mean word length, and the
+    COMPOSITE [0,1] score (built-in expressions; mirrors
+    kernels.textkit.quality_features' weighted-clip formula — now
+    oracle-checked end to end, not just the individual ratios)."""
+    _load(spark, sf_dir, "documents")
+    d = spark.table("documents")
+    q = _quality_cols("text")
+    n_words, punct_ratio, stop_ratio, score = (
+        q["n_words"], q["punct_ratio"], q["stop_ratio"], q["score"]
     )
     # half-away floor form, NOT F.round: the composite lands exactly on
     # x.xxxx5 for some docs (clip terms are exact binary fractions), where
@@ -1218,6 +1234,94 @@ from f
         " + least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0) * 0.1)",
         4,
     )
+)
+
+
+# Filter-pipeline corpus: documents plus deterministic rule-triggering
+# variants, assembled with PORTABLE SQL (runs verbatim in both engines):
+# rid%10==1 exact copies, ==2 too-short, ==3 punctuation-stuffed prefixes,
+# ==4 stopword-free junk. The constant-text variants are mutual dups too —
+# exercising reason precedence (canonical copy falls through to the next
+# rule, the rest flag exact_dup).
+_FILTER_CORPUS_SQL = """
+select doc_id * 10 as rid, text from documents
+union all select doc_id * 10 + 1 as rid, text from documents where doc_id % 5 = 0
+union all select doc_id * 10 + 2 as rid, 'a bb ccc' as text from documents where doc_id % 7 = 0
+union all select doc_id * 10 + 3 as rid,
+  concat(substring(text, 1, 40), ' !!! ??? ;;; ### %%% @@@') as text
+  from documents where doc_id % 11 = 0
+union all select doc_id * 10 + 4 as rid,
+  'zzzz xxxx qqqq wwww kkkk yyyy vvvv gggg hhhh jjjj nnnn pppp' as text
+  from documents where doc_id % 13 = 0
+"""
+
+FILTER_RULES = (
+    ("exact_dup", "non-canonical exact copy (md5, min-rid keeps)"),
+    ("too_short", "n_words < 10"),
+    ("too_punct", "punct_ratio > 0.15"),
+    ("low_stopwords", "stop_ratio < 0.05"),
+)
+
+
+def q_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data filter composition (C4/Gopher-shaped): exact-dup ->
+    length -> punctuation -> stopword rules applied IN ORDER, emitting
+    keep + first-failing reason + the composite quality score per doc.
+    One window over the content hash + one Project — at 100 TB this is
+    a single shuffle on md5(text), and the rule expressions ride the
+    same stage. Oracle: DuckDB restates corpus, window and rule chain."""
+    _load(spark, sf_dir, "documents")
+    d = spark.sql(_FILTER_CORPUS_SQL)
+    q = _quality_cols("text")
+    canon = F.min("rid").over(Window.partitionBy(F.md5(F.col("text"))))
+    reason = (
+        F.when(F.col("rid") != canon, "exact_dup")
+        .when(q["n_words"] < 10, "too_short")
+        .when(q["punct_ratio"] > 0.15, "too_punct")
+        .when(q["stop_ratio"] < 0.05, "low_stopwords")
+    )
+    return d.select(
+        "rid",
+        reason.alias("reason"),
+        reason.isNull().cast("int").alias("keep"),
+        q["n_words"].alias("n_words"),
+        exprs.round_half_away(q["score"], 4).alias("quality"),
+    )
+
+
+_SQL_FILTER_PIPELINE = """
+with corpus as ({corpus}),
+f as (
+  select rid, text,
+         min(rid) over (partition by md5(text)) as canon,
+         len(string_split(text, ' ')) as n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) as punct_ratio,
+         len(list_filter(string_split(text, ' '), w -> lower(w) in
+           ('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by')))
+           / greatest(len(string_split(text, ' ')), 1) as stop_ratio,
+         list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+           / greatest(len(string_split(text, ' ')), 1) as mwl
+  from corpus
+),
+r as (
+  select rid, n_words,
+         case when rid <> canon then 'exact_dup'
+              when n_words < 10 then 'too_short'
+              when punct_ratio > 0.15 then 'too_punct'
+              when stop_ratio < 0.05 then 'low_stopwords' end as reason,
+         {score_round} as quality
+  from f
+)
+select rid, reason, cast(reason is null as int) as keep, n_words, quality from r
+""".format(
+    corpus=_FILTER_CORPUS_SQL,
+    score_round=exprs.sql_round_half_away(
+        "(least(greatest(n_words / 50.0, 0.0), 1.0) * 0.4"
+        " + least(greatest(stop_ratio / 0.4, 0.0), 1.0) * 0.3"
+        " + least(greatest(1.0 - punct_ratio / 0.2, 0.0), 1.0) * 0.2"
+        " + least(greatest(1.0 - abs(mwl - 5.0) / 5.0, 0.0), 1.0) * 0.1)",
+        4,
+    ),
 )
 
 
@@ -2922,6 +3026,7 @@ QUERIES = {
     "q_window_hourly": q_window_hourly,
     "q_token_counts": q_token_counts,
     "q_quality": q_quality,
+    "q_filter_pipeline": q_filter_pipeline,
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
@@ -2994,6 +3099,7 @@ def oracles() -> dict[str, str]:
         "q_window_hourly": SQL_WINDOW_HOURLY,
         "q_token_counts": SQL_TOKEN_COUNTS,
         "q_quality": SQL_QUALITY,
+        "q_filter_pipeline": _SQL_FILTER_PIPELINE,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,
         "q_langid": _sql_langid(),

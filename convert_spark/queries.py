@@ -363,6 +363,38 @@ from parsed group by reg_domain order by reg_domain
 """
 
 
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (crawl-politeness / per-domain training
+    caps): keep the top-5 pages per registered domain ranked by extracted
+    text length (n_words desc, page_id tiebreak). Composes the two other
+    webtext stages — with_url_parts and the html->text chain — joined on
+    page_id, then ONE window shuffle on reg_domain. The heavy-hitter
+    domain is exactly the skewed key the salted-join machinery handles at
+    100 TB; at quota k the window needs only a per-partition top-k
+    (Spark's WindowExec + rank filter prunes eagerly with AQE)."""
+    parsed = q_url_parse(spark, sf_dir).select("page_id", "reg_domain")
+    texts = q_html_text(spark, sf_dir).select("page_id", "n_words")
+    w = Window.partitionBy("reg_domain").orderBy(F.desc("n_words"), F.asc("page_id"))
+    return (
+        parsed.join(texts, "page_id")
+        .withColumn("qrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("qrank") <= 5)
+        .select("reg_domain", "qrank", "page_id", "n_words")
+    )
+
+
+def _sql_domain_quota() -> str:
+    return f"""
+with u as ({_sql_url_parse()}), t as ({_sql_html_text()}),
+j as (
+  select u.reg_domain, u.page_id, t.n_words,
+         row_number() over (partition by u.reg_domain order by t.n_words desc, u.page_id) as qrank
+  from u join t on u.page_id = t.page_id
+)
+select reg_domain, cast(qrank as int) as qrank, page_id, n_words from j where qrank <= 5
+"""
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -3005,6 +3037,7 @@ QUERIES = {
     "q_html_text": q_html_text,
     "q_url_parse": q_url_parse,
     "q_domain_rollup": q_domain_rollup,
+    "q_domain_quota": q_domain_quota,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -3079,6 +3112,7 @@ def oracles() -> dict[str, str]:
         "q_html_text": _sql_html_text(),
         "q_url_parse": _sql_url_parse(),
         "q_domain_rollup": _sql_domain_rollup(),
+        "q_domain_quota": _sql_domain_quota(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

@@ -38,6 +38,15 @@ class TestUrlParts:
         plan = urls.with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "Exchange" not in plan, plan
 
+    def test_quota_window_plan(self, spark):
+        """Per-domain quota: no Python eval; the rank filter sits directly
+        on the WindowExec (WindowGroupLimit pushes the top-k down)."""
+        from convert_spark import queries as Q
+
+        plan = Q.q_domain_quota(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+
     def test_rollup_single_shuffle(self, spark):
         """The domain rollup must be one shuffle: partial_count(distinct)
         expands to two aggregate passes but only one Exchange on the

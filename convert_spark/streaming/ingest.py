@@ -108,7 +108,7 @@ def foreach_batch_pipeline(pages: DataFrame, out_dir: str, zoom: int = 10):
     return pages.writeStream.foreachBatch(handle)
 
 
-def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10):
+def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10, metrics: bool = True):
     """Streaming maintenance of the per-tile dataset table (the daily-crawl
     shape, continuously): each micro-batch of new pages runs the SAME batch
     stages (extract -> normalize -> tile) and folds into the previous
@@ -122,21 +122,49 @@ def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10):
     (commit-last). A crash between the two leaves the pointer at E-1, so
     the replayed epoch re-reads the same previous state, overwrites vE and
     re-commits — same result. Prior versions stay until vacuumed, which
-    also gives snapshot reads of any epoch."""
+    also gives snapshot reads of any epoch.
+
+    ``metrics=True`` (default) additionally commits one snapshot record
+    per epoch through plans.snapshots.SnapshotLog — input rows, wall
+    seconds, rows/sec, tile count, the input-version lineage and the
+    per-file manifest of what the epoch wrote (the north_rule
+    "per-partition lineage + metrics" surface, continuous edition)."""
+    import time
     from pathlib import Path
 
-    def _latest(spark: SparkSession):
+    from ..plans.snapshots import SnapshotLog
+
+    def _latest_version() -> str | None:
         ptr = Path(state_dir) / "_LATEST"
-        if not ptr.exists():
-            return None
-        return spark.read.parquet(f"{state_dir}/v{ptr.read_text().strip()}")
+        return ptr.read_text().strip() if ptr.exists() else None
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        n_in = batch_df.count()
         mentions = extract.extract_mentions(batch_df)
         tiled = tiles.with_tile(extract.normalize_points(mentions), zoom)
-        prev = _latest(batch_df.sparkSession)
+        prev_v = _latest_version()
+        prev = None if prev_v is None else batch_df.sparkSession.read.parquet(f"{state_dir}/v{prev_v}")
         out = tiles.tile_datasets(tiled) if prev is None else tiles.merge_tile_datasets(prev, tiled)
         out.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id}")
         (Path(state_dir) / "_LATEST").write_text(str(epoch_id))
+        if metrics:
+            wall = time.time() - t0
+            files = [
+                {"path": p.name, "bytes": p.stat().st_size}
+                for p in sorted(Path(f"{state_dir}/v{epoch_id}").glob("part-*"))
+            ]
+            n_tiles = batch_df.sparkSession.read.parquet(f"{state_dir}/v{epoch_id}").count()
+            SnapshotLog(f"{state_dir}/_log").commit(
+                f"epoch-{epoch_id}",
+                {
+                    "rows_in": n_in,
+                    "n_tiles": n_tiles,
+                    "wall_s": round(wall, 3),
+                    "rows_per_s": round(n_in / wall, 1) if wall > 0 else None,
+                    "lineage": ["pages-stream"] + ([f"v{prev_v}"] if prev_v is not None else []),
+                    "manifest": files,
+                },
+            )
 
     return pages.writeStream.option("checkpointLocation", f"{state_dir}/_chk").foreachBatch(handle)

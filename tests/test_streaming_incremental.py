@@ -30,6 +30,21 @@ class TestIncrementalStream:
         latest = (Path(state) / "_LATEST").read_text().strip()
         assert f"v{latest}" == versions[-1]
 
+        # per-epoch lineage + metrics snapshots (north_rule surface)
+        import json
+
+        snaps = [
+            json.loads(p.read_text())
+            for p in sorted(Path(state).glob("_log/_snapshots/snapshot-*.json"))
+        ]
+        assert len(snaps) == len(versions)
+        for s in snaps:
+            assert s["rows_in"] >= 0 and s["n_tiles"] > 0 and s["wall_s"] > 0
+            assert s["manifest"] and all(f["bytes"] > 0 for f in s["manifest"])
+        assert snaps[0]["lineage"] == ["pages-stream"]
+        assert snaps[-1]["lineage"][-1].startswith("v")  # chained to prior epoch
+        assert [s["parent_id"] for s in snaps] == [None] + [s["snapshot_id"] for s in snaps[:-1]]
+
         got = (
             spark.read.parquet(f"{state}/v{latest}")
             .orderBy("cell_id")

@@ -1357,6 +1357,78 @@ select rid, reason, cast(reason is null as int) as keep, n_words, quality from r
 )
 
 
+# Paragraph corpus: every doc gets a unique lead/tail paragraph sliced
+# from its own text plus SHARED boilerplate paragraphs (a global one on
+# every doc, a cohort one per doc_id%3) — the CCNet shape where repeated
+# boilerplate dominates cross-doc duplication. chr(10) twice is the
+# paragraph separator, assembled portably in both engines.
+_PARA_CORPUS_SQL = """
+select doc_id,
+  substring(text, 1, 60)
+  || chr(10) || chr(10) || 'subscribe to our newsletter for updates'
+  || chr(10) || chr(10) || 'cohort boilerplate ' || cast(doc_id % 3 as {str_t})
+  || chr(10) || chr(10) || substring(text, 31, 60) as text
+from documents
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (CCNet-style boilerplate removal):
+    split docs on blank lines, keep only the GLOBAL first occurrence of
+    each paragraph (ordered by doc_id, then position), reconstruct each
+    doc from its surviving paragraphs in order. One shuffle on the
+    paragraph hash (row_number window) + one on doc_id (rebuild) — at
+    100 TB both key on high-cardinality hashes; the boilerplate hash is
+    the hot key and rides the same skew machinery as hot tiles. Oracle:
+    DuckDB restates split/unnest/window/string_agg."""
+    _load(spark, sf_dir, "documents")
+    d = spark.sql(_PARA_CORPUS_SQL.format(str_t="string"))
+    paras = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n\n")).alias("idx", "para")
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))), lambda s: s["para"]
+            ),
+            "\n\n",
+        ).alias("text_out"),
+    )
+    base = d.select("doc_id", F.size(F.split(F.col("text"), "\n\n")).cast("int").alias("n_in"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_in",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_out", F.lit("")).alias("text_out"),
+    )
+
+
+_SQL_PARAGRAPH_DEDUP = f"""
+with corpus as ({_PARA_CORPUS_SQL.format(str_t="varchar")}),
+paras as (
+  select doc_id, cast(i - 1 as int) as idx, ps[i] as para
+  from (select doc_id, string_split(text, chr(10) || chr(10)) as ps from corpus),
+       unnest(generate_series(1, len(ps))) as t(i)
+),
+kept as (
+  select doc_id, idx, para,
+         row_number() over (partition by md5(para) order by doc_id, idx) as rn
+  from paras
+),
+rebuilt as (
+  select doc_id, cast(count(*) as int) as n_kept,
+         string_agg(para, chr(10) || chr(10) order by idx) as text_out
+  from kept where rn = 1 group by doc_id
+)
+select c.doc_id, cast(len(string_split(c.text, chr(10) || chr(10))) as int) as n_in,
+       coalesce(r.n_kept, 0) as n_kept, coalesce(r.text_out, '') as text_out
+from corpus c left join rebuilt r on c.doc_id = r.doc_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 content hash -> cluster size + representative."""
     _load(spark, sf_dir, "documents")
@@ -3061,6 +3133,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_filter_pipeline": q_filter_pipeline,
     "q_dedup_exact": q_dedup_exact,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_lsh": q_minhash_lsh,
     "q_simhash": q_simhash,
@@ -3135,6 +3208,7 @@ def oracles() -> dict[str, str]:
         "q_quality": SQL_QUALITY,
         "q_filter_pipeline": _SQL_FILTER_PIPELINE,
         "q_dedup_exact": SQL_DEDUP_EXACT,
+        "q_paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,
         "q_langid": _sql_langid(),
         "q_ann_cosine": SQL_ANN_COSINE,

@@ -272,11 +272,14 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
-def kat_warc_pages() -> pd.DataFrame:
+def kat_warc_pages(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """WARC fixture corpus (ISO 28500) -> response-record projection via
     the scalar twin (gzip module + readline walk + char-walk html twin,
     tests/warc_reference_impl.py) — independent of the engine's
-    binaryFile -> mapInPandas path and its Catalyst html chain."""
+    binaryFile -> mapInPandas path and its Catalyst html chain.
+    ``sf_dir`` is accepted for the cross-SF sweep's uniform call shape
+    and ignored: the corpus is the committed fixture dir, SF-independent
+    (the sweep still exercises engine==twin at each invocation)."""
     import warc_reference_impl as wref
 
     rows = []

@@ -31,3 +31,27 @@ class TestFilterPipeline:
         plan = Q.q_filter_pipeline(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestParagraphDedup:
+    def test_boilerplate_kept_once_and_doc_reconstruction(self, spark):
+        rows = {r["doc_id"]: r for r in Q.q_paragraph_dedup(spark, SF).collect()}
+        texts = [r["text_out"] for r in rows.values()]
+        boiler = "subscribe to our newsletter for updates"
+        assert sum(t.count(boiler) for t in texts) == 1  # global first occurrence only
+        # cohort boilerplate: one survivor per doc_id%3 class
+        for c in range(3):
+            assert sum(t.count(f"cohort boilerplate {c}") for t in texts) == 1
+        # reconstruction consistency (a doc CAN lose all paragraphs when
+        # even its text slices duplicate earlier docs — happens at
+        # sf0.001 where prefixes repeat)
+        for r in rows.values():
+            assert r["n_in"] == 4 and 0 <= r["n_kept"] <= 4
+            assert (r["n_kept"] == 0) == (r["text_out"] == "")
+        # the globally-first doc keeps everything
+        first = rows[min(rows)]
+        assert first["n_kept"] == 4
+
+    def test_no_python_eval(self, spark):
+        plan = Q.q_paragraph_dedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan

@@ -88,3 +88,85 @@ def sql_url_parts(url: str) -> dict[str, str]:
         ),
         "has_query": f"cast(regexp_extract({url}, '{URL_RE}', 6) <> '' as int)",
     }
+
+
+# --- hyperlink extraction + resolution (link-graph primitive) ---------------
+
+# double-quoted href values only (the synthesized corpora and the pin
+# tests document the limitation; single-quoted/bare attributes are rare
+# in modern markup and would need a second alternation on both engines)
+HREF_RE = 'href="([^"]*)"'
+
+
+def resolve_link(scheme: F.Column, host: F.Column, href: F.Column) -> F.Column:
+    """Resolve an href against its page's (scheme, host) with the naive
+    public rule set: absolute http(s) passes through; '/path' is
+    host-absolute; anything else is appended under '/'; '' href or a
+    hostless base resolves to '' (unresolvable). No dot-segment merge
+    (RFC 3986 5.2.4) — documented out of scope."""
+    absolute = href.startswith("http://") | href.startswith("https://")
+    rooted = F.concat(scheme, F.lit("://"), host, href)
+    relative = F.concat(scheme, F.lit("://"), host, F.lit("/"), href)
+    return (
+        F.when(href == "", "")
+        .when(absolute, href)
+        .when(host == "", "")
+        .when(href.startswith("/"), rooted)
+        .otherwise(relative)
+    )
+
+
+def extract_links(df: DataFrame, html_col: str = "html", url_col: str = "url") -> DataFrame:
+    """One row per double-quoted href in the page markup: (…, link_idx,
+    href, resolved, dst_host, dst_reg_domain). Pure Catalyst —
+    regexp_extract_all + posexplode + the same parse expressions as
+    with_url_parts applied to the resolved target; composes into the
+    scan stage at 100 TB, and the (src_domain, dst_domain) rollup
+    downstream is one shuffle."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, URL_RE, 2))
+    hostport = F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, "")
+    host = F.lower(F.regexp_replace(hostport, PORT_RE, ""))
+    exploded = df.select(
+        "*",
+        F.posexplode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))).alias(
+            "link_idx", "href"
+        ),
+    )
+    resolved = resolve_link(scheme, host, F.col("href"))
+    dst_hostport = F.regexp_replace(F.regexp_extract(resolved, URL_RE, 4), USERINFO_RE, "")
+    dst_host = F.lower(F.regexp_replace(dst_hostport, PORT_RE, ""))
+    rd3 = F.regexp_extract(dst_host, REG3_RE, 1)
+    rd2 = F.regexp_extract(dst_host, REG2_RE, 1)
+    return (
+        exploded.withColumn("resolved", resolved)
+        .withColumn("dst_host", dst_host)
+        .withColumn(
+            "dst_reg_domain", F.when(rd3 != "", rd3).when(rd2 != "", rd2).otherwise(dst_host)
+        )
+    )
+
+
+def sql_extract_links(pages_cte: str) -> str:
+    """DuckDB restatement over a CTE named ``pages(page_id, url, html)``:
+    same HREF_RE, same resolution rule, same dst-domain derivation."""
+    p = sql_url_parts("url")
+    resolved = (
+        "case when href = '' then '' "
+        "when href like 'http://%' or href like 'https://%' then href "
+        f"when {p['host']} = '' then '' "
+        f"when href like '/%' then {p['scheme']} || '://' || {p['host']} || href "
+        f"else {p['scheme']} || '://' || {p['host']} || '/' || href end"
+    )
+    d = sql_url_parts("resolved")
+    return f"""
+x as (
+  select page_id, url, cast(i - 1 as int) as link_idx, hs[i] as href
+  from (select page_id, url, regexp_extract_all(html, '{HREF_RE}', 1) as hs from {pages_cte}),
+       unnest(generate_series(1, len(hs))) as t(i)
+),
+r as (select page_id, link_idx, href, {resolved} as resolved from x),
+f as (select page_id, link_idx, href, resolved,
+        {d['host']} as dst_host, {d['reg_domain']} as dst_reg_domain
+      from r)
+"""

@@ -395,6 +395,52 @@ select reg_domain, cast(qrank as int) as qrank, page_id, n_words from j where qr
 """
 
 
+# Link corpus: the _urls_sql pages get markup with 0-3 double-quoted
+# hrefs (absolute external, host-absolute '/rel', relative 'sub/...',
+# an empty href, and a single-quoted decoy the grammar must IGNORE);
+# the k%29 relative-reference pages exercise hostless-base resolution.
+def _pages_links_sql(str_t: str) -> str:
+    def n(expr: str) -> str:
+        return f"cast({expr} as {str_t})"
+
+    k = "page_id"
+    a_ext = f"case when {k} % 2 = 0 then '<a href=\"https://ext' || {n(f'{k} % 7')} || '.com/x\">e</a>' else '' end"
+    a_root = f"case when {k} % 3 = 0 then '<a href=\"/rel/' || {n(f'{k} % 5')} || '\">r</a>' else '' end"
+    a_rel = f"case when {k} % 5 = 0 then '<a href=\"sub/page' || {n(f'{k} % 4')} || '\">s</a>' else '' end"
+    a_empty = f"case when {k} % 13 = 0 then '<a href=\"\">x</a>' else '' end"
+    a_decoy = f"case when {k} % 7 = 0 then '<a href=' || chr(39) || 'decoy' || chr(39) || '>d</a>' else '' end"
+    return (
+        f"select page_id, url, '<html><body>' || {a_ext} || {a_root} || {a_decoy} "
+        f"|| {a_rel} || {a_empty} || '</body></html>' as html "
+        f"from ({_urls_sql(str_t)})"
+    )
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph primitive (crawl frontier / link analysis): per-page
+    href extraction + naive resolution against the page's scheme/host +
+    destination registered domain — all Catalyst expressions inside the
+    explode stage (functions/urls.extract_links). Oracle restates the
+    grammar, resolution CASE and domain derivation in DuckDB."""
+    from .functions import urls
+
+    _load(spark, sf_dir, "orders")
+    pages = spark.sql(_pages_links_sql("string"))
+    return urls.extract_links(pages).select(
+        "page_id", "link_idx", "href", "resolved", "dst_host", "dst_reg_domain"
+    )
+
+
+def _sql_link_extract() -> str:
+    from .functions.urls import sql_extract_links
+
+    return f"""
+with pages as ({_pages_links_sql('varchar')}),
+{sql_extract_links('pages')}
+select page_id, link_idx, href, resolved, dst_host, dst_reg_domain from f
+"""
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -3110,6 +3156,7 @@ QUERIES = {
     "q_url_parse": q_url_parse,
     "q_domain_rollup": q_domain_rollup,
     "q_domain_quota": q_domain_quota,
+    "q_link_extract": q_link_extract,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -3186,6 +3233,7 @@ def oracles() -> dict[str, str]:
         "q_url_parse": _sql_url_parse(),
         "q_domain_rollup": _sql_domain_rollup(),
         "q_domain_quota": _sql_domain_quota(),
+        "q_link_extract": _sql_link_extract(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

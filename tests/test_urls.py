@@ -47,6 +47,34 @@ class TestUrlParts:
         assert "BatchEvalPython" not in plan, plan
         assert "WindowGroupLimit" in plan, plan
 
+    def test_link_resolution_pins(self, spark):
+        cases = [
+            # (url, html, expected [(href, resolved, dst_reg_domain)])
+            ("https://a.b.com/p", '<a href="https://x.co.uk/q">1</a>', [("https://x.co.uk/q", "https://x.co.uk/q", "x.co.uk")]),
+            ("https://a.b.com/p", '<a href="/root">1</a>', [("/root", "https://a.b.com/root", "b.com")]),
+            ("https://a.b.com/p", '<a href="sub/x">1</a>', [("sub/x", "https://a.b.com/sub/x", "b.com")]),
+            ("https://a.b.com/p", '<a href="">1</a>', [("", "", "")]),
+            ("docs/rel", '<a href="sub/x">1</a>', [("sub/x", "", "")]),  # hostless base
+            ("docs/rel", '<a href="http://e.com/x">1</a>', [("http://e.com/x", "http://e.com/x", "e.com")]),
+            ("https://a.com/p", "<a href='decoy'>1</a>", []),  # single-quoted: ignored
+        ]
+        df = spark.createDataFrame(
+            [(i, u, h) for i, (u, h, _) in enumerate(cases)], "page_id int, url string, html string"
+        )
+        out = urls.extract_links(df).orderBy("page_id", "link_idx").collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["page_id"], []).append((r["href"], r["resolved"], r["dst_reg_domain"]))
+        for i, (_, _, want) in enumerate(cases):
+            assert got.get(i, []) == want, (i, cases[i], got.get(i))
+
+    def test_link_extract_plan(self, spark):
+        from convert_spark import queries as Q
+
+        plan = Q.q_link_extract(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan  # extraction composes into the scan stage
+
     def test_rollup_single_shuffle(self, spark):
         """The domain rollup must be one shuffle: partial_count(distinct)
         expands to two aggregate passes but only one Exchange on the

@@ -1,0 +1,86 @@
+"""Link-graph analysis: deterministic fixed-point PageRank.
+
+Classic damped PageRank (Brin & Page 1998) over a weighted directed edge
+list, computed in INTEGER fixed-point so the result is bit-identical
+across engines, partitionings and summation orders — floating-point
+PageRank is not hash-gateable because 8 iterations of reordered double
+sums drift ULPs. Spec (all ops bigint, ``div`` = truncating integer
+division; every quantity non-negative so truncation == floor):
+
+    N        = |distinct nodes|
+    r_0(v)   = SCALE div N
+    outw(s)  = sum of edge weights leaving s
+    contrib_t(v) = sum over in-edges (s,v,w) of (r_t(s) * w) div outw(s)
+                   -- floor PER EDGE, so the sum is order-independent
+    dang_t   = sum of r_t(s) over sinks (no out-edges)
+    r_{t+1}(v) = (SCALE*(den-num)) div den div N
+                 + (num * (contrib_t(v) + dang_t div N)) div den
+
+with num/den = 85/100 the usual damping. Mass is conserved up to the
+deterministic floor losses. Each iteration is one join + one groupBy
+shuffle; the per-iteration driver traffic is a single scalar (the
+dangling mass — same bounded-collect shape as the CC convergence
+fingerprint, components.py:85). Lineage is truncated per iteration with
+an eager localCheckpoint exactly like the CC loop.
+
+Overflow bounds: r <= SCALE = 1e12, weights < 1e6 -> r*w < 1e18 < 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 8,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """-> (d, r): node id and fixed-point rank after ``iters`` rounds."""
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("d"))
+        .unionByName(e.select(F.col("dst").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e_o = e.join(outw, "src").localCheckpoint(eager=True)  # (src, dst, w, ow)
+    sinks = nodes.join(outw, nodes["d"] == outw["src"], "left_anti").select("d")
+    sinks = sinks.localCheckpoint(eager=True)
+    base = (SCALE * (damp_den - damp_num)) // damp_den // n
+    r = nodes.select("d", F.lit(SCALE // n).cast("long").alias("r"))
+    for _ in range(iters):
+        dang = sinks.join(r, "d").agg(F.coalesce(F.sum("r"), F.lit(0))).first()[0]
+        dang_share = int(dang) // n
+        contrib = (
+            e_o.join(r, e_o["src"] == r["d"])
+            .select(F.col("dst"), F.expr("(r * w) div ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            nodes.join(contrib, nodes["d"] == contrib["dst"], "left")
+            .select(
+                "d",
+                F.expr(
+                    f"{base}L + (({damp_num}L * (coalesce(contrib, 0L) + {dang_share}L)) div {damp_den}L)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -441,6 +441,87 @@ select page_id, link_idx, href, resolved, dst_host, dst_reg_domain from f
 """
 
 
+def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src reg_domain, dst reg_domain, w=link count) from the link
+    corpus — unresolvable links and hostless source pages excluded."""
+    parsed = q_url_parse(spark, sf_dir).select("page_id", "reg_domain")
+    links = q_link_extract(spark, sf_dir).select("page_id", "resolved", "dst_reg_domain")
+    return (
+        links.join(parsed, "page_id")
+        .filter((F.col("resolved") != "") & (F.col("reg_domain") != ""))
+        .groupBy(F.col("reg_domain").alias("src"), F.col("dst_reg_domain").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative link analysis on the gate: 8 rounds of deterministic
+    INTEGER fixed-point PageRank (operators/graph.py — per-edge floor
+    division makes every sum order-independent, so the bigint ranks are
+    bit-identical across engines and partitionings; float PageRank is
+    not hash-gateable). Oracle: the identical recurrence unrolled as 8
+    generated CTE stages in DuckDB, including the per-round dangling-
+    mass scalar."""
+    from .operators.graph import pagerank_integer
+
+    return pagerank_integer(_domain_edges(spark, sf_dir), iters=8).select(
+        "d", F.col("r").cast("long").alias("r")
+    )
+
+
+def _sql_domain_pagerank(iters: int = 8) -> str:
+    from .functions.urls import sql_extract_links
+    from .operators.graph import SCALE
+
+    head = f"""
+with pages as ({_pages_links_sql('varchar')}),
+{sql_extract_links('pages')},
+u as ({_sql_url_parse()}),
+ed as (
+  select u.reg_domain as src, f.dst_reg_domain as dst, cast(count(*) as bigint) as w
+  from f join u on f.page_id = u.page_id
+  where f.resolved <> '' and u.reg_domain <> ''
+  group by 1, 2
+),
+nodes as (select distinct d from (select src as d from ed union select dst as d from ed)),
+meta as (select count(*) as n from nodes),
+outw as (select src, sum(w) as ow from ed group by src),
+r0 as (select d, {SCALE} // n as r from nodes, meta)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(
+            f""",
+d{k} as (
+  select coalesce(sum(r.r), 0) // (select n from meta) as ds
+  from r{p} r left join outw o on r.d = o.src where o.src is null
+),
+c{k} as (
+  select e.dst as d, sum((r.r * e.w) // o.ow) as contrib
+  from ed e join r{p} r on e.src = r.d join outw o on e.src = o.src
+  group by e.dst
+),
+r{k} as (
+  select nodes.d,
+         ({SCALE} * 15) // 100 // (select n from meta)
+         + (85 * (coalesce(c.contrib, 0) + (select ds from d{k}))) // 100 as r
+  from nodes left join c{k} c on nodes.d = c.d
+)"""
+        )
+    sql = head + "".join(steps) + f"\nselect d, cast(r as bigint) as r from r{iters}"
+    # force CTE materialization: DuckDB inlines multiply-referenced CTEs
+    # here, which re-evaluates the whole chain per reference — ~5x wall
+    # per added iteration (measured); MATERIALIZED makes it linear.
+    import re as _re
+
+    # (only the multiply-referenced CTEs; the single-use pages/x/r/f/u
+    # chain inlines fine, and materializing the outer 'pages' collides
+    # with _sql_url_parse's shadowing inner CTE of the same name)
+    return _re.sub(
+        r"\b(ed|nodes|meta|outw|[rdc]\d+) as \(", r"\1 as materialized (", sql
+    )
+
+
 def q_checkcoords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/F1: string->float with errors->0.0 (convert.go:557-564) and
     invalid-row drop. Coordinate strings derived from part; every 7th x is
@@ -3157,6 +3238,7 @@ QUERIES = {
     "q_domain_rollup": q_domain_rollup,
     "q_domain_quota": q_domain_quota,
     "q_link_extract": q_link_extract,
+    "q_domain_pagerank": q_domain_pagerank,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -3234,6 +3316,7 @@ def oracles() -> dict[str, str]:
         "q_domain_rollup": _sql_domain_rollup(),
         "q_domain_quota": _sql_domain_quota(),
         "q_link_extract": _sql_link_extract(),
+        "q_domain_pagerank": _sql_domain_pagerank(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

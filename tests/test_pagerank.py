@@ -1,0 +1,63 @@
+"""Integer fixed-point PageRank: scalar-reference agreement on a hand
+graph, partitioning invariance (the determinism claim), and sanity of
+the rank ordering. Cross-engine equality is the q_domain_pagerank gate
+row (8 unrolled CTE stages in DuckDB)."""
+
+from pyspark.sql import functions as F
+
+from convert_spark.operators.graph import SCALE, pagerank_integer
+
+
+def _scalar_pagerank(edges, iters=8, num=85, den=100):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: SCALE // n for v in nodes}
+    base = SCALE * (den - num) // den // n
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if v not in outw)
+        share = dang // n
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += (r[s] * w) // outw[s]
+        r = {v: base + (num * (contrib[v] + share)) // den for v in nodes}
+    return r
+
+
+EDGES = [
+    ("a", "b", 2), ("b", "a", 1), ("a", "c", 1), ("b", "c", 3),
+    ("c", "sink", 1), ("hub", "a", 5), ("hub", "b", 5), ("hub", "c", 5),
+    ("x", "x", 1),  # self-loop island
+]
+
+
+class TestPagerankInteger:
+    def test_matches_scalar_reference(self, spark):
+        df = spark.createDataFrame(EDGES, "src string, dst string, w long")
+        got = {r["d"]: r["r"] for r in pagerank_integer(df, iters=8).collect()}
+        want = _scalar_pagerank(EDGES, iters=8)
+        assert got == want
+        # structural sanity: c receives from 3 sources and forwards all
+        # of its mass to sink (its only out-edge), so sink > c; hub
+        # receives nothing beyond base + dangling share
+        assert got["sink"] > got["c"] > got["hub"] > 0
+
+    def test_partitioning_invariance(self, spark):
+        df1 = spark.createDataFrame(EDGES, "src string, dst string, w long").repartition(1)
+        df7 = spark.createDataFrame(EDGES, "src string, dst string, w long").repartition(7)
+        a = {r["d"]: r["r"] for r in pagerank_integer(df1, iters=5).collect()}
+        b = {r["d"]: r["r"] for r in pagerank_integer(df7, iters=5).collect()}
+        assert a == b
+
+    def test_mass_approximately_conserved(self, spark):
+        df = spark.createDataFrame(EDGES, "src string, dst string, w long")
+        total = pagerank_integer(df, iters=8).agg(F.sum("r")).first()[0]
+        n = 7
+        # floors only lose mass: within n units per div site per round
+        assert SCALE * 0.95 < total <= SCALE
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "src string, dst string, w long")
+        assert pagerank_integer(df, iters=3).count() == 0

@@ -170,3 +170,44 @@ f as (select page_id, link_idx, href, resolved,
         {d['host']} as dst_host, {d['reg_domain']} as dst_reg_domain
       from r)
 """
+
+
+# --- robots.txt politeness decisions (RFC 9309 core) ------------------------
+
+
+def apply_robots(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Crawl-politeness verdict per page against per-domain robots rules.
+
+    ``rules``: (reg_domain, rule_type in {'allow','disallow'},
+    path_prefix). RFC 9309 longest-match semantics, wildcard-free core
+    (no '*'/'$' — documented subset): among rules whose prefix starts
+    the page path, the LONGEST wins; at equal length 'allow' wins; no
+    matching rule -> allowed. Adds (allowed int, rule_type, rule_len).
+
+    Scale shape: rules are a per-domain dim table (robots files are
+    tiny) — Spark broadcasts it under the join threshold, so the
+    decision is a map-side join + one window keyed by page (pre-
+    partitioned by the join key; no extra shuffle of the page table
+    beyond the window)."""
+    from pyspark.sql.window import Window
+
+    r = rules.select(
+        F.col("reg_domain"),
+        F.col("rule_type"),
+        F.col("path_prefix"),
+        F.length("path_prefix").alias("rule_len"),
+    )
+    j = pages.join(r, "reg_domain", "left").withColumn(
+        "m",
+        F.col("path_prefix").isNotNull() & F.col("path").startswith(F.col("path_prefix")),
+    )
+    w = Window.partitionBy("page_id").orderBy(
+        F.desc("m"), F.desc("rule_len"), F.asc("rule_type"), F.asc("path_prefix")
+    )
+    top = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.select(
+        *[c for c in pages.columns],
+        F.when(F.col("m") & (F.col("rule_type") == "disallow"), 0).otherwise(1).alias("allowed"),
+        F.when(F.col("m"), F.col("rule_type")).alias("rule_type"),
+        F.when(F.col("m"), F.col("rule_len")).cast("int").alias("rule_len"),
+    )

@@ -441,6 +441,78 @@ select page_id, link_idx, href, resolved, dst_host, dst_reg_domain from f
 """
 
 
+def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots politeness on the gate (RFC 9309 longest-match core,
+    wildcard-free subset): per-domain allow/disallow prefix rules derived
+    deterministically from the domain string (ascii+length arithmetic —
+    portable), applied to every parsed page URL via urls.apply_robots
+    (broadcast dim join + one page-keyed window). Branches exercised:
+    blanket '/' disallow, longer allow overriding shorter disallow,
+    EXACT-length allow/disallow tie (allow wins), unmatched paths and
+    hostless pages (allowed, NULL rule)."""
+    from .functions import urls
+
+    pages = q_url_parse(spark, sf_dir).select("page_id", "reg_domain", "path")
+    doms = pages.filter(F.col("reg_domain") != "").select("reg_domain").distinct()
+    h = (F.ascii(F.substring("reg_domain", 5, 1)) + F.length("reg_domain")).alias("h")
+    hd = doms.select("reg_domain", h)
+
+    def rule(rtype: str, prefix: F.Column, cond=None):
+        out = hd.select(
+            "reg_domain", F.lit(rtype).alias("rule_type"), prefix.alias("path_prefix")
+        )
+        return out if cond is None else hd.filter(cond).select(
+            "reg_domain", F.lit(rtype).alias("rule_type"), prefix.alias("path_prefix")
+        )
+
+    p_main = F.concat(F.lit("/p"), (F.col("h") % 6).cast("string"))
+    rules = (
+        rule("disallow", p_main)
+        .unionByName(rule("allow", F.concat(p_main, F.lit("/q")), F.col("h") % 2 == 0))
+        .unionByName(rule("disallow", F.lit("/"), F.col("h") % 3 == 0))
+        .unionByName(
+            rule("allow", F.concat(F.lit("/p"), ((F.col("h") + 1) % 6).cast("string")), F.col("h") % 4 == 0)
+        )
+        .unionByName(rule("allow", p_main, F.col("h") % 5 == 0))  # exact tie: allow wins
+    )
+    return urls.apply_robots(pages, rules)
+
+
+def _sql_robots() -> str:
+    return f"""
+with u as ({_sql_url_parse()}),
+pages as (select page_id, reg_domain, path from u),
+hd as (
+  select reg_domain, ascii(substring(reg_domain, 5, 1)) + length(reg_domain) as h
+  from (select distinct reg_domain from pages where reg_domain <> '')
+),
+rules as (
+  select reg_domain, 'disallow' as rule_type, '/p' || cast(h % 6 as varchar) as path_prefix from hd
+  union all select reg_domain, 'allow', '/p' || cast(h % 6 as varchar) || '/q' from hd where h % 2 = 0
+  union all select reg_domain, 'disallow', '/' from hd where h % 3 = 0
+  union all select reg_domain, 'allow', '/p' || cast((h + 1) % 6 as varchar) from hd where h % 4 = 0
+  union all select reg_domain, 'allow', '/p' || cast(h % 6 as varchar) from hd where h % 5 = 0
+),
+j as (
+  select p.page_id, p.reg_domain, p.path, r.rule_type, r.path_prefix,
+         length(r.path_prefix) as rule_len,
+         r.path_prefix is not null and starts_with(p.path, r.path_prefix) as m
+  from pages p left join rules r on p.reg_domain = r.reg_domain
+),
+t as (
+  select *, row_number() over (
+    partition by page_id
+    order by m desc, rule_len desc, rule_type asc, path_prefix asc
+  ) as rn from j
+)
+select page_id, reg_domain, path,
+       cast(case when m and rule_type = 'disallow' then 0 else 1 end as int) as allowed,
+       case when m then rule_type end as rule_type,
+       cast(case when m then rule_len end as int) as rule_len
+from t where rn = 1
+"""
+
+
 def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src reg_domain, dst reg_domain, w=link count) from the link
     corpus — unresolvable links and hostless source pages excluded."""
@@ -3239,6 +3311,7 @@ QUERIES = {
     "q_domain_quota": q_domain_quota,
     "q_link_extract": q_link_extract,
     "q_domain_pagerank": q_domain_pagerank,
+    "q_robots": q_robots,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -3317,6 +3390,7 @@ def oracles() -> dict[str, str]:
         "q_domain_quota": _sql_domain_quota(),
         "q_link_extract": _sql_link_extract(),
         "q_domain_pagerank": _sql_domain_pagerank(),
+        "q_robots": _sql_robots(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

@@ -75,6 +75,50 @@ class TestUrlParts:
         assert "BatchEvalPython" not in plan, plan
         assert "Exchange" not in plan, plan  # extraction composes into the scan stage
 
+    def test_robots_semantics_pins(self, spark):
+        """RFC 9309 longest-match core: longest prefix wins, allow wins
+        exact-length ties, no match -> allowed, hostless -> allowed."""
+        pages = spark.createDataFrame(
+            [
+                (0, "d.com", "/p1/q2"),   # allow /p1/q (len 5) beats disallow /p1
+                (1, "d.com", "/p1"),      # only disallow /p1 matches
+                (2, "d.com", "/p9"),      # no match
+                (3, "d.com", ""),         # empty path: no match
+                (4, "e.com", "/p1"),      # exact tie allow vs disallow -> allow
+                (5, "f.com", "/x"),       # blanket '/' disallow
+                (6, "", "docs/p1"),       # hostless: no rules joined
+            ],
+            "page_id int, reg_domain string, path string",
+        )
+        rules = spark.createDataFrame(
+            [
+                ("d.com", "disallow", "/p1"),
+                ("d.com", "allow", "/p1/q"),
+                ("e.com", "disallow", "/p1"),
+                ("e.com", "allow", "/p1"),
+                ("f.com", "disallow", "/"),
+            ],
+            "reg_domain string, rule_type string, path_prefix string",
+        )
+        got = {r["page_id"]: (r["allowed"], r["rule_type"], r["rule_len"])
+               for r in urls.apply_robots(pages, rules).collect()}
+        assert got == {
+            0: (1, "allow", 5),
+            1: (0, "disallow", 3),
+            2: (1, None, None),
+            3: (1, None, None),
+            4: (1, "allow", 3),
+            5: (0, "disallow", 1),
+            6: (1, None, None),
+        }
+
+    def test_robots_broadcast_plan(self, spark):
+        from convert_spark import queries as Q
+
+        plan = Q.q_robots(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan  # rules dim is broadcast
+
     def test_rollup_single_shuffle(self, spark):
         """The domain rollup must be one shuffle: partial_count(distinct)
         expands to two aggregate passes but only one Exchange on the

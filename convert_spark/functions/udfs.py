@@ -110,3 +110,18 @@ def lsh_keys(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def lang_guess(text: pd.Series) -> pd.Series:
     return pd.Series(textkit.lang_scores(text)["lang"])
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (canonical composition) — the standard
+    pre-dedup/pre-hash text canonicalization for multilingual crawls
+    (the same page arrives NFC from one mirror and NFD from another;
+    without this, exact/paragraph dedup misses byte-different canonical
+    equals). Spark has no built-in; this is the vectorized Arrow path
+    (stdlib unicodedata = CPython's bundled UCD). The DuckDB oracle
+    uses utf8proc's nfc_normalize — two INDEPENDENT implementations of
+    UAX #15 agreeing on the gate corpus."""
+    import unicodedata
+
+    return text.map(lambda s: None if s is None else unicodedata.normalize("NFC", s))

@@ -441,6 +441,76 @@ select page_id, link_idx, href, resolved, dst_host, dst_reg_domain from f
 """
 
 
+# NFC corpus fragments (BMP-only so Spark's UTF-16 length == DuckDB's
+# codepoint length): composed/decomposed pairs, combining-mark reorder
+# cases, Hangul jamo vs syllable, Greek tonos, plain ASCII and empty.
+# The Spark side takes these as Python literals; the oracle rebuilds the
+# SAME values with DuckDB chr() generated from ord() — Spark SQL's chr()
+# is ASCII-mod-256 so a shared chr()-based SQL corpus is impossible.
+_NFC_FRAGMENTS = (
+    "é",          # e + combining acute -> é
+    "é",           # é already composed
+    "Å",          # A + ring -> Å
+    "Å",           # ANGSTROM SIGN -> normalizes to Å
+    "ṩ",    # dot-below + dot-above (canonical order)
+    "ṩ",    # same marks, wrong order -> reorder + compose
+    "ṩ",           # ṩ composed
+    "한",  # Hangul jamo -> syllable 한
+    "한",           # syllable 한 composed
+    "ά",     # Greek alpha + acute -> ά
+    "plain",
+    "",
+)
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization on the gate (UAX #15): the standard
+    pre-dedup text normalization for multilingual crawls, as a vectorized
+    Arrow UDF over CPython's unicodedata. The oracle runs DuckDB's
+    utf8proc-backed nfc_normalize on the identical corpus — two
+    independent UAX #15 implementations must agree byte-for-byte."""
+    _load(spark, sf_dir, "orders")
+    nfrag = len(_NFC_FRAGMENTS)
+    frags = F.array(*[F.lit(s) for s in _NFC_FRAGMENTS])
+    raw = F.concat(
+        F.element_at(frags, (F.col("o_orderkey") % nfrag + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(frags, (F.col("o_orderkey") * 7 % nfrag + 1).cast("int")),
+    )
+    d = spark.table("orders").select(F.col("o_orderkey").alias("page_id"), raw.alias("raw"))
+    out = d.withColumn("nfc", udfs.nfc_normalize(F.col("raw")))
+    return out.select(
+        "page_id",
+        "nfc",
+        (F.col("nfc") != F.col("raw")).cast("int").alias("changed"),
+        F.length("raw").cast("int").alias("n_raw"),
+        F.length("nfc").cast("int").alias("n_nfc"),
+    )
+
+
+def _sql_nfc_normalize() -> str:
+    def duck_lit(s: str) -> str:
+        return " || ".join(f"chr({ord(c)})" for c in s) if s else "''"
+
+    nfrag = len(_NFC_FRAGMENTS)
+    whens = " ".join(
+        f"when {i} then {duck_lit(s)}" for i, s in enumerate(_NFC_FRAGMENTS)
+    )
+    return f"""
+with f as (
+  select o_orderkey as page_id,
+         (case o_orderkey % {nfrag} {whens} end) || ' ' ||
+         (case (o_orderkey * 7) % {nfrag} {whens} end) as raw
+  from orders
+)
+select page_id, nfc_normalize(raw) as nfc,
+       cast(nfc_normalize(raw) <> raw as int) as changed,
+       cast(length(raw) as int) as n_raw,
+       cast(length(nfc_normalize(raw)) as int) as n_nfc
+from f
+"""
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots politeness on the gate (RFC 9309 longest-match core,
     wildcard-free subset): per-domain allow/disallow prefix rules derived
@@ -3312,6 +3382,7 @@ QUERIES = {
     "q_link_extract": q_link_extract,
     "q_domain_pagerank": q_domain_pagerank,
     "q_robots": q_robots,
+    "q_nfc_normalize": q_nfc_normalize,
     "q_checkcoords": q_checkcoords,
     "q_tile_assign": q_tile_assign,
     "q_tile_assign_deep": q_tile_assign_deep,
@@ -3391,6 +3462,7 @@ def oracles() -> dict[str, str]:
         "q_link_extract": _sql_link_extract(),
         "q_domain_pagerank": _sql_domain_pagerank(),
         "q_robots": _sql_robots(),
+        "q_nfc_normalize": _sql_nfc_normalize(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,
         "q_tile_assign_deep": _sql_tile_assign_deep(),

@@ -55,3 +55,28 @@ class TestParagraphDedup:
     def test_no_python_eval(self, spark):
         plan = Q.q_paragraph_dedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestNfcNormalize:
+    def test_corpus_has_real_decompositions(self):
+        """The gate would also pass on an all-composed corpus; pin that
+        the fragments genuinely exercise UAX #15: decomposed pairs, the
+        Å singleton, mark reordering, Hangul jamo composition."""
+        import unicodedata
+
+        frags = Q._NFC_FRAGMENTS
+        changed = [s for s in frags if unicodedata.normalize("NFC", s) != s]
+        assert len(changed) >= 6
+        assert "Å" in frags  # ANGSTROM singleton
+        assert any("̣" in s and s.index("̇") < s.index("̣") for s in changed)  # reorder
+        assert any("ᄒ" in s for s in changed)  # jamo
+
+    def test_changed_rows_and_arrow_stage(self, spark):
+        out = Q.q_nfc_normalize(spark, SF)
+        rows = out.collect()
+        n_changed = sum(r["changed"] for r in rows)
+        assert 0 < n_changed < len(rows)
+        assert all(r["n_nfc"] <= r["n_raw"] for r in rows)  # NFC never longer here
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan, plan  # the one vectorized Python stage
+        assert "BatchEvalPython" not in plan, plan

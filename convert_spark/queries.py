@@ -1538,6 +1538,48 @@ from f
 )
 
 
+def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics document scoring (the Gopher/CCNet LM-filter
+    shape, float-free): global unigram frequencies over the corpus, each
+    word scored as its scaled corpus probability in EXACT integer
+    arithmetic — p = (count * 1e9) div total, per-word floor like the
+    integer PageRank — then per-doc mean (integer div by word count).
+    Rare-word-heavy docs score low, boilerplate scores high. Stages:
+    explode -> one groupBy(word) shuffle -> frequency join -> one
+    groupBy(doc) shuffle; at 100 TB the vocab join is sort-merge on the
+    word key and the corpus total is one broadcast scalar."""
+    _load(spark, sf_dir, "documents")
+    words = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = words.join(counts, "w").crossJoin(F.broadcast(total)).select(
+        "doc_id", F.expr("(cnt * 1000000000L) div total").alias("p")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.expr("sum(p) div count(1)").cast("long").alias("score"),
+    )
+
+
+SQL_UNIGRAM_SCORE = """
+with words as (
+  select doc_id, w from (
+    select doc_id, unnest(string_split(lower(text), ' ')) as w from documents
+  ) where w <> ''
+),
+counts as (select w, count(*) as cnt from words group by w),
+meta as (select sum(cnt) as total from counts)
+select doc_id, cast(count(*) as int) as n_words,
+       cast(sum((cnt * 1000000000) // total) // count(*) as bigint) as score
+from words join counts using (w), meta
+group by doc_id
+"""
+
+
 # Filter-pipeline corpus: documents plus deterministic rule-triggering
 # variants, assembled with PORTABLE SQL (runs verbatim in both engines):
 # rid%10==1 exact copies, ==2 too-short, ==3 punctuation-stuffed prefixes,
@@ -3405,6 +3447,7 @@ QUERIES = {
     "q_token_counts": q_token_counts,
     "q_quality": q_quality,
     "q_filter_pipeline": q_filter_pipeline,
+    "q_unigram_score": q_unigram_score,
     "q_dedup_exact": q_dedup_exact,
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -3484,6 +3527,7 @@ def oracles() -> dict[str, str]:
         "q_token_counts": SQL_TOKEN_COUNTS,
         "q_quality": SQL_QUALITY,
         "q_filter_pipeline": _SQL_FILTER_PIPELINE,
+        "q_unigram_score": SQL_UNIGRAM_SCORE,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "q_ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -3105,6 +3105,67 @@ def q_warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ingest composition on one gate row: WARC archive bytes ->
+    distributed record walk -> HTTP payload -> Catalyst html->text ->
+    coordinate-mention grammar -> web-mercator tile assignment -> per-
+    tile rollup. Every stage is individually gated (q_warc_pages,
+    q_html_text, q_extract, q_tile_assign); this row pins that they
+    COMPOSE. Oracle: DuckDB starts from the twin-derived q_warc_pages
+    KAT text and restates mention extraction + tile math in SQL."""
+    from .operators.extract import MENTION_PATTERN
+    from .sources.warc import warc_pages
+
+    pages = warc_pages(spark, str(_FIXTURE_DIR / "warc")).filter(F.col("text").isNotNull())
+    pat = MENTION_PATTERN
+    # NB: F.lit pattern, never an F.expr SQL literal — Spark SQL string
+    # escaping would strip the regex backslashes (same trap as q_extract)
+    m = pages.select(
+        "url",
+        F.posexplode(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias(
+            "i", "mention"
+        ),
+    )
+    g1 = F.regexp_extract("mention", pat, 1)
+    g3 = F.regexp_extract("mention", pat, 3)
+    g2 = F.regexp_extract("mention", pat, 2)
+    g4 = F.regexp_extract("mention", pat, 4)
+    c = m.select(
+        "url",
+        F.when(g1 != "", g1).otherwise(g3).cast("double").alias("lat"),
+        F.when(g2 != "", g2).otherwise(g4).cast("double").alias("lon"),
+    ).filter((F.abs(F.col("lat")) <= 85.0) & (F.abs(F.col("lon")) <= 180.0))
+    t = tiles.with_tile(c, 10)
+    return t.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("url").cast("long").alias("n_pages"),
+    )
+
+
+def _sql_warc_tiles() -> str:
+    from .operators.extract import MENTION_PATTERN
+
+    pat = MENTION_PATTERN.replace("'", "''")
+    kat = _sql_kat("q_warc_pages").split("from")[-1].strip()
+    return f"""
+with pages as (select url, text from {kat} where text is not null),
+m as (select url, regexp_extract_all(text, '{pat}') as ms from pages),
+x as (select url, unnest(generate_series(1, len(ms))) as i, ms from m),
+c as (
+  select url,
+    cast(case when regexp_extract(ms[i], '{pat}', 1) <> '' then regexp_extract(ms[i], '{pat}', 1)
+              else regexp_extract(ms[i], '{pat}', 3) end as double) as lat,
+    cast(case when regexp_extract(ms[i], '{pat}', 2) <> '' then regexp_extract(ms[i], '{pat}', 2)
+              else regexp_extract(ms[i], '{pat}', 4) end as double) as lon
+  from x
+),
+v as (select * from c where abs(lat) <= 85.0 and abs(lon) <= 180.0)
+select 10 as zoom, {exprs.sql_tile_x('lon', 10)} as tile_x, {exprs.sql_tile_y('lat', 10)} as tile_y,
+       cast(count(*) as bigint) as n_mentions, cast(count(distinct url) as bigint) as n_pages
+from v group by 1, 2, 3
+"""
+
+
 # --- mesh drape on the gate (round 6) ------------------------------------------
 
 # Per-dataset 4326 bbox over the lineitem-derived points — the seed for the
@@ -3477,6 +3538,7 @@ QUERIES = {
     "q_gpx_datasets": q_gpx_datasets,
     "q_kml_datasets": q_kml_datasets,
     "q_warc_pages": q_warc_pages,
+    "q_warc_tiles": q_warc_tiles,
     "q_getelev": q_getelev,
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
@@ -3505,6 +3567,7 @@ def oracles() -> dict[str, str]:
         "q_link_extract": _sql_link_extract(),
         "q_domain_pagerank": _sql_domain_pagerank(),
         "q_robots": _sql_robots(),
+        "q_warc_tiles": _sql_warc_tiles(),
         "q_nfc_normalize": _sql_nfc_normalize(),
         "q_checkcoords": SQL_CHECKCOORDS,
         "q_tile_assign": SQL_TILE_ASSIGN,

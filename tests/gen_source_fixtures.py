@@ -297,17 +297,25 @@ def _warc(d: Path) -> None:
                 recs.append(W.build_record("request", b"GET / HTTP/1.1\r\nHost: x\r\n\r\n", url=url, date=date))
                 continue
             kind = (fi * 5 + ri) % 5
+
+            def coord(v: int) -> str:  # exact 2-decimal string, engine-portable
+                return f"{'-' if v < 0 else ''}{abs(v) // 100}.{abs(v) % 100:02d}"
+
+            lat = coord((fi * 31 + ri * 1700) % 18000 - 9000)
+            lon = coord((fi * 91 + ri * 3100) % 36000 - 18000)
+            geo = f"geo:{lat},{lon}" if ri % 2 == 0 else f"lat {lat} lon {lon}"
             if kind == 0:
                 html = (
                     f"<html><head><title>T{fi}.{ri} {rng.choice(ents)}</title>"
                     f"<style>p{{x:{ri}}}</style></head><body><P a='b'>w{ri} "
-                    f"{rng.choice(ents)}</P><script>if({ri}<9){{a=1;}}</script>"
+                    f"{rng.choice(ents)} {geo}</P><script>if({ri}<9){{a=1;}}</script>"
                     f"<!-- c{ri} <i>h</i> -->tail{ri}\n\t end</body></html>"
                 ).encode()
                 block = W.build_http_response(html, 200, "text/html; charset=utf-8")
             elif kind == 1:
                 block = W.build_http_response(
-                    f"<body>plain {ri} {rng.choice(ents)} <br/>line</body>".encode(), 200, "text/html"
+                    f"<body>plain {ri} {rng.choice(ents)} at {geo} <br/>line</body>".encode(),
+                    200, "text/html",
                 )
             elif kind == 2:
                 block = W.build_http_response(

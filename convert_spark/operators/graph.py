@@ -43,27 +43,36 @@ def pagerank_integer(
     dst: str = "dst",
     weight: str = "w",
 ) -> DataFrame:
-    """-> (d, r): node id and fixed-point rank after ``iters`` rounds."""
+    """-> (d, r): node id and fixed-point rank after ``iters`` rounds.
+
+    Checkpoint storage is O(1) in rounds: each iteration's checkpoint
+    releases the superseded one (plans/checkpoints.py), and the fixed
+    inputs (nodes/edges/sinks) are released once the loop ends — the
+    returned DataFrame owns exactly ONE persistent checkpoint (its own
+    final ranks)."""
+    from ..plans.checkpoints import eager_checkpoint, release
+
+    spark = edges.sparkSession
     e = edges.select(
         F.col(src).cast("string").alias("src"),
         F.col(dst).cast("string").alias("dst"),
         F.col(weight).cast("long").alias("w"),
     )
-    nodes = (
-        e.select(F.col("src").alias("d"))
-        .unionByName(e.select(F.col("dst").alias("d")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    nodes, nodes_ids = eager_checkpoint(
+        e.select(F.col("src").alias("d")).unionByName(e.select(F.col("dst").alias("d"))).distinct()
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("r", F.lit(0).cast("long"))
+        release(spark, nodes_ids)
+        return e.select(F.col("src").alias("d"), F.lit(0).cast("long").alias("r"))
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    e_o = e.join(outw, "src").localCheckpoint(eager=True)  # (src, dst, w, ow)
-    sinks = nodes.join(outw, nodes["d"] == outw["src"], "left_anti").select("d")
-    sinks = sinks.localCheckpoint(eager=True)
+    e_o, e_o_ids = eager_checkpoint(e.join(outw, "src"))  # (src, dst, w, ow)
+    sinks, sinks_ids = eager_checkpoint(
+        nodes.join(outw, nodes["d"] == outw["src"], "left_anti").select("d")
+    )
     base = (SCALE * (damp_den - damp_num)) // damp_den // n
     r = nodes.select("d", F.lit(SCALE // n).cast("long").alias("r"))
+    r_ids: set[int] = set()
     for _ in range(iters):
         dang = sinks.join(r, "d").agg(F.coalesce(F.sum("r"), F.lit(0))).first()[0]
         dang_share = int(dang) // n
@@ -73,14 +82,15 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        r = (
-            nodes.join(contrib, nodes["d"] == contrib["dst"], "left")
-            .select(
+        r, new_ids = eager_checkpoint(
+            nodes.join(contrib, nodes["d"] == contrib["dst"], "left").select(
                 "d",
                 F.expr(
                     f"{base}L + (({damp_num}L * (coalesce(contrib, 0L) + {dang_share}L)) div {damp_den}L)"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        release(spark, r_ids)  # superseded generation
+        r_ids = new_ids
+    release(spark, nodes_ids | e_o_ids | sinks_ids)  # final r is self-contained
     return r

@@ -61,3 +61,33 @@ class TestPagerankInteger:
     def test_empty_edges(self, spark):
         df = spark.createDataFrame([], "src string, dst string, w long")
         assert pagerank_integer(df, iters=3).count() == 0
+
+    def test_checkpoint_storage_is_o1_in_rounds(self, spark):
+        """Superseded checkpoint generations are released each round
+        (plans/checkpoints.py — df.unpersist() is a no-op for checkpoint
+        storage, probed here): after the loop, exactly the final ranks
+        checkpoint survives, regardless of iteration count."""
+        from convert_spark.plans.checkpoints import persistent_rdd_ids
+
+        df = spark.createDataFrame(EDGES, "src string, dst string, w long")
+        pre = persistent_rdd_ids(spark)
+        r = pagerank_integer(df, iters=6)
+        new = persistent_rdd_ids(spark) - pre
+        assert len(new) == 1, new  # final r only — not 6 generations + inputs
+        assert r.count() == 6  # and it is still queryable
+
+    def test_cc_checkpoint_storage_is_o1_in_rounds(self, spark):
+        from convert_spark.operators.components import connected_components
+        from convert_spark.plans.checkpoints import persistent_rdd_ids
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "a_id long, b_id long"
+        )
+        pre = persistent_rdd_ids(spark)
+        stats = []
+        out = connected_components(pairs, round_stats=stats)
+        new = persistent_rdd_ids(spark) - pre
+        # pairs_c + final edges stay (membership derives from both lazily)
+        assert len(new) <= 2, new
+        assert len(stats) >= 3  # a 41-node chain takes several rounds
+        assert out.count() == 41

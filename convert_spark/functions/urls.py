@@ -211,3 +211,17 @@ def apply_robots(pages: DataFrame, rules: DataFrame) -> DataFrame:
         F.when(F.col("m"), F.col("rule_type")).alias("rule_type"),
         F.when(F.col("m"), F.col("rule_len")).cast("int").alias("rule_len"),
     )
+
+
+def surt_key(host: F.Column, path: F.Column) -> F.Column:
+    """Simplified SURT (Sort-friendly URI Reordering Transform — the
+    public convention behind the Common-Crawl/Wayback CDX index key):
+    host labels reversed and comma-joined, then ')' and the path, e.g.
+    www.example.co.uk/p -> 'uk,co,example,www)/p'. Range-partitioning or
+    sorting by this key clusters every host of a domain (and every
+    domain of a TLD) into contiguous ranges — the locality that makes
+    per-domain scans and Iceberg partition pruning work at crawl scale.
+    Subset: scheme/port/query normalization omitted (documented)."""
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, "[.]")), ","), F.lit(")"), path
+    )

@@ -332,6 +332,32 @@ def _sql_url_parse() -> str:
     return f"with pages as ({_urls_sql('varchar')}) select page_id, {cols} from pages"
 
 
+def q_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT index keys on the gate (the Common-Crawl/Wayback CDX key
+    convention): host labels reversed + ')' + path. Emitted with the
+    parse columns it derives from; the pytest side additionally pins the
+    locality property (sorting by SURT clusters hosts of one registered
+    domain contiguously)."""
+    from .functions import urls
+
+    parsed = q_url_parse(spark, sf_dir)
+    return parsed.select(
+        "page_id",
+        "host",
+        "path",
+        urls.surt_key(F.col("host"), F.col("path")).alias("surt"),
+    )
+
+
+def _sql_surt() -> str:
+    return f"""
+with u as ({_sql_url_parse()})
+select page_id, host, path,
+       array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || path as surt
+from u
+"""
+
+
 def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registered-domain crawl rollup (the politeness/quota unit):
     one shuffle on reg_domain; count distinct host rides the same
@@ -3481,6 +3507,7 @@ QUERIES = {
     "q_html_text": q_html_text,
     "q_url_parse": q_url_parse,
     "q_domain_rollup": q_domain_rollup,
+    "q_surt": q_surt,
     "q_domain_quota": q_domain_quota,
     "q_link_extract": q_link_extract,
     "q_domain_pagerank": q_domain_pagerank,
@@ -3563,6 +3590,7 @@ def oracles() -> dict[str, str]:
         "q_html_text": _sql_html_text(),
         "q_url_parse": _sql_url_parse(),
         "q_domain_rollup": _sql_domain_rollup(),
+        "q_surt": _sql_surt(),
         "q_domain_quota": _sql_domain_quota(),
         "q_link_extract": _sql_link_extract(),
         "q_domain_pagerank": _sql_domain_pagerank(),

@@ -75,6 +75,35 @@ class TestUrlParts:
         assert "BatchEvalPython" not in plan, plan
         assert "Exchange" not in plan, plan  # extraction composes into the scan stage
 
+    def test_surt_locality(self, spark):
+        """SURT pins + the property that justifies it: sorting by SURT
+        clusters every host of one registered domain contiguously."""
+        from convert_spark import queries as Q
+
+        df = spark.createDataFrame(
+            [(0, "www.example.co.uk", "/p"), (1, "a.example.co.uk", "/q"),
+             (2, "example.com", ""), (3, "zz.org", "/x"), (4, "", "docs/p")],
+            "page_id int, host string, path string",
+        )
+        got = {r["page_id"]: r["surt"] for r in df.select(
+            "page_id", urls.surt_key(F.col("host"), F.col("path")).alias("surt")).collect()}
+        assert got[0] == "uk,co,example,www)/p"
+        assert got[1] == "uk,co,example,a)/q"
+        assert got[2] == "com,example)"
+        assert got[4] == ")docs/p"
+        # locality on the gate corpus: group ranks by reg_domain are
+        # contiguous in SURT order
+        rows = Q.q_surt(spark, "/root/testdata/sf0.001").collect()
+        parsed = {r["page_id"]: r for r in Q.q_url_parse(spark, "/root/testdata/sf0.001").collect()}
+        ordered = sorted((r for r in rows if r["host"]), key=lambda r: r["surt"])
+        seen, prev = set(), None
+        for r in ordered:
+            rd = parsed[r["page_id"]]["reg_domain"]
+            if rd != prev:
+                assert rd not in seen, f"{rd} not contiguous in SURT order"
+                seen.add(rd)
+                prev = rd
+
     def test_robots_semantics_pins(self, spark):
         """RFC 9309 longest-match core: longest prefix wins, allow wins
         exact-length ties, no match -> allowed, hostless -> allowed."""

@@ -42,8 +42,18 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """-> (d, r): node id and fixed-point rank after ``iters`` rounds.
+
+    ``init_ranks`` (d, r) warm-starts the iteration — the daily-crawl
+    incremental shape: fold today's new edges into the graph and run a
+    few rounds from yesterday's converged ranks instead of ``iters``
+    cold rounds (PageRank's contraction makes the fixed point
+    independent of the start; warm starts just arrive nearer). Nodes
+    absent from ``init_ranks`` seed at the cold value SCALE div N. The
+    warm recurrence is exactly the cold one — same integer spec, so a
+    warm run is hash-gateable too (q_pagerank_incremental).
 
     Checkpoint storage is O(1) in rounds: each iteration's checkpoint
     releases the superseded one (plans/checkpoints.py), and the fixed
@@ -71,7 +81,13 @@ def pagerank_integer(
         nodes.join(outw, nodes["d"] == outw["src"], "left_anti").select("d")
     )
     base = (SCALE * (damp_den - damp_num)) // damp_den // n
-    r = nodes.select("d", F.lit(SCALE // n).cast("long").alias("r"))
+    if init_ranks is None:
+        r = nodes.select("d", F.lit(SCALE // n).cast("long").alias("r"))
+    else:
+        prev = init_ranks.select(F.col("d"), F.col("r").cast("long").alias("r_prev"))
+        r = nodes.join(prev, "d", "left").select(
+            "d", F.coalesce("r_prev", F.lit(SCALE // n).cast("long")).alias("r")
+        )
     r_ids: set[int] = set()
     for _ in range(iters):
         dang = sinks.join(r, "d").agg(F.coalesce(F.sum("r"), F.lit(0))).first()[0]

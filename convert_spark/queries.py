@@ -537,6 +537,77 @@ from f
 """
 
 
+# portable deterministic edge split for the incremental-pagerank gate
+_PR_SPLIT = "(length(src) + length(dst) + ascii(substring(dst, 1, 1))) % 3"
+
+
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental link analysis (the daily-crawl shape, completing the
+    incremental triple with q_dedup_incremental / q_tile_incremental):
+    ~2/3 of the domain edges form yesterday's graph (6 cold rounds),
+    today's full graph then runs 3 WARM rounds seeded from yesterday's
+    ranks (new nodes at the cold seed). The warm recurrence is the same
+    integer spec as q_domain_pagerank, so the result is hash-gateable;
+    the oracle unrolls both phases as materialized CTE stages."""
+    from .operators.graph import pagerank_integer
+
+    ed = _domain_edges(spark, sf_dir)
+    hist = ed.filter(F.expr(f"{_PR_SPLIT} <> 0"))
+    r_hist = pagerank_integer(hist, iters=6)
+    out = pagerank_integer(ed, iters=3, init_ranks=r_hist)
+    return out.select("d", F.col("r").cast("long").alias("r"))
+
+
+def _sql_pagerank_incremental(hist_iters: int = 6, warm_iters: int = 3) -> str:
+    from .functions.urls import sql_extract_links
+    from .operators.graph import SCALE
+
+    def phase(tag: str, edges: str, r0_body: str, iters: int) -> str:
+        out = f""",
+nodes{tag} as materialized (select distinct d from (select src as d from {edges} union select dst as d from {edges})),
+meta{tag} as materialized (select count(*) as n from nodes{tag}),
+outw{tag} as materialized (select src, sum(w) as ow from {edges} group by src),
+r{tag}0 as materialized ({r0_body})"""
+        for k in range(1, iters + 1):
+            p = k - 1
+            out += f""",
+d{tag}{k} as materialized (
+  select coalesce(sum(r.r), 0) // (select n from meta{tag}) as ds
+  from r{tag}{p} r left join outw{tag} o on r.d = o.src where o.src is null
+),
+c{tag}{k} as materialized (
+  select e.dst as d, sum((r.r * e.w) // o.ow) as contrib
+  from {edges} e join r{tag}{p} r on e.src = r.d join outw{tag} o on e.src = o.src
+  group by e.dst
+),
+r{tag}{k} as materialized (
+  select nodes{tag}.d,
+         ({SCALE} * 15) // 100 // (select n from meta{tag})
+         + (85 * (coalesce(c.contrib, 0) + (select ds from d{tag}{k}))) // 100 as r
+  from nodes{tag} left join c{tag}{k} c on nodes{tag}.d = c.d
+)"""
+        return out
+
+    head = f"""
+with pages as ({_pages_links_sql('varchar')}),
+{sql_extract_links('pages')},
+u as ({_sql_url_parse()}),
+ed as materialized (
+  select u.reg_domain as src, f.dst_reg_domain as dst, cast(count(*) as bigint) as w
+  from f join u on f.page_id = u.page_id
+  where f.resolved <> '' and u.reg_domain <> ''
+  group by 1, 2
+),
+edh as materialized (select * from ed where {_PR_SPLIT} <> 0)"""
+    a = phase("h", "edh", f"select d, {SCALE} // n as r from nodesh, metah", hist_iters)
+    warm_r0 = (
+        f"select n.d, coalesce(p.r, {SCALE} // (select n from metaw)) as r "
+        f"from nodesw n left join rh{hist_iters} p on n.d = p.d"
+    )
+    b = phase("w", "ed", warm_r0, warm_iters)
+    return head + a + b + f"\nselect d, cast(r as bigint) as r from rw{warm_iters}"
+
+
 def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots politeness on the gate (RFC 9309 longest-match core,
     wildcard-free subset): per-domain allow/disallow prefix rules derived
@@ -3511,6 +3582,7 @@ QUERIES = {
     "q_domain_quota": q_domain_quota,
     "q_link_extract": q_link_extract,
     "q_domain_pagerank": q_domain_pagerank,
+    "q_pagerank_incremental": q_pagerank_incremental,
     "q_robots": q_robots,
     "q_nfc_normalize": q_nfc_normalize,
     "q_checkcoords": q_checkcoords,
@@ -3594,6 +3666,7 @@ def oracles() -> dict[str, str]:
         "q_domain_quota": _sql_domain_quota(),
         "q_link_extract": _sql_link_extract(),
         "q_domain_pagerank": _sql_domain_pagerank(),
+        "q_pagerank_incremental": _sql_pagerank_incremental(),
         "q_robots": _sql_robots(),
         "q_warc_tiles": _sql_warc_tiles(),
         "q_nfc_normalize": _sql_nfc_normalize(),

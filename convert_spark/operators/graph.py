@@ -63,18 +63,24 @@ def pagerank_integer(
     from ..plans.checkpoints import eager_checkpoint, release
 
     spark = edges.sparkSession
-    e = edges.select(
-        F.col(src).cast("string").alias("src"),
-        F.col(dst).cast("string").alias("dst"),
-        F.col(weight).cast("long").alias("w"),
+    # checkpoint the (possibly expensive) edge input ONCE: nodes, outw,
+    # e_o and sinks all derive from it — without this an upstream like
+    # the link-extraction regex pipeline re-evaluates 3-4x (measured
+    # 88s -> the q_pagerank_incremental bench row before this line)
+    e, e_ids = eager_checkpoint(
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
     )
     nodes, nodes_ids = eager_checkpoint(
         e.select(F.col("src").alias("d")).unionByName(e.select(F.col("dst").alias("d"))).distinct()
     )
     n = nodes.count()
     if n == 0:
-        release(spark, nodes_ids)
-        return e.select(F.col("src").alias("d"), F.lit(0).cast("long").alias("r"))
+        release(spark, nodes_ids | e_ids)
+        return spark.createDataFrame([], "d string, r long")
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     e_o, e_o_ids = eager_checkpoint(e.join(outw, "src"))  # (src, dst, w, ow)
     sinks, sinks_ids = eager_checkpoint(
@@ -108,5 +114,5 @@ def pagerank_integer(
         )
         release(spark, r_ids)  # superseded generation
         r_ids = new_ids
-    release(spark, nodes_ids | e_o_ids | sinks_ids)  # final r is self-contained
+    release(spark, e_ids | nodes_ids | e_o_ids | sinks_ids)  # final r is self-contained
     return r

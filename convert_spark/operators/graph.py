@@ -18,10 +18,10 @@ division; every quantity non-negative so truncation == floor):
 
 with num/den = 85/100 the usual damping. Mass is conserved up to the
 deterministic floor losses. Each iteration is one join + one groupBy
-shuffle; the per-iteration driver traffic is a single scalar (the
-dangling mass — same bounded-collect shape as the CC convergence
-fingerprint, components.py:85). Lineage is truncated per iteration with
-an eager localCheckpoint exactly like the CC loop.
+shuffle, executed as ONE Spark job: the dangling-mass scalar is a
+broadcast 1-row aggregate inside the round's plan, so the driver sees
+no data at all. Lineage is truncated per iteration with an eager
+localCheckpoint exactly like the CC loop.
 
 Overflow bounds: r <= SCALE = 1e12, weights < 1e6 -> r*w < 1e18 < 2^63.
 """
@@ -96,8 +96,12 @@ def pagerank_integer(
         )
     r_ids: set[int] = set()
     for _ in range(iters):
-        dang = sinks.join(r, "d").agg(F.coalesce(F.sum("r"), F.lit(0))).first()[0]
-        dang_share = int(dang) // n
+        # the dangling share is a broadcast 1-row aggregate INSIDE the
+        # round's plan — zero driver traffic, one Spark job per round
+        # (the eager checkpoint's materialization runs everything)
+        dang = sinks.join(r, "d").agg(
+            F.expr(f"coalesce(sum(r), 0L) div {n}L").alias("ds")
+        )
         contrib = (
             e_o.join(r, e_o["src"] == r["d"])
             .select(F.col("dst"), F.expr("(r * w) div ow").alias("c"))
@@ -105,10 +109,12 @@ def pagerank_integer(
             .agg(F.sum("c").alias("contrib"))
         )
         r, new_ids = eager_checkpoint(
-            nodes.join(contrib, nodes["d"] == contrib["dst"], "left").select(
+            nodes.join(contrib, nodes["d"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
                 "d",
                 F.expr(
-                    f"{base}L + (({damp_num}L * (coalesce(contrib, 0L) + {dang_share}L)) div {damp_den}L)"
+                    f"{base}L + (({damp_num}L * (coalesce(contrib, 0L) + ds)) div {damp_den}L)"
                 ).alias("r"),
             )
         )

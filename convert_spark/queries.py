@@ -3263,6 +3263,17 @@ from v group by 1, 2, 3
 """
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index on the gate (the CC/Wayback index shape): SURT
+    key + timestamp + payload digest + the record's (file, offset,
+    length) span for random access, CDX-collated. Oracle: twin KAT
+    (scalar SURT string-walk + BytesIO-tell spans — independent of the
+    engine's regex grammar and cursor arithmetic)."""
+    from .sources.warc import warc_cdx
+
+    return warc_cdx(spark, str(_FIXTURE_DIR / "warc"))
+
+
 # --- mesh drape on the gate (round 6) ------------------------------------------
 
 # Per-dataset 4326 bbox over the lineitem-derived points — the seed for the
@@ -3638,6 +3649,7 @@ QUERIES = {
     "q_kml_datasets": q_kml_datasets,
     "q_warc_pages": q_warc_pages,
     "q_warc_tiles": q_warc_tiles,
+    "q_warc_cdx": q_warc_cdx,
     "q_getelev": q_getelev,
     "q_salted_join": q_salted_join,
     "q_bucketed_join": q_bucketed_join,
@@ -3724,5 +3736,5 @@ def oracles() -> dict[str, str]:
         # tests/gen_kats.py — no Spark, inputs from DuckDB), so a green row
         # certifies agreement between two structurally different
         # implementations of the published algorithms, not self-consistency.
-        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape", "q_datasets_json", "q_warc_pages")},
+        **{name: _sql_kat(name) for name in ("q_s2_covering", "q_minhash_lsh", "q_simhash", "q_fingerprint", "q_ann_lsh", "q_ann_ivf", "q_media_decode_real", "q_media_stats_real", "q_media_frames_real", "q_media_containers", "q_mesh_drape", "q_datasets_json", "q_warc_pages", "q_warc_cdx")},
     }

@@ -33,7 +33,8 @@ _HDR_END = b"\r\n\r\n"
 
 WARC_ROWS_SCHEMA = (
     "warc_file string, record_idx int, warc_type string, url string, "
-    "warc_ts timestamp, http_status int, content_type string, payload binary"
+    "warc_ts timestamp, http_status int, content_type string, payload binary, "
+    "rec_offset long, rec_length long"
 )
 
 
@@ -106,6 +107,19 @@ def _parse_headers(raw: bytes, what: str) -> dict[str, str]:
 
 def iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """Yield (warc-headers, block) per record; strict cursor walk."""
+    for hdrs, block, _span in iter_records_with_spans(data):
+        yield hdrs, block
+
+
+def iter_records_with_spans(
+    data: bytes,
+) -> Iterator[tuple[dict[str, str], bytes, tuple[int, int]]]:
+    """Like iter_records, plus each record's (offset, length) span in the
+    archive's RECORD STREAM — for .warc.gz that is the decompressed
+    stream (documented CDX deviation: Common Crawl's own index stores
+    compressed member offsets; with the 1-record-per-member convention
+    the mapping is member order, but this reader does not re-derive
+    member byte offsets)."""
     if data[:2] == b"\x1f\x8b":
         data = _inflate_members(data)
     pos = 0
@@ -127,7 +141,7 @@ def iter_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             raise NotImplementedError("malformed WARC: block overruns archive")
         if data[block_end : block_end + 4] != _HDR_END:
             raise NotImplementedError("malformed WARC: record not CRLF-CRLF terminated")
-        yield hdrs, data[block_start:block_end]
+        yield hdrs, data[block_start:block_end], (pos, block_end + 4 - pos)
         pos = block_end + 4
 
 
@@ -143,7 +157,7 @@ def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
 
 
 def _file_rows(name: str, data: bytes, record_types: tuple[str, ...]):
-    for idx, (hdrs, block) in enumerate(iter_records(data)):
+    for idx, (hdrs, block, span) in enumerate(iter_records_with_spans(data)):
         wtype = hdrs.get("warc-type", "")
         if wtype not in record_types:
             continue
@@ -159,6 +173,8 @@ def _file_rows(name: str, data: bytes, record_types: tuple[str, ...]):
             "http_status": status,
             "content_type": http_hdrs.get("content-type"),
             "payload": payload,
+            "rec_offset": span[0],
+            "rec_length": span[1],
         }
 
 
@@ -197,6 +213,7 @@ def read_warc(
                 columns=[
                     "warc_file", "record_idx", "warc_type", "url",
                     "warc_ts", "http_status", "content_type", "payload",
+                    "rec_offset", "rec_length",
                 ],
             )
             if len(out):
@@ -225,3 +242,29 @@ def warc_pages(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFra
         F.when(is_html, html_title_col(decoded)).alias("title"),
         F.when(is_html, html_text_col(decoded)).alias("text"),
     )
+
+
+def warc_cdx(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """CDX-style capture index over the archives (the Common-Crawl/
+    Wayback index shape): one row per response capture keyed by SURT +
+    timestamp, carrying the payload digest and the record's (file,
+    offset, length) span for random access. Offsets are record-stream
+    offsets (see iter_records_with_spans for the .warc.gz deviation).
+    Sorting by (surt, ts) is exactly the CDX collation — range-
+    partitioning on surt gives per-domain locality at crawl scale."""
+    from ..functions import urls as U
+
+    recs = read_warc(spark, path, glob)
+    u = F.col("url")
+    hostport = F.regexp_replace(F.regexp_extract(u, U.URL_RE, 4), U.USERINFO_RE, "")
+    host = F.lower(F.regexp_replace(hostport, U.PORT_RE, ""))
+    upath = F.regexp_extract(u, U.URL_RE, 5)
+    return recs.select(
+        U.surt_key(host, upath).alias("surt"),
+        F.col("warc_ts").alias("ts"),
+        "url",
+        F.sha2("payload", 256).alias("digest"),
+        "warc_file",
+        "rec_offset",
+        "rec_length",
+    ).orderBy("surt", "ts", "warc_file", "rec_offset")

@@ -272,6 +272,21 @@ def kat_mesh_drape(sf_dir: str = SF_DIR) -> pd.DataFrame:
     )
 
 
+def kat_warc_cdx(sf_dir: str = SF_DIR) -> pd.DataFrame:
+    """CDX index twin: scalar SURT string-walk + BytesIO-tell record
+    spans over the WARC fixture corpus (sf_dir ignored — fixture-driven,
+    like kat_warc_pages)."""
+    import warc_reference_impl as wref
+
+    rows = []
+    for p in sorted((Path(__file__).resolve().parent / "fixtures" / "sources" / "warc").iterdir()):
+        rows.extend(wref.cdx_rows(p.name, p.read_bytes()))
+    pdf = pd.DataFrame(rows)
+    pdf["rec_offset"] = pdf["rec_offset"].astype("int64")
+    pdf["rec_length"] = pdf["rec_length"].astype("int64")
+    return pdf
+
+
 def kat_warc_pages(sf_dir: str = SF_DIR) -> pd.DataFrame:
     """WARC fixture corpus (ISO 28500) -> response-record projection via
     the scalar twin (gzip module + readline walk + char-walk html twin,
@@ -363,6 +378,7 @@ def _container_ids(sf_dir: str) -> list[int]:
 
 KAT_BUILDERS = {
     "q_warc_pages": kat_warc_pages,
+    "q_warc_cdx": kat_warc_cdx,
     "q_s2_covering": kat_s2_covering,
     "q_minhash_lsh": kat_minhash_lsh,
     "q_simhash": kat_simhash,

@@ -74,3 +74,68 @@ def response_rows(name: str, data: bytes) -> list[dict]:
             }
         )
     return rows
+
+
+def _surt(url: str) -> str:
+    """Scalar SURT — a string-walk restatement of the engine's regex
+    grammar (RFC 3986 App B authority split + label reverse)."""
+    rest = url
+    i = rest.find("://")
+    if i >= 0:
+        rest = rest[i + 3 :]
+    elif rest.startswith("//"):
+        rest = rest[2:]
+    else:  # relative reference: empty authority, url itself is the path
+        path = rest.split("?")[0].split("#")[0]
+        return ")" + path
+    end = len(rest)
+    for ch in "/?#":
+        j = rest.find(ch)
+        if 0 <= j < end:
+            end = j
+    auth, tail = rest[:end], rest[end:]
+    path = tail.split("?")[0].split("#")[0]
+    if "@" in auth:
+        auth = auth.split("@", 1)[1]
+    host = auth
+    if ":" in host and host.rsplit(":", 1)[1].isdigit():
+        host = host.rsplit(":", 1)[0]
+    host = host.lower()
+    return ",".join(reversed(host.split("."))) + ")" + path
+
+
+def cdx_rows(name: str, data: bytes) -> list[dict]:
+    """The warc_cdx projection, independently derived (spans via a
+    cursor over the same record-stream the archive parser walks)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    rows = []
+    f = io.BytesIO(data)
+    while True:
+        start = f.tell()
+        version = f.readline()
+        if not version:
+            break
+        hdrs = _read_headers(f)
+        block = f.read(int(hdrs["content-length"]))
+        assert f.read(4) == b"\r\n\r\n"
+        end = f.tell()
+        if hdrs.get("warc-type") != "response":
+            continue
+        bf = io.BytesIO(block)
+        bf.readline()
+        _read_headers(bf)
+        payload = bf.read()
+        url = hdrs["warc-target-uri"]
+        rows.append(
+            {
+                "surt": _surt(url),
+                "ts": datetime.fromisoformat(hdrs["warc-date"].replace("Z", "+00:00")).replace(tzinfo=None),
+                "url": url,
+                "digest": hashlib.sha256(payload).hexdigest(),
+                "warc_file": name,
+                "rec_offset": start,
+                "rec_length": end - start,
+            }
+        )
+    return rows

@@ -53,6 +53,36 @@ class TestRoundTrip:
             assert h == t["headers"] and b == t["block"]
 
 
+class TestSpans:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_spans_tile_the_record_stream(self, gz):
+        """(offset, length) spans are contiguous, start at 0 and cover
+        the whole decompressed record stream — the random-access
+        contract the CDX index row hands out."""
+        import zlib
+
+        data = _sample_archive(gz)
+        stream_len = len(zlib.decompressobj(31).decompress(data)) if gz else len(data)
+        if gz:
+            from convert_spark.sources.warc import _inflate_members
+
+            stream_len = len(_inflate_members(data))
+        pos = 0
+        for _h, _b, (off, length) in W.iter_records_with_spans(data):
+            assert off == pos and length > 0
+            pos = off + length
+        assert pos == stream_len
+
+    def test_span_slice_reparses_identically(self):
+        """Slicing a plain archive at a record's span yields a 1-record
+        archive that parses to the same record (the seek use case)."""
+        data = _sample_archive(False)
+        recs = list(W.iter_records_with_spans(data))
+        for hdrs, block, (off, length) in recs:
+            again = list(W.iter_records(data[off : off + length]))
+            assert again == [(hdrs, block)]
+
+
 class TestFixtureParity:
     def test_engine_matches_twin_rows(self, spark):
         got = (

@@ -36,23 +36,40 @@ PORT_RE = ":([0-9]+)$"
 def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Add scheme, host, port, reg_domain, path, path_depth, has_query.
 
-    One codegen'd Project of regexp_extract/regexp_replace — no UDF, no
-    shuffle; at 100 TB this composes into the scan stage. path_depth is
-    the '/' count of the path ('' and '/' are depth 0); has_query is 1
-    when a '?' part exists (even empty, per RFC: '?' alone is a query).
-    """
+    Pure Catalyst regexp_extract/regexp_replace — no UDF, no shuffle; at
+    100 TB this composes into the scan stage. path_depth is the '/'
+    count of the path ('' and '/' are depth 0); has_query is 1 when a
+    '?' part exists (even empty, per RFC: '?' alone is a query).
+
+    STAGED through intermediate columns (round 8, guide §1.2 per-task
+    work): building every output as one expression tree inlined the
+    hostport/host regex chains into each consumer (the reg_domain CASE
+    alone re-ran the 3-regex host chain 5x per row). Multi-referenced
+    non-cheap columns block CollapseProject, so each chain now evaluates
+    once per row; the emitted values are bit-identical."""
     u = F.col(url_col)
-    hostport = F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, "")
-    host = F.lower(F.regexp_replace(hostport, PORT_RE, ""))
-    path = F.regexp_extract(u, URL_RE, 5)
-    rd3 = F.regexp_extract(host, REG3_RE, 1)
-    rd2 = F.regexp_extract(host, REG2_RE, 1)
-    return (
-        df.withColumn("scheme", F.lower(F.regexp_extract(u, URL_RE, 2)))
-        .withColumn("host", host)
-        .withColumn("port", F.nullif(F.regexp_extract(hostport, PORT_RE, 1), F.lit("")).cast("int"))
-        .withColumn("reg_domain", F.when(rd3 != "", rd3).when(rd2 != "", rd2).otherwise(host))
-        .withColumn("path", path)
+    tmp_hp, tmp_r3, tmp_r2 = "__url_hostport", "__url_rd3", "__url_rd2"
+    staged = (
+        df.withColumn(
+            tmp_hp, F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, "")
+        )
+        .withColumn("host", F.lower(F.regexp_replace(F.col(tmp_hp), PORT_RE, "")))
+        .withColumn("path", F.regexp_extract(u, URL_RE, 5))
+        .withColumn(tmp_r3, F.regexp_extract(F.col("host"), REG3_RE, 1))
+        .withColumn(tmp_r2, F.regexp_extract(F.col("host"), REG2_RE, 1))
+    )
+    path = F.col("path")
+    out = (
+        staged.withColumn("scheme", F.lower(F.regexp_extract(u, URL_RE, 2)))
+        .withColumn(
+            "port", F.nullif(F.regexp_extract(F.col(tmp_hp), PORT_RE, 1), F.lit("")).cast("int")
+        )
+        .withColumn(
+            "reg_domain",
+            F.when(F.col(tmp_r3) != "", F.col(tmp_r3))
+            .when(F.col(tmp_r2) != "", F.col(tmp_r2))
+            .otherwise(F.col("host")),
+        )
         .withColumn(
             "path_depth",
             F.when((path == "") | (path == "/"), 0)
@@ -64,6 +81,7 @@ def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
             (F.regexp_extract(u, URL_RE, 6) != "").cast("int"),
         )
     )
+    return out.drop(tmp_hp, tmp_r3, tmp_r2)
 
 
 def sql_url_parts(url: str) -> dict[str, str]:
@@ -124,27 +142,51 @@ def extract_links(df: DataFrame, html_col: str = "html", url_col: str = "url") -
     scan stage at 100 TB, and the (src_domain, dst_domain) rollup
     downstream is one shuffle."""
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, URL_RE, 2))
-    hostport = F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, "")
-    host = F.lower(F.regexp_replace(hostport, PORT_RE, ""))
-    exploded = df.select(
+    # STAGED (round 8, see with_url_parts): the page-level scheme/host
+    # compute ONCE per page BEFORE the explode (not once per link), and
+    # the dst chain stages through columns so the resolved CASE and the
+    # dst host regexes are never inlined into multiple consumers — the
+    # pre-r8 expression tree re-ran the whole resolve+parse chain ~10x
+    # per link row inside dst_reg_domain alone. Values are bit-identical.
+    tmp_s, tmp_h = "__src_scheme", "__src_host"
+    tmp_hp, tmp_r3, tmp_r2 = "__dst_hostport", "__dst_rd3", "__dst_rd2"
+    base = df.withColumn(
+        tmp_s, F.lower(F.regexp_extract(u, URL_RE, 2))
+    ).withColumn(
+        tmp_h,
+        F.lower(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_extract(u, URL_RE, 4), USERINFO_RE, ""),
+                PORT_RE,
+                "",
+            )
+        ),
+    )
+    exploded = base.select(
         "*",
         F.posexplode(F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), F.lit(1))).alias(
             "link_idx", "href"
         ),
     )
-    resolved = resolve_link(scheme, host, F.col("href"))
-    dst_hostport = F.regexp_replace(F.regexp_extract(resolved, URL_RE, 4), USERINFO_RE, "")
-    dst_host = F.lower(F.regexp_replace(dst_hostport, PORT_RE, ""))
-    rd3 = F.regexp_extract(dst_host, REG3_RE, 1)
-    rd2 = F.regexp_extract(dst_host, REG2_RE, 1)
-    return (
-        exploded.withColumn("resolved", resolved)
-        .withColumn("dst_host", dst_host)
+    out = (
+        exploded.withColumn(
+            "resolved", resolve_link(F.col(tmp_s), F.col(tmp_h), F.col("href"))
+        )
         .withColumn(
-            "dst_reg_domain", F.when(rd3 != "", rd3).when(rd2 != "", rd2).otherwise(dst_host)
+            tmp_hp,
+            F.regexp_replace(F.regexp_extract(F.col("resolved"), URL_RE, 4), USERINFO_RE, ""),
+        )
+        .withColumn("dst_host", F.lower(F.regexp_replace(F.col(tmp_hp), PORT_RE, "")))
+        .withColumn(tmp_r3, F.regexp_extract(F.col("dst_host"), REG3_RE, 1))
+        .withColumn(tmp_r2, F.regexp_extract(F.col("dst_host"), REG2_RE, 1))
+        .withColumn(
+            "dst_reg_domain",
+            F.when(F.col(tmp_r3) != "", F.col(tmp_r3))
+            .when(F.col(tmp_r2) != "", F.col(tmp_r2))
+            .otherwise(F.col("dst_host")),
         )
     )
+    return out.drop(tmp_s, tmp_h, tmp_hp, tmp_r3, tmp_r2)
 
 
 def sql_extract_links(pages_cte: str) -> str:
@@ -185,31 +227,56 @@ def apply_robots(pages: DataFrame, rules: DataFrame) -> DataFrame:
     matching rule -> allowed. Adds (allowed int, rule_type, rule_len).
 
     Scale shape: rules are a per-domain dim table (robots files are
-    tiny) — Spark broadcasts it under the join threshold, so the
-    decision is a map-side join + one window keyed by page (pre-
-    partitioned by the join key; no extra shuffle of the page table
-    beyond the window)."""
-    from pyspark.sql.window import Window
-
+    tiny). The per-domain rule sets are pre-grouped into ARRAYS (a tiny
+    aggregation on the dim side), broadcast-joined 1:1 onto the page
+    table, and the longest-match winner is picked by an array fold in
+    the SAME projection — the page table is never row-multiplied and
+    never shuffled at all (the pre-r8 shape exploded pages x rules and
+    re-collapsed them through a row_number window, one full exchange +
+    sort of the multiplied table)."""
     r = rules.select(
         F.col("reg_domain"),
-        F.col("rule_type"),
-        F.col("path_prefix"),
-        F.length("path_prefix").alias("rule_len"),
+        F.struct(
+            F.length("path_prefix").cast("int").alias("rule_len"),
+            F.col("rule_type").alias("rule_type"),
+            F.col("path_prefix").alias("path_prefix"),
+        ).alias("__rule"),
     )
-    j = pages.join(r, "reg_domain", "left").withColumn(
-        "m",
-        F.col("path_prefix").isNotNull() & F.col("path").startswith(F.col("path_prefix")),
+    per_dom = r.groupBy("reg_domain").agg(F.collect_list("__rule").alias("__rules"))
+    j = pages.join(F.broadcast(per_dom), "reg_domain", "left")
+    matched = F.filter(
+        F.col("__rules"), lambda rr: F.col("path").startswith(rr["path_prefix"])
     )
-    w = Window.partitionBy("page_id").orderBy(
-        F.desc("m"), F.desc("rule_len"), F.asc("rule_type"), F.asc("path_prefix")
+
+    def better(rr, acc):
+        # the window ordering this replaces: rule_len desc, rule_type
+        # asc, path_prefix asc — a total order, so the fold's winner is
+        # independent of collect_list order
+        return (rr["rule_len"] > acc["rule_len"]) | (
+            (rr["rule_len"] == acc["rule_len"])
+            & (
+                (rr["rule_type"] < acc["rule_type"])
+                | ((rr["rule_type"] == acc["rule_type"]) & (rr["path_prefix"] < acc["path_prefix"]))
+            )
+        )
+
+    best = F.aggregate(
+        matched,
+        F.lit(None).cast("struct<rule_len:int,rule_type:string,path_prefix:string>"),
+        lambda acc, rr: F.when(acc.isNull() | better(rr, acc), rr).otherwise(acc),
     )
-    top = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return top.select(
+    # explode(array(best)) is a Generate barrier: projection collapse
+    # would otherwise inline the (interpreted, higher-order) fold into
+    # EVERY downstream reference — allowed/rule_type/rule_len would each
+    # re-run it per row (measured 3x the stage)
+    out = j.select("*", F.explode(F.array(best)).alias("__best"))
+    return out.select(
         *[c for c in pages.columns],
-        F.when(F.col("m") & (F.col("rule_type") == "disallow"), 0).otherwise(1).alias("allowed"),
-        F.when(F.col("m"), F.col("rule_type")).alias("rule_type"),
-        F.when(F.col("m"), F.col("rule_len")).cast("int").alias("rule_len"),
+        F.when(F.col("__best").isNotNull() & (F.col("__best")["rule_type"] == "disallow"), 0)
+        .otherwise(1)
+        .alias("allowed"),
+        F.col("__best")["rule_type"].alias("rule_type"),
+        F.col("__best")["rule_len"].cast("int").alias("rule_len"),
     )
 
 

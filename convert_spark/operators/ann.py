@@ -362,8 +362,8 @@ def neardup_lsh(
     id_col: str = "id",
     vec_col: str = "emb",
     dim: int = 64,
-    bands: int = 16,
-    bits_per_band: int = 8,
+    bands: int = 64,
+    bits_per_band: int = 16,
     bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """BUCKETED near-duplicate pair generation — the 100 TB dedup default:
@@ -372,19 +372,23 @@ def neardup_lsh(
 
     The shuffle key is (band, bucket); the cross product never
     materializes and candidate volume is bounded by bucket co-occupancy.
-    Recall is probabilistic: with the default 16 bands x 8 bits, a pair
-    EXACTLY at sim = 0.9 (angle ~26 deg, per-band collision ~0.29) is
-    missed with probability ~4e-3; the miss rate only drops below 1e-6
-    for pairs at sim >= ~0.98. The near-1.0 recall guarantee therefore
-    applies to pairs well ABOVE the threshold — true near-duplicates,
-    which is the regime this default targets (the planted-dup corpus
-    sits at 0.98-0.995 and pytest asserts pair-set equality vs the exact
-    blocked product there). For corpora with mass near the boundary,
-    raise ``bands`` (miss ~ (1-p^bits)^bands). For loose thresholds
-    (sim barely above the random-pair distribution — e.g. 0.3 on
-    isotropic vectors, ~2.4 sigma) NO bucketing scheme is selective:
-    use ``neardup_blocked`` (exact, all-pairs) there and accept the
-    quadratic cost, because that's what the semantics cost.
+    Band geometry (round 8: 64 bands x 16 bits, was 16 x 8): random-pair
+    bucket collision is ~2^-16 per band, so the expected random-candidate
+    volume drops ~64x vs 16 x 8 (it dominated the pair-gen wall on
+    isotropic corpora) while recall IMPROVES everywhere that matters:
+    a pair at sim 0.97 (per-band collision p^16 ~ 0.27) is missed with
+    probability (1-0.27)^64 ~ 2e-9 (vs 2e-6 before), at the 0.9
+    threshold boundary itself ~4e-3 (unchanged vs the old ~4e-3). The
+    near-1.0 recall guarantee applies to pairs well ABOVE the threshold
+    — true near-duplicates, which is the regime this default targets
+    (the planted-dup corpus sits at 0.98-0.995 and pytest asserts
+    pair-set equality vs the exact blocked product there). For corpora
+    with mass near the boundary, raise ``bands`` (miss ~
+    (1-p^bits)^bands). For loose thresholds (sim barely above the
+    random-pair distribution — e.g. 0.3 on isotropic vectors, ~2.4
+    sigma) NO bucketing scheme is selective: use ``neardup_blocked``
+    (exact, all-pairs) there and accept the quadratic cost, because
+    that's what the semantics cost.
     """
     # SLIM candidate plan (round 5): the (band, bucket) self-join and the
     # pair dedup carry ONLY ids — never the vectors. Carrying embeddings

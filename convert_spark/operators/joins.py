@@ -239,6 +239,70 @@ def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id:
     return qq.join(r, "r_cell", "inner")
 
 
+def _tile_row_north_lat(t: int, n: int) -> float:
+    """North-edge latitude (degrees) of tile row ``t`` at ``n = 2^zoom``."""
+    import math
+
+    return math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * t / n))))
+
+
+def _tile_row_of(lat: float, n: int) -> int:
+    """Python twin of exprs.tile_y (same clamp + floor)."""
+    import math
+
+    from ..functions.exprs import LAT_MAX, LAT_MIN
+
+    lat_c = min(max(lat, LAT_MIN), LAT_MAX)
+    lr = math.radians(lat_c)
+    merc = math.log(math.tan(lr) + 1.0 / math.cos(lr))
+    t = math.floor((1.0 - merc / math.pi) / 2.0 * n)
+    return int(min(max(t, 0), n - 1))
+
+
+def _probe_prune_bound(q: DataFrame, r: DataFrame, zoom: int) -> float | None:
+    """Strictly positive lower bound B (degrees) such that ANY query/ref
+    pair whose tiles are at Chebyshev tile distance >= 2 at ``zoom`` has
+    planar-equirectangular distance^2 >= B^2 — the geometric prune behind
+    the ring-1 density probe in knn_join.
+
+    Derivation: wrapped tile-x distance >= 2 leaves at least one full
+    tile column strictly between the two points, so their circular (and
+    hence planar) lon separation is >= the tile width 360/2^zoom;
+    tile-y distance >= 2 leaves a full tile row between them, so lat
+    separation >= that row's height — tile heights (in degrees) are
+    maximal at the equator and shrink monotonically poleward, so the
+    minimum over the occupied row range is attained at its ends.
+
+    Returns None (probe disabled, caller falls back to the exact ring
+    schedule) when either side is empty or any point lies outside the
+    web-mercator lat range / [-180, 180] lon range — tile clamping would
+    put such a point geometrically outside its tile and void the bound.
+    The two 1-row aggregates are bounded driver collects.
+    """
+    from ..functions.exprs import LAT_MAX, LAT_MIN
+
+    n = 1 << zoom
+    qa = q.agg(
+        F.min("q_lat"), F.max("q_lat"), F.min("q_lon"), F.max("q_lon")
+    ).collect()[0]
+    ra = r.agg(
+        F.min("r_lat"), F.max("r_lat"), F.min("r_lon"), F.max("r_lon")
+    ).collect()[0]
+    if any(v is None for v in (*qa, *ra)):
+        return None
+    lat_lo, lat_hi = min(qa[0], ra[0]), max(qa[1], ra[1])
+    lon_lo, lon_hi = min(qa[2], ra[2]), max(qa[3], ra[3])
+    if not (LAT_MIN <= lat_lo and lat_hi <= LAT_MAX and -180.0 <= lon_lo and lon_hi <= 180.0):
+        return None
+    t_hi = _tile_row_of(lat_hi, n)  # northmost occupied row (smallest index)
+    t_lo = _tile_row_of(lat_lo, n)
+    bound = 360.0 / n
+    # +-1 row slack absorbs any Python-vs-JVM 1-ulp row-boundary diff
+    for t in {max(t_hi - 1, 0), t_hi, min(t_lo + 1, n - 1), t_lo}:
+        bound = min(bound, _tile_row_north_lat(t, n) - _tile_row_north_lat(t + 1, n))
+    return bound if bound > 0.0 else None
+
+
 def knn_join(
     queries: DataFrame,
     refs: DataFrame,
@@ -250,6 +314,7 @@ def knn_join(
     ref_id: str = "ref_id",
     n_salt: int = 0,
     round_stats: list | None = None,
+    probe_ring: int | None = 1,
 ) -> DataFrame:
     """kNN join with cell-ring expansion and RING DOUBLING for stragglers
     (SURVEY.md §2.5; north_star "kNN-matched with cell-ring expansion").
@@ -272,6 +337,13 @@ def knn_join(
     of rounds is logarithmic in max_ring/ring and each round's join input
     shrinks. At 100 TB, run zoom high enough that a cell holds O(k) refs;
     the doubling bounds the fanout a wide fixed ring would pay everywhere.
+
+    ``probe_ring`` (default 1; None disables; only active when
+    probe_ring < ring): a ring-1 density probe that answers dense
+    queries from their 3x3 tile neighborhood whenever their k-th probe
+    distance is provably smaller than any candidate outside the probe
+    ring (_probe_prune_bound) — a pure optimization, output identical
+    row-for-row; sparse stragglers fall through to the exact schedule.
     """
     from ..functions import exprs
 
@@ -306,6 +378,63 @@ def knn_join(
 
     remaining = q
     rounds: list[DataFrame] = []
+
+    # Ring-1 density probe: answer dense queries from their immediate
+    # 3x3 tile neighborhood and run the (much wider) ring schedule only
+    # for the stragglers. Provably result-identical: every candidate
+    # OUTSIDE the probe ring sits at Chebyshev tile distance >= 2, hence
+    # at planar distance^2 >= B^2 (_probe_prune_bound); a query whose
+    # k-th probe distance is strictly below B^2 therefore already holds
+    # its exact global top-k, with identical ranks (no outside candidate
+    # can sort before any kept row, so ties/tiebreaks are untouched).
+    # At dense scale this replaces the (2*ring+1)^2-cell candidate join
+    # (289 cells/query at ring 8) with a 9-cell probe — the candidate
+    # volume drops ~30x and the WindowGroupLimit rank pushdown keeps the
+    # probe's shuffle at <= k rows per query per map partition.
+    if probe_ring is not None and 0 < probe_ring < ring:
+        bound = _probe_prune_bound(q, r, zoom)
+        if bound is not None:
+            b2 = bound * bound
+            cand = _ring_candidates(q, r, probe_ring, zoom, query_id, n_salt=n_salt)
+            dlat = F.col("q_lat") - F.col("r_lat")
+            dlon = F.col("q_lon") - F.col("r_lon")
+            w_rank = Window.partitionBy(query_id).orderBy(
+                F.col("dist").asc(), F.col(ref_id).asc()
+            )
+            w_q = Window.partitionBy(query_id)
+            topk = (
+                cand.withColumn("dist", dlat * dlat + dlon * dlon)
+                .withColumn("rn", F.row_number().over(w_rank))
+                # rank filter directly above row_number -> WindowGroupLimit
+                # partial prunes to top-k per query BEFORE the exchange
+                .filter(F.col("rn") <= k)
+                # max(rn) == k <=> the probe ring held >= k candidates;
+                # max(dist) = the k-th probe distance (same partitioning
+                # and an already-satisfied sort: no extra exchange)
+                .withColumn("__mx", F.max("rn").over(w_q))
+                .withColumn("__dk", F.max("dist").over(w_q))
+                .withColumn("__ok", (F.col("__mx") == k) & (F.col("__dk") < F.lit(b2)))
+                .select(
+                    query_id,
+                    ref_id,
+                    F.col("dist").alias("dist2"),
+                    F.col("rn").alias("rank"),
+                    "__ok",
+                )
+                .localCheckpoint(eager=True)
+            )
+            rounds.append(topk.filter(F.col("__ok")).drop("__ok"))
+            sat = topk.filter(F.col("__ok")).select(query_id).distinct()
+            remaining = remaining.join(sat, query_id, "left_anti").localCheckpoint(eager=True)
+            n_pruned_stragglers = remaining.count()
+            if round_stats is not None:
+                round_stats.append((probe_ring, n_pruned_stragglers))
+            if n_pruned_stragglers == 0:
+                out = rounds[0]
+                for extra in rounds[1:]:
+                    out = out.unionByName(extra)
+                return out
+
     cur = ring
     while True:
         cand = _ring_candidates(remaining, r, cur, zoom, query_id, n_salt=n_salt)

@@ -77,8 +77,37 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _spread: the lineitem parquet arrives in O(row groups) splits (6 at
+    # sf1.0), which pinned every _points consumer's expensive stage
+    # (mercator/tile exprs, PIP Arrow UDF) to that many cores; the
+    # repartition moves 24 B/row ahead of the heavy work and is a no-op
+    # at production split counts (round 8, guide §2/§6)
     _load(spark, sf_dir, "lineitem")
-    return spark.sql(_PTS_SQL)
+    return _spread(spark.sql(_PTS_SQL))
+
+
+def _gen_barrier(df: DataFrame) -> DataFrame:
+    """Optimizer fence: re-emit every row through explode(array(struct)).
+    Generate output attributes are opaque to predicate pushdown, so a
+    filter above this stays above — used where Catalyst would otherwise
+    push a predicate on an expensively-COMPUTED column below its Project
+    and re-derive the whole expression tree per row just to test it
+    (round 8, guide §1.2: the predicate's copy of the chain was the
+    dominant cost of the affected stages). Select the needed columns
+    BEFORE the fence: pruning stops here by design."""
+    return df.select(F.explode(F.array(F.struct(*df.columns))).alias("__r")).select("__r.*")
+
+
+def _okeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The o_orderkey scan spread to default parallelism: every synthetic
+    page corpus (url / html / text / links) is built by heavyweight
+    concat/CASE expressions over this ONE column, and the orders parquet
+    arrives as O(1) splits (1 at sf0.1, 2 row groups at sf1.0) — so
+    without the spread the whole regex family ran near-single-threaded.
+    Shuffling 8 B/row BEFORE the expensive Project is the production
+    split-count shape (round 8, guide §2/§6)."""
+    _load(spark, sf_dir, "orders")
+    return _spread(spark.table("orders").select("o_orderkey"))
 
 
 # --- geo: projection / normalization ------------------------------------------
@@ -125,7 +154,11 @@ SQL_TO4326 = (
 # strings) so both engines build byte-identical text — float->string
 # formatting is never engine-portable. o_orderkey % 3 mentions per page
 # (0, 1, or 2) exercises the no-mention drop and the posexplode fan-out.
-def _pages_text_sql(div: str, str_t: str) -> str:
+def _pages_text_expr(div: str, str_t: str) -> str:
+    """The text CASE expression alone (over o_orderkey), so the Spark
+    side can build it on a _spread base; _pages_text_sql wraps it
+    byte-identically to the pre-r8 oracle text."""
+
     def coord(cd: str) -> str:
         return (
             f"concat(case when {cd} < 0 then '-' else '' end, "
@@ -140,12 +173,14 @@ def _pages_text_sql(div: str, str_t: str) -> str:
     m0 = f"concat('geo:', {lat0}, ',', {lon0})"
     m1 = f"concat('lat ', {lat1}, ' lon ', {lon1})"
     return (
-        "select o_orderkey as page_id, "
         "case when o_orderkey % 3 = 0 then 'no coords here' "
         f"when o_orderkey % 3 = 1 then concat('a ', {m0}, ' b') "
-        f"else concat('a ', {m0}, ' b ', {m1}, ' c') end as text "
-        "from orders"
+        f"else concat('a ', {m0}, ' b ', {m1}, ' c') end"
     )
+
+
+def _pages_text_sql(div: str, str_t: str) -> str:
+    return f"select o_orderkey as page_id, {_pages_text_expr(div, str_t)} as text from orders"
 
 
 def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,13 +190,12 @@ def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention grammar with regexp_extract_all + unnest."""
     from .operators import extract
 
-    _load(spark, sf_dir, "orders")
-    pages = spark.sql(_pages_text_sql("div", "string")).select(
-        F.concat(F.lit("u"), F.col("page_id")).alias("url"),
+    pages = _okeys(spark, sf_dir).select(
+        F.concat(F.lit("u"), F.col("o_orderkey")).alias("url"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.lit("en").alias("lang"),
-        "page_id",
-        "text",
+        F.col("o_orderkey").alias("page_id"),
+        F.expr(_pages_text_expr("div", "string")).alias("text"),
     )
     out = extract.extract_mentions(pages, impl="sql")
     return out.select("page_id", "mention_idx", "lat", "lon")
@@ -191,7 +225,12 @@ from x
 # UPPERCASE script+div (k%6 — case-insensitivity), unclosed '<script>'
 # tail (k%101 — the no-match fallthrough to tag-strip), entity zoo and
 # tab/newline whitespace in every body.
-def _pages_html_sql(str_t: str) -> str:
+def _pages_html_expr(str_t: str) -> str:
+    """The html CASE/concat expression alone (over o_orderkey), so fused
+    single-scan consumers (q_domain_quota) can combine it with the url
+    expression; _pages_html_sql wraps it byte-identically to the pre-r8
+    oracle text."""
+
     def n(expr: str) -> str:
         return f"cast({expr} as {str_t})"
 
@@ -209,12 +248,14 @@ def _pages_html_sql(str_t: str) -> str:
     )
     tail = f"case when {k} % 101 = 0 then '<script>tail' else '' end"
     return (
-        f"select {k} as page_id, "
         f"'<html><head><title>T&amp;' || {n(f'{k} % 50')} || ' ' || chr(10) || 'x</title>' "
         f"|| {style} || '</head><body>' || {script} || {comment} || {para} || {upper} || {tail} "
-        f"|| '</body></html>' as html "
-        "from orders"
+        f"|| '</body></html>'"
     )
+
+
+def _pages_html_sql(str_t: str) -> str:
+    return f"select o_orderkey as page_id, {_pages_html_expr(str_t)} as html from orders"
 
 
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,9 +267,9 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-walk twin pins the semantics in tests/html_reference_impl.py."""
     from .operators import extract
 
-    _load(spark, sf_dir, "orders")
-    pages = spark.sql(_pages_html_sql("string")).select(
-        "page_id", F.encode(F.col("html"), "UTF-8").alias("html")
+    pages = _okeys(spark, sf_dir).select(
+        F.col("o_orderkey").alias("page_id"),
+        F.encode(F.expr(_pages_html_expr("string")), "UTF-8").alias("html"),
     )
     out = extract.html_to_text(pages)
     return out.select(
@@ -277,7 +318,9 @@ from x
 # explicit port (k%13), two-level public suffix TLDs (k%5 in {co.uk,
 # com.au}), empty-query '?' (k%17), trailing-slash paths (k%4=3), fragments
 # (k%10) and scheme-less RELATIVE references (k%29 — '' scheme/host).
-def _urls_sql(str_t: str) -> str:
+def _urls_expr(str_t: str) -> str:
+    """The url CASE expression alone (see _pages_html_expr)."""
+
     def n(expr: str) -> str:
         return f"cast({expr} as {str_t})"
 
@@ -304,11 +347,11 @@ def _urls_sql(str_t: str) -> str:
         f"|| {port} || {path} || {query} || {frag}"
     )
     relative = f"'docs/p' || {n(f'{k} % 6')} || {query}"
-    return (
-        f"select {k} as page_id, "
-        f"case when {k} % 29 = 0 then {relative} else {absolute} end as url "
-        "from orders"
-    )
+    return f"case when {k} % 29 = 0 then {relative} else {absolute} end"
+
+
+def _urls_sql(str_t: str) -> str:
+    return f"select o_orderkey as page_id, {_urls_expr(str_t)} as url from orders"
 
 
 def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,8 +360,10 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the IDENTICAL backslash-free SQL snippets in DuckDB."""
     from .functions import urls
 
-    _load(spark, sf_dir, "orders")
-    pages = spark.sql(_urls_sql("string"))
+    pages = _okeys(spark, sf_dir).select(
+        F.col("o_orderkey").alias("page_id"),
+        F.expr(_urls_expr("string")).alias("url"),
+    )
     return urls.with_url_parts(pages).select(
         "page_id", "scheme", "host", "port", "reg_domain", "path", "path_depth", "has_query"
     )
@@ -397,15 +442,36 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     page_id, then ONE window shuffle on reg_domain. The heavy-hitter
     domain is exactly the skewed key the salted-join machinery handles at
     100 TB; at quota k the window needs only a per-partition top-k
-    (Spark's WindowExec + rank filter prunes eagerly with AQE)."""
-    parsed = q_url_parse(spark, sf_dir).select("page_id", "reg_domain")
-    texts = q_html_text(spark, sf_dir).select("page_id", "n_words")
+    (Spark's WindowExec + rank filter prunes eagerly with AQE).
+
+    FUSED (round 8): the url and html corpora are 1:1 projections of the
+    same orders keys, so both derive in ONE scan/Project and the page_id
+    self-join of two recomputed regex pipelines (two shuffles + SMJ) is
+    gone (guide §2.4); the only remaining exchange is the quota window's,
+    where the rank filter drives the WindowGroupLimit top-k pushdown."""
+    from .functions import urls
+    from .operators import extract
+
+    pages = _okeys(spark, sf_dir).select(
+        F.col("o_orderkey").alias("page_id"),
+        F.expr(_urls_expr("string")).alias("url"),
+        F.expr(_pages_html_expr("string")).alias("html"),
+    )
+    parsed = urls.with_url_parts(pages).select(
+        "page_id", "reg_domain", F.encode(F.col("html"), "UTF-8").alias("html")
+    )
+    t = extract.html_to_text(parsed)
+    n_words = (
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split(F.col("text"), " ")))
+        .cast("int")
+    )
     w = Window.partitionBy("reg_domain").orderBy(F.desc("n_words"), F.asc("page_id"))
     return (
-        parsed.join(texts, "page_id")
-        .withColumn("qrank", F.row_number().over(w).cast("int"))
+        t.select("page_id", "reg_domain", n_words.alias("n_words"))
+        .withColumn("qrank", F.row_number().over(w))
         .filter(F.col("qrank") <= 5)
-        .select("reg_domain", "qrank", "page_id", "n_words")
+        .select("reg_domain", F.col("qrank").cast("int").alias("qrank"), "page_id", "n_words")
     )
 
 
@@ -425,7 +491,10 @@ select reg_domain, cast(qrank as int) as qrank, page_id, n_words from j where qr
 # hrefs (absolute external, host-absolute '/rel', relative 'sub/...',
 # an empty href, and a single-quoted decoy the grammar must IGNORE);
 # the k%29 relative-reference pages exercise hostless-base resolution.
-def _pages_links_sql(str_t: str) -> str:
+def _pages_links_expr(str_t: str) -> str:
+    """The link-markup concat expression alone (over a ``page_id``
+    column; see _pages_html_expr)."""
+
     def n(expr: str) -> str:
         return f"cast({expr} as {str_t})"
 
@@ -436,10 +505,24 @@ def _pages_links_sql(str_t: str) -> str:
     a_empty = f"case when {k} % 13 = 0 then '<a href=\"\">x</a>' else '' end"
     a_decoy = f"case when {k} % 7 = 0 then '<a href=' || chr(39) || 'decoy' || chr(39) || '>d</a>' else '' end"
     return (
-        f"select page_id, url, '<html><body>' || {a_ext} || {a_root} || {a_decoy} "
-        f"|| {a_rel} || {a_empty} || '</body></html>' as html "
+        f"'<html><body>' || {a_ext} || {a_root} || {a_decoy} "
+        f"|| {a_rel} || {a_empty} || '</body></html>'"
+    )
+
+
+def _pages_links_sql(str_t: str) -> str:
+    return (
+        f"select page_id, url, {_pages_links_expr(str_t)} as html "
         f"from ({_urls_sql(str_t)})"
     )
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _pages_links_sql on the _spread key base."""
+    return _okeys(spark, sf_dir).select(
+        F.col("o_orderkey").alias("page_id"),
+        F.expr(_urls_expr("string")).alias("url"),
+    ).withColumn("html", F.expr(_pages_links_expr("string")))
 
 
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,8 +533,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     grammar, resolution CASE and domain derivation in DuckDB."""
     from .functions import urls
 
-    _load(spark, sf_dir, "orders")
-    pages = spark.sql(_pages_links_sql("string"))
+    pages = _link_pages(spark, sf_dir)
     return urls.extract_links(pages).select(
         "page_id", "link_idx", "href", "resolved", "dst_host", "dst_reg_domain"
     )
@@ -495,7 +577,6 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow UDF over CPython's unicodedata. The oracle runs DuckDB's
     utf8proc-backed nfc_normalize on the identical corpus — two
     independent UAX #15 implementations must agree byte-for-byte."""
-    _load(spark, sf_dir, "orders")
     nfrag = len(_NFC_FRAGMENTS)
     frags = F.array(*[F.lit(s) for s in _NFC_FRAGMENTS])
     raw = F.concat(
@@ -503,7 +584,7 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.element_at(frags, (F.col("o_orderkey") * 7 % nfrag + 1).cast("int")),
     )
-    d = spark.table("orders").select(F.col("o_orderkey").alias("page_id"), raw.alias("raw"))
+    d = _okeys(spark, sf_dir).select(F.col("o_orderkey").alias("page_id"), raw.alias("raw"))
     out = d.withColumn("nfc", udfs.nfc_normalize(F.col("raw")))
     return out.select(
         "page_id",
@@ -550,11 +631,18 @@ def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer spec as q_domain_pagerank, so the result is hash-gateable;
     the oracle unrolls both phases as materialized CTE stages."""
     from .operators.graph import pagerank_integer
+    from .plans.checkpoints import eager_checkpoint, release
 
-    ed = _domain_edges(spark, sf_dir)
+    # materialize the edge pipeline ONCE: both phases consume `ed`, and
+    # before round 8 the warm phase re-derived the whole URL-parse +
+    # link-extract lineage a second time (guide §5: cut shared lineage)
+    ed, ed_ids = eager_checkpoint(_domain_edges(spark, sf_dir))
     hist = ed.filter(F.expr(f"{_PR_SPLIT} <> 0"))
     r_hist = pagerank_integer(hist, iters=6)
     out = pagerank_integer(ed, iters=3, init_ranks=r_hist)
+    # both phases checkpointed everything they need eagerly; the final
+    # ranks are self-contained (graph.py), so the edge snapshot can go
+    release(spark, ed_ids)
     return out.select("d", F.col("r").cast("long").alias("r"))
 
 
@@ -620,9 +708,18 @@ def q_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import urls
 
     pages = q_url_parse(spark, sf_dir).select("page_id", "reg_domain", "path")
-    doms = pages.filter(F.col("reg_domain") != "").select("reg_domain").distinct()
+    # _gen_barrier: the reg_domain != '' predicate would otherwise push
+    # below the parse Projects and re-derive the whole chain per row.
+    # localCheckpoint: `hd` feeds FIVE rule-union branches, each of which
+    # would re-execute the full parse + distinct (measured ~5x the
+    # query); the materialized table is ~|domains| rows (round 8).
+    doms = (
+        _gen_barrier(pages.select("reg_domain"))
+        .filter(F.col("reg_domain") != "")
+        .distinct()
+    )
     h = (F.ascii(F.substring("reg_domain", 5, 1)) + F.length("reg_domain")).alias("h")
-    hd = doms.select("reg_domain", h)
+    hd = doms.select("reg_domain", h).localCheckpoint(eager=True)
 
     def rule(rtype: str, prefix: F.Column, cond=None):
         out = hd.select(
@@ -682,12 +779,25 @@ from t where rn = 1
 
 def _domain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src reg_domain, dst reg_domain, w=link count) from the link
-    corpus — unresolvable links and hostless source pages excluded."""
-    parsed = q_url_parse(spark, sf_dir).select("page_id", "reg_domain")
-    links = q_link_extract(spark, sf_dir).select("page_id", "resolved", "dst_reg_domain")
+    corpus — unresolvable links and hostless source pages excluded.
+
+    FUSED (round 8): the source page's reg_domain derives from the same
+    ``url`` column the link resolution reads, so it is computed in the
+    SAME scan/explode stage instead of joining q_link_extract against
+    q_url_parse on page_id — that join re-derived the URL regex pipeline
+    twice and shuffled both 1:1 sides (guide §2.4: remove shuffles
+    outright). Equivalent because the parse side is keyed 1:1 by
+    page_id with the identical reg_domain expression."""
+    from .functions import urls
+
+    pages = _link_pages(spark, sf_dir)
+    j = urls.extract_links(urls.with_url_parts(pages))
+    # _gen_barrier: without it the two filters push below the Projects
+    # and re-derive the full parse/resolve expression trees per row just
+    # to evaluate the predicates
+    slim = _gen_barrier(j.select("reg_domain", "resolved", "dst_reg_domain"))
     return (
-        links.join(parsed, "page_id")
-        .filter((F.col("resolved") != "") & (F.col("reg_domain") != ""))
+        slim.filter((F.col("resolved") != "") & (F.col("reg_domain") != ""))
         .groupBy(F.col("reg_domain").alias("src"), F.col("dst_reg_domain").alias("dst"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
@@ -1870,35 +1980,56 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is bounded by per-token document frequency and the exact Jaccard
     runs only on prefix-sharing pairs. Sorted-token order is the global
     order (no df-table dependency; a df-ascending order would prune
-    harder at equal correctness)."""
+    harder at equal correctness).
+
+    SLIM candidate plan (round 8, guide §2.3/§8): the posting-list join
+    and the pair dedup carry ONLY (id, src, tok) — the token arrays no
+    longer ride every duplicated candidate row through two shuffles;
+    they re-join by doc id once per DEDUPED pair for the exact Jaccard.
+    The single tokenization pass is persisted for the operator's
+    lifetime (CacheScope, as in the other similarity paths)."""
+    from .operators.ann import scope_caches
+
     _load(spark, sf_dir, "documents")
-    d = spark.table("documents").withColumn(
-        "toks", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    toks = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "source",
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("toks"),
+        )
+        .persist()
     )
     # prefix length for Jaccard >= t: |S| - ceil(t|S|) + 1
     prefix_n = F.size("toks") - F.ceil(F.size("toks") * F.lit(JACCARD_T)).cast("int") + F.lit(1)
-    d = d.withColumn("prefix", F.slice("toks", 1, prefix_n))
-    a = d.filter(F.col("doc_id") % 50 == 0).select(
+    p = toks.withColumn("prefix", F.slice("toks", 1, prefix_n))
+    a = p.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("a_id"), F.col("source").alias("src"),
-        F.col("toks").alias("a_toks"), F.explode("prefix").alias("tok"),
+        F.explode("prefix").alias("tok"),
     )
-    b = d.select(
+    b = p.select(
         F.col("doc_id").alias("b_id"), F.col("source").alias("src"),
-        F.col("toks").alias("b_toks"), F.explode("prefix").alias("tok"),
+        F.explode("prefix").alias("tok"),
     )
-    pairs = (
+    pair_ids = (
         a.join(b, ["src", "tok"])  # shuffle key = (source, prefix token)
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_toks", "b_toks")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = pair_ids.join(
+        toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks")), "a_id"
+    ).join(
+        toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks")), "b_id"
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
     union = (F.size("a_toks") + F.size("b_toks")).cast("double") - inter
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("a_id", "b_id", "jaccard")
     )
+    return scope_caches(out, toks)
 
 
 SQL_NGRAM_JACCARD = """

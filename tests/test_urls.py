@@ -73,7 +73,12 @@ class TestUrlParts:
 
         plan = Q.q_link_extract(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, plan
-        assert "Exchange" not in plan, plan  # extraction composes into the scan stage
+        # extraction composes into the scan stage: no hash shuffle at all;
+        # the only allowed Exchange is the round-robin _spread parallelism
+        # guard ahead of the synth/regex Project (a no-op at production
+        # split counts — see queries._okeys, round 8)
+        assert "hashpartitioning" not in plan, plan
+        assert plan.count("Exchange") <= 1, plan
 
     def test_surt_locality(self, spark):
         """SURT pins + the property that justifies it: sorting by SURT

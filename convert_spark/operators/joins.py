@@ -259,11 +259,25 @@ def _tile_row_of(lat: float, n: int) -> int:
     return int(min(max(t, 0), n - 1))
 
 
-def _probe_prune_bound(q: DataFrame, r: DataFrame, zoom: int) -> float | None:
+def _latlon_extremes(q: DataFrame, r: DataFrame) -> tuple[float, float, float, float] | None:
+    """(lat_lo, lat_hi, lon_lo, lon_hi) over both sides, or None if either
+    side is empty — two bounded 1-row driver collects."""
+    qa = q.agg(
+        F.min("q_lat"), F.max("q_lat"), F.min("q_lon"), F.max("q_lon")
+    ).collect()[0]
+    ra = r.agg(
+        F.min("r_lat"), F.max("r_lat"), F.min("r_lon"), F.max("r_lon")
+    ).collect()[0]
+    if any(v is None for v in (*qa, *ra)):
+        return None
+    return (min(qa[0], ra[0]), max(qa[1], ra[1]), min(qa[2], ra[2]), max(qa[3], ra[3]))
+
+
+def _prune_bound_at(ext: tuple[float, float, float, float], zoom: int) -> float | None:
     """Strictly positive lower bound B (degrees) such that ANY query/ref
     pair whose tiles are at Chebyshev tile distance >= 2 at ``zoom`` has
     planar-equirectangular distance^2 >= B^2 — the geometric prune behind
-    the ring-1 density probe in knn_join.
+    the density probes in knn_join.
 
     Derivation: wrapped tile-x distance >= 2 leaves at least one full
     tile column strictly between the two points, so their circular (and
@@ -274,24 +288,14 @@ def _probe_prune_bound(q: DataFrame, r: DataFrame, zoom: int) -> float | None:
     minimum over the occupied row range is attained at its ends.
 
     Returns None (probe disabled, caller falls back to the exact ring
-    schedule) when either side is empty or any point lies outside the
-    web-mercator lat range / [-180, 180] lon range — tile clamping would
-    put such a point geometrically outside its tile and void the bound.
-    The two 1-row aggregates are bounded driver collects.
+    schedule) when any point lies outside the web-mercator lat range /
+    [-180, 180] lon range — tile clamping would put such a point
+    geometrically outside its tile and void the bound.
     """
     from ..functions.exprs import LAT_MAX, LAT_MIN
 
     n = 1 << zoom
-    qa = q.agg(
-        F.min("q_lat"), F.max("q_lat"), F.min("q_lon"), F.max("q_lon")
-    ).collect()[0]
-    ra = r.agg(
-        F.min("r_lat"), F.max("r_lat"), F.min("r_lon"), F.max("r_lon")
-    ).collect()[0]
-    if any(v is None for v in (*qa, *ra)):
-        return None
-    lat_lo, lat_hi = min(qa[0], ra[0]), max(qa[1], ra[1])
-    lon_lo, lon_hi = min(qa[2], ra[2]), max(qa[3], ra[3])
+    lat_lo, lat_hi, lon_lo, lon_hi = ext
     if not (LAT_MIN <= lat_lo and lat_hi <= LAT_MAX and -180.0 <= lon_lo and lon_hi <= 180.0):
         return None
     t_hi = _tile_row_of(lat_hi, n)  # northmost occupied row (smallest index)
@@ -339,11 +343,12 @@ def knn_join(
     the doubling bounds the fanout a wide fixed ring would pay everywhere.
 
     ``probe_ring`` (default 1; None disables; only active when
-    probe_ring < ring): a ring-1 density probe that answers dense
-    queries from their 3x3 tile neighborhood whenever their k-th probe
-    distance is provably smaller than any candidate outside the probe
-    ring (_probe_prune_bound) — a pure optimization, output identical
-    row-for-row; sparse stragglers fall through to the exact schedule.
+    probe_ring < ring): a cascaded ring-1 density probe (zoom+2, then
+    zoom) that answers dense queries from a 3x3 tile neighborhood
+    whenever their k-th probe distance is provably smaller than any
+    candidate outside the probe ring (_prune_bound_at) — a pure
+    optimization, output identical row-for-row; sparse stragglers fall
+    through to the exact schedule.
     """
     from ..functions import exprs
 
@@ -379,23 +384,47 @@ def knn_join(
     remaining = q
     rounds: list[DataFrame] = []
 
-    # Ring-1 density probe: answer dense queries from their immediate
-    # 3x3 tile neighborhood and run the (much wider) ring schedule only
-    # for the stragglers. Provably result-identical: every candidate
-    # OUTSIDE the probe ring sits at Chebyshev tile distance >= 2, hence
-    # at planar distance^2 >= B^2 (_probe_prune_bound); a query whose
-    # k-th probe distance is strictly below B^2 therefore already holds
-    # its exact global top-k, with identical ranks (no outside candidate
-    # can sort before any kept row, so ties/tiebreaks are untouched).
-    # At dense scale this replaces the (2*ring+1)^2-cell candidate join
-    # (289 cells/query at ring 8) with a 9-cell probe — the candidate
-    # volume drops ~30x and the WindowGroupLimit rank pushdown keeps the
-    # probe's shuffle at <= k rows per query per map partition.
+    # Density-probe CASCADE: answer dense queries from a ring-1 (3x3
+    # cell) neighborhood — first at zoom+2 (cells 4x smaller per axis,
+    # ~16x fewer candidates), then at the operator zoom — and run the
+    # (much wider) ring schedule only for the true stragglers. Provably
+    # result-identical: a ring-1 neighborhood at any deeper-or-equal
+    # zoom is a SUBSET of the operator-zoom candidate set (a zoom+dz
+    # neighbor cell lies within 2^-dz of the query's own operator-zoom
+    # cell), and every candidate OUTSIDE a probe's ring sits at Chebyshev
+    # tile distance >= 2 AT THAT PROBE ZOOM, hence at planar distance^2
+    # >= B^2 (_prune_bound_at); a query whose k-th probe distance is
+    # strictly below B^2 therefore already holds its exact global top-k,
+    # with identical ranks (no outside candidate can sort before any
+    # kept row, so ties/tiebreaks are untouched). At dense scale this
+    # replaces the (2*ring+1)^2-cell candidate join (289 cells/query at
+    # ring 8) with a 9-cell probe whose dominant cost — the local sort
+    # feeding the WindowGroupLimit rank pushdown — shrinks with the
+    # probe's candidate volume.
     if probe_ring is not None and 0 < probe_ring < ring:
-        bound = _probe_prune_bound(q, r, zoom)
-        if bound is not None:
+        ext = _latlon_extremes(q, r)
+        deep = min(zoom + 2, 30)
+        probe_zooms = ([] if ext is None else ([deep] if deep != zoom else []) + [zoom])
+        for pz in probe_zooms:
+            bound = _prune_bound_at(ext, pz)
+            if bound is None:
+                break
             b2 = bound * bound
-            cand = _ring_candidates(q, r, probe_ring, zoom, query_id, n_salt=n_salt)
+            if pz == zoom:
+                qz, rz = remaining, r
+            else:
+                qz = (
+                    remaining.select(query_id, "q_lat", "q_lon")
+                    .withColumn("q_tx", exprs.tile_x(F.col("q_lon"), pz))
+                    .withColumn("q_ty", exprs.tile_y(F.col("q_lat"), pz))
+                )
+                rz = (
+                    r.select(ref_id, "r_lat", "r_lon")
+                    .withColumn("r_tx", exprs.tile_x(F.col("r_lon"), pz))
+                    .withColumn("r_ty", exprs.tile_y(F.col("r_lat"), pz))
+                    .withColumn("r_cell", exprs.morton_cell(F.col("r_tx"), F.col("r_ty"), pz))
+                )
+            cand = _ring_candidates(qz, rz, probe_ring, pz, query_id, n_salt=n_salt)
             dlat = F.col("q_lat") - F.col("r_lat")
             dlon = F.col("q_lon") - F.col("r_lon")
             w_rank = Window.partitionBy(query_id).orderBy(

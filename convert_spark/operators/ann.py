@@ -102,6 +102,18 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = _SEED) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """At least default-parallelism partitions ahead of the signature /
+    assignment UDF passes: small test-scale vector tables scan as O(1)
+    splits, which pinned the Arrow matmul stages to one or two cores.
+    No-op (no exchange) when the input already has enough partitions —
+    the production case (round 8; same contract as queries._spread)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def _collect_small(df: DataFrame, what: str, max_rows: int = MAX_BROADCAST_ROWS):
     """toPandas with an enforced size bound: fetch max_rows+1 and fail fast
     if the side is not actually small (guards the broadcast-only shapes)."""
@@ -338,11 +350,17 @@ def salt_hot_keys(
     return q2, r2, keys + ["__salt"]
 
 
-def _dot_expr(a, b):
+def _dot_expr(a, b, dim: int | None = None):
+    """Sequential left-to-right fold dot product (``dim`` accepted for
+    call-site symmetry, unused). An unrolled left-associated 64-term
+    getItem sum was measured 5x SLOWER than this fold at sf1.0 (the
+    giant expression defeats codegen), so the HOF form IS the fast
+    path; it also fixes the exact fp summation order the KAT twins pin
+    (tests/sketch_reference_impl.cosine_s)."""
     return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _norm_expr(v):
+def _norm_expr(v, dim: int | None = None):
     """sqrt(dot(v, v)) — precompute ONCE per vector before a candidate
     join: evaluating it per candidate pair triples the rerank's JVM work
     (the dominant cost of the bucketed paths at scale). The value is
@@ -350,7 +368,7 @@ def _norm_expr(v):
     return F.sqrt(_dot_expr(v, v))
 
 
-def _cosine_expr(a: str, b: str):
+def _cosine_expr(a: str, b: str, dim: int | None = None):
     return _dot_expr(F.col(a), F.col(b)) / (
         _norm_expr(F.col(a)) * _norm_expr(F.col(b))
     )
@@ -405,8 +423,8 @@ def neardup_lsh(
     # instead). Persisting a private projection, not the caller's
     # DataFrame, means the operator never mutates the input's cache state
     # or collides with a caller-chosen storage level (ADVICE r5).
-    corpus = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    corpus = _ensure_parallelism(
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     ).persist()
     keyed = (
         with_lsh_keys(corpus, "__v", dim, bands, bits_per_band)
@@ -417,7 +435,7 @@ def neardup_lsh(
         .select(F.col(id_col), "band", "bucket")
         .persist()
     )
-    vecs = corpus.withColumn("__n", _norm_expr(F.col("__v")))  # norm once per vector
+    vecs = corpus.withColumn("__n", _norm_expr(F.col("__v"), dim))  # norm once per vector
     a = keyed.select(F.col(id_col).alias("a_id"), "band", "bucket")
     b = keyed.select(F.col(id_col).alias("b_id"), "band", "bucket")
     join_keys = ["band", "bucket"]
@@ -436,7 +454,7 @@ def neardup_lsh(
         vecs.select(F.col(id_col).alias("b_id"), F.col("__v").alias("b_v"), F.col("__n").alias("b_n")),
         "b_id",
     )
-    sim = _dot_expr(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))
+    sim = _dot_expr(F.col("a_v"), F.col("b_v"), dim) / (F.col("a_n") * F.col("b_n"))
     out = (
         cand.withColumn("sim_r", F.round(sim, 6))
         .filter(F.col("sim_r") >= threshold)
@@ -473,15 +491,17 @@ def ann_lsh_topk(
         "q_emb", dim, bands, bits_per_band,
     ).select(F.col(id_q), "band", "bucket")
     r = with_lsh_keys(
-        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")),
+        _ensure_parallelism(
+            refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+        ),
         "r_emb", dim, bands, bits_per_band,
     ).select(F.col(id_r), "band", "bucket")
     q_vecs = queries.select(
         F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")
-    ).withColumn("q_n", _norm_expr(F.col("q_emb")))  # norm once per vector
+    ).withColumn("q_n", _norm_expr(F.col("q_emb"), dim))  # norm once per vector
     r_vecs = refs.select(
         F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")
-    ).withColumn("r_n", _norm_expr(F.col("r_emb")))
+    ).withColumn("r_n", _norm_expr(F.col("r_emb"), dim))
     join_keys = ["band", "bucket"]
     cached = []
     if bucket_cap:
@@ -499,7 +519,7 @@ def ann_lsh_topk(
         .join(q_vecs, id_q)
         .join(r_vecs, id_r)
     )
-    sim = _dot_expr(F.col("q_emb"), F.col("r_emb")) / (F.col("q_n") * F.col("r_n"))
+    sim = _dot_expr(F.col("q_emb"), F.col("r_emb"), dim) / (F.col("q_n") * F.col("r_n"))
     ranked = cand.withColumn("sim_r", F.round(sim, 6)).withColumn(
         "rank",
         F.row_number().over(Window.partitionBy(id_q).orderBy(F.col("sim_r").desc(), F.col(id_r).asc())),
@@ -656,7 +676,9 @@ def ivf_topk(
     # (id, centroid); vectors re-join by id for the rerank (see
     # neardup_lsh — shuffling pair ids, not the corpus)
     r = (
-        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+        _ensure_parallelism(
+            refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+        )
         .withColumn("centroid", nearest_centroid(F.col("r_emb")))
         .select(id_r, "centroid")
     )

@@ -1700,7 +1700,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels.textkit.quality_features' weighted-clip formula — now
     oracle-checked end to end, not just the individual ratios)."""
     _load(spark, sf_dir, "documents")
-    d = spark.table("documents")
+    d = _spread(spark.table("documents"), "doc_id")
     q = _quality_cols("text")
     n_words, punct_ratio, stop_ratio, score = (
         q["n_words"], q["punct_ratio"], q["stop_ratio"], q["score"]
@@ -1757,7 +1757,7 @@ def q_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     word key and the corpus total is one broadcast scalar."""
     _load(spark, sf_dir, "documents")
     words = (
-        spark.table("documents")
+        _spread(spark.table("documents").select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
         .filter(F.col("w") != "")
     )
@@ -1992,7 +1992,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     toks = (
-        spark.table("documents")
+        _spread(spark.table("documents").select("doc_id", "source", "text"), "doc_id")
         .select(
             "doc_id",
             "source",

@@ -79,7 +79,16 @@ def mention_latlon(ids: np.ndarray, mention: int) -> tuple[np.ndarray, np.ndarra
 
 
 def _page_batch(ids: np.ndarray) -> pd.DataFrame:
-    """Build one Arrow batch of pages for the given row ids."""
+    """Build one Arrow batch of pages for the given row ids.
+
+    VECTORIZED across the batch (round 8): the page generator was ~90%
+    of the headline pipeline's wall, dominated by per-row numpy calls
+    (~15 tiny _mix64/_randint invocations per page) and per-row string
+    formatting. All randomness, coordinates and mention strings now
+    compute batch-at-once; the only remaining per-row Python is the
+    token splice + ' '.join. Output is byte-identical to the pre-r8
+    row loop (same _mix64 streams, same '%.5f' float formatting —
+    pinned by tests/test_datagen.py and the entry golden digest)."""
     n = ids.size
     n_sites = 50
     site = (ids % n_sites).astype(np.int64)
@@ -90,22 +99,60 @@ def _page_batch(ids: np.ndarray) -> pd.DataFrame:
     n_mentions = _randint(ids, 3, 4)  # 0..3 mentions per page
 
     n_words = 30 + _randint(ids, 4, 30)  # 30..59 words
+    if n == 0:
+        return pd.DataFrame(
+            {"url": url, "warc_ts": warc_ts, "html": np.array([], dtype=object),
+             "text": np.array([], dtype=object), "lang": lang, "page_id": ids.astype(np.int64)}
+        )
+    # flat word-index stream: one _mix64 over sum(n_words) elements
+    # reproduces the per-row arange(n_words[row]) + (id << 8) calls
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_words[:-1], out=starts[1:])
+    total = int(starts[-1] + n_words[-1])
+    rows_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    j_flat = np.arange(total, dtype=np.uint64) - starts.astype(np.uint64)[rows_of]
+    id_shift = (ids.astype(np.uint64) << np.uint64(8)) & np.uint64(_MASK64)
+    w_idx = _mix64(j_flat + id_shift[rows_of], 5) % np.uint64(len(_VOCAB))
+    words_flat = _VOCAB[w_idx.astype(np.int64)]
+
+    # mentions: per slot m, vectorized coords/format/position over the
+    # rows with n_mentions > m (same per-id streams as the row loop)
+    mention_strs: list[np.ndarray] = []
+    mention_pos: list[np.ndarray] = []
+    mention_mask: list[np.ndarray] = []
+    for m in range(3):
+        mask = n_mentions > m
+        mids = ids[mask]
+        if mids.size == 0:
+            mention_mask.append(mask)
+            mention_strs.append(np.array([], dtype=object))
+            mention_pos.append(np.array([], dtype=np.int64))
+            continue
+        lat, lon = mention_latlon(mids, m)
+        fmt = _randint(mids, 2000 + m, 2)
+        lat5 = np.char.mod("%.5f", lat).astype(object)
+        lon5 = np.char.mod("%.5f", lon).astype(object)
+        lat4 = np.char.mod("%.4f", lat).astype(object)
+        lon4 = np.char.mod("%.4f", lon).astype(object)
+        geo = "geo:" + lat5 + "," + lon5
+        latlon = "lat " + lat4 + " lon " + lon4
+        mention_strs.append(np.where(fmt == 0, geo, latlon))
+        # list length at insertion time is n_words + m
+        mod = (n_words[mask] + m + 1).astype(np.uint64)
+        mention_pos.append((_mix64(mids, 3000 + m) % mod).astype(np.int64))
+        mention_mask.append(mask)
+    # scatter per-slot arrays back to per-row values
+    ment_s = np.empty((3, n), dtype=object)
+    ment_p = np.zeros((3, n), dtype=np.int64)
+    for m in range(3):
+        ment_s[m][mention_mask[m]] = mention_strs[m]
+        ment_p[m][mention_mask[m]] = mention_pos[m]
+
     texts = []
     for row in range(n):
-        rid = ids[row : row + 1]
-        w_idx = _mix64(
-            np.arange(int(n_words[row]), dtype=np.uint64) + np.uint64((int(ids[row]) << 8) & _MASK64), 5
-        ) % np.uint64(len(_VOCAB))
-        words = list(_VOCAB[w_idx.astype(np.int64)])
-        k = int(n_mentions[row])
-        for m in range(k):
-            lat, lon = mention_latlon(rid, m)
-            fmt = int(_randint(rid, 2000 + m, 2)[0])
-            mention = (
-                f"geo:{lat[0]:.5f},{lon[0]:.5f}" if fmt == 0 else f"lat {lat[0]:.4f} lon {lon[0]:.4f}"
-            )
-            pos = int(_randint(rid, 3000 + m, len(words) + 1)[0])
-            words.insert(pos, mention)
+        words = list(words_flat[starts[row] : starts[row] + n_words[row]])
+        for m in range(int(n_mentions[row])):
+            words.insert(int(ment_p[m][row]), ment_s[m][row])
         texts.append(" ".join(words))
     text = np.array(texts, dtype=object)
     html = np.array(

@@ -66,21 +66,35 @@ def _polygon_index(polygons_pdf: pd.DataFrame):
 def _match_pairs(idx, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(point_idx, poly_id) pairs for every point-in-polygon containment:
     STRtree bbox candidates, then exact even-odd ray casting batched by
-    candidate polygon (rings were closed at index-build time)."""
+    candidate polygon (rings were closed at index-build time).
+
+    Candidates are grouped per polygon by ONE sort + contiguous slices
+    (round 8): the previous per-polygon boolean masks re-scanned the
+    whole candidate array once per polygon — O(polys x candidates) just
+    to group, ~6x the refine cost on a dense urban batch. Pair order out
+    is unchanged (the inside mask is scattered back to candidate order).
+    """
     tree: strtree_kernel.STRtree = idx["tree"]
     qi, ii = tree.query_points(px, py)
     if qi.size:
-        inside = np.zeros(qi.size, dtype=bool)
-        for poly in np.unique(ii):
-            sel = ii == poly
-            crossings = np.zeros(int(sel.sum()), dtype=np.int64)
+        order = np.argsort(ii, kind="stable")
+        qi_s, ii_s = qi[order], ii[order]
+        uniq, starts = np.unique(ii_s, return_index=True)
+        ends = np.append(starts[1:], ii_s.size)
+        inside_s = np.zeros(qi.size, dtype=bool)
+        for poly, s, e in zip(uniq, starts, ends):
+            pxs = px[qi_s[s:e]]
+            pys = py[qi_s[s:e]]
+            crossings = np.zeros(int(e - s), dtype=np.int64)
             # even-odd over ALL rings: a point crossing an even count of
             # ring edges (outer + hole) is outside — the doughnut filter
             for ring in idx["rings"][poly]:
                 if ring.shape[0] < 4:
                     continue
-                crossings += pip_kernel.ring_crossings(px[qi[sel]], py[qi[sel]], ring)
-            inside[sel] = (crossings & 1).astype(bool)
+                crossings += pip_kernel.ring_crossings(pxs, pys, ring)
+            inside_s[s:e] = (crossings & 1).astype(bool)
+        inside = np.zeros(qi.size, dtype=bool)
+        inside[order] = inside_s
         qi, ii = qi[inside], ii[inside]
     return qi, idx["poly_ids"][ii]
 

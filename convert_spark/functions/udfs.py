@@ -104,7 +104,7 @@ def minhash_sig(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def lsh_keys(text: pd.Series) -> pd.Series:
     sigs = sk.minhash_signatures(text)
-    return pd.Series([sk.lsh_band_keys(s) for s in sigs])
+    return pd.Series(list(sk.lsh_band_keys_batch(sigs)))
 
 
 @F.pandas_udf(T.StringType())

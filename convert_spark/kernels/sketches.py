@@ -107,6 +107,32 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[int]:
     return keys
 
 
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(N, bands) int64 band keys for a whole signature batch —
+    bit-identical to per-row lsh_band_keys (tested), but the FNV-1a byte
+    walk runs VECTORIZED across documents: the per-doc/per-byte Python
+    loop was the dominant cost of the MinHash key UDF (round 8). The
+    walk is ``bands x (rows*8 + 1)`` numpy passes over the doc axis;
+    uint64 arithmetic wraps mod 2^64 exactly like the masked scalar."""
+    from .textkit import _FNV_OFFSET, _FNV_PRIME
+
+    sigs = np.asarray(sigs, dtype=np.int64)
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    # explicit little-endian bytes == np.int64.tobytes() on this platform
+    le = np.ascontiguousarray(sigs.astype("<i8")).view(np.uint8).reshape(n, num_perm * 8)
+    prime = np.uint64(_FNV_PRIME)
+    out = np.empty((n, bands), dtype=np.int64)
+    for bidx in range(bands):
+        chunk = le[:, bidx * rows * 8 : (bidx + 1) * rows * 8]
+        h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(rows * 8):
+            h = (h ^ chunk[:, j].astype(np.uint64)) * prime
+        h = (h ^ np.uint64(bidx)) * prime  # the appended band byte
+        out[:, bidx] = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    return out
+
+
 def jaccard_from_signatures(s1: np.ndarray, s2: np.ndarray) -> float:
     s1 = np.asarray(s1)
     s2 = np.asarray(s2)

@@ -1041,8 +1041,8 @@ from proj group by 2, 3
 def q_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile equi-join: points joined to a (broadcast) tile dimension built
     from the distinct tiles of the customer-derived points."""
-    _load(spark, sf_dir, "lineitem", "customer")
-    pts = tiles.with_tile(spark.sql(_PTS_SQL), 8)
+    _load(spark, sf_dir, "customer")
+    pts = tiles.with_tile(_points(spark, sf_dir), 8)
     dim = (
         tiles.with_tile(spark.sql(_QPTS_SQL), 8)
         .select("zoom", "tile_x", "tile_y")
@@ -1077,8 +1077,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt replication (the failure mode of a wrong salt-side fan-out)
     breaks the hash. The skew-WALL evidence lives in bench.py's
     skew_stress section; this row pins correctness of the rewrite."""
-    _load(spark, sf_dir, "lineitem", "customer")
-    pts = tiles.with_tile(spark.sql(_PTS_SQL), 7)
+    _load(spark, sf_dir, "customer")
+    pts = tiles.with_tile(_points(spark, sf_dir), 7)
     dim = (
         tiles.with_tile(spark.sql(_QPTS_SQL), 7)
         .select("zoom", "tile_x", "tile_y")

@@ -61,6 +61,15 @@ def get_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash joins when the per-partition
+        # build side fits (guide §9): the engine's candidate/dim join
+        # sides are slim by design, and skipping the sort-merge sorts
+        # measured a consistent win across the join-heavy suite (round
+        # 8: dedup_incremental -26%, knn -35%, asof/revenue/quota -30%;
+        # nothing regressed warm). Bucketed co-located joins pin their
+        # SortMergeJoin shape explicitly via a MERGE hint (bucketing.py)
+        # and are unaffected.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

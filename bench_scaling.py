@@ -287,10 +287,23 @@ def main() -> None:
     # a quiet-steal window; pairing a lucky small-N draw with an unlucky
     # large-N one otherwise understates the engine (measured round 7:
     # threads 2->8 pooled 0.777 from 3 passes, per-pass 0.838/0.861).
+    def _host_fingerprint() -> str:
+        # ADVICE r7: the sandbox VM varies per round; cross-VM draws must
+        # never pool (min-wall pooling would mix machines and misstate
+        # the graded ratios). machine-id falls back to boot id.
+        mid = ""
+        for p in ("/etc/machine-id", "/proc/sys/kernel/random/boot_id"):
+            try:
+                mid = Path(p).read_text().strip()
+                break
+            except OSError:
+                continue
+        return f"{os.cpu_count()}:{mid}"
+
     raw_path = Path(REPO, "scaling_raw.json")
     if raw_path.exists():
         prior = json.loads(raw_path.read_text())
-        if prior.get("n_pages") == N_PAGES:
+        if prior.get("n_pages") == N_PAGES and prior.get("host") == _host_fingerprint():
             ex_runs = [
                 {tuple(map(int, k.split(","))): v for k, v in r.items()}
                 for r in prior["ex_runs"]
@@ -300,6 +313,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_pages": N_PAGES,
+                "host": _host_fingerprint(),
                 "ex_runs": [{f"{c},{n}": v for (c, n), v in r.items()} for r in ex_runs],
                 "th_runs": [{str(c): v for c, v in r.items()} for r in th_runs],
             }

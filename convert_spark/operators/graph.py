@@ -62,6 +62,11 @@ def pagerank_integer(
     final ranks)."""
     from ..plans.checkpoints import eager_checkpoint, release
 
+    if iters < 1:
+        # with iters=0 the returned frame would still derive from the
+        # nodes checkpoint that the final release() frees — evaluating
+        # it later reads released checkpoint storage (ADVICE r7)
+        raise ValueError("pagerank_integer requires iters >= 1")
     spark = edges.sparkSession
     # checkpoint the (possibly expensive) edge input ONCE: nodes, outw,
     # e_o and sinks all derive from it — without this an upstream like

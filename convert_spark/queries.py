@@ -3374,7 +3374,7 @@ def _sql_warc_tiles() -> str:
     from .operators.extract import MENTION_PATTERN
 
     pat = MENTION_PATTERN.replace("'", "''")
-    kat = _sql_kat("q_warc_pages").split("from")[-1].strip()
+    kat = f"'{_kat_path('q_warc_pages')}'"
     return f"""
 with pages as (select url, text from {kat} where text is not null),
 m as (select url, regexp_extract_all(text, '{pat}') as ms from pages),
@@ -3789,12 +3789,18 @@ QUERIES = {
 }
 
 
-def _sql_kat(name: str) -> str:
-    """Oracle for a known-answer table: valid on any DuckDB connection."""
+def _kat_path(name: str) -> str:
+    """Absolute path of a known-answer table (shared by _sql_kat and the
+    WARC composition oracle — ADVICE r7: never string-split the SQL to
+    recover it; a repo path containing 'from' would corrupt it)."""
     import pathlib
 
-    kat = pathlib.Path(__file__).resolve().parent.parent / "tests" / "kats" / f"{name}.parquet"
-    return f"select * from '{kat}'"
+    return str(pathlib.Path(__file__).resolve().parent.parent / "tests" / "kats" / f"{name}.parquet")
+
+
+def _sql_kat(name: str) -> str:
+    """Oracle for a known-answer table: valid on any DuckDB connection."""
+    return f"select * from '{_kat_path(name)}'"
 
 
 def oracles() -> dict[str, str]:

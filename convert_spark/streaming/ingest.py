@@ -121,8 +121,13 @@ def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10, 
     ``<state_dir>/vE`` FIRST, then the ``_LATEST`` pointer file is updated
     (commit-last). A crash between the two leaves the pointer at E-1, so
     the replayed epoch re-reads the same previous state, overwrites vE and
-    re-commits — same result. Prior versions stay until vacuumed, which
-    also gives snapshot reads of any epoch.
+    re-commits — same result. A crash AFTER the pointer write but before
+    Structured Streaming commits the epoch's offsets replays epoch E with
+    the pointer already at E — so the base state is the largest version
+    STRICTLY BELOW the replayed epoch, never the pointer value itself
+    (ADVICE r7: folding vE into itself would double-count the batch and
+    overwrite the very directory being read). Prior versions stay until
+    vacuumed, which also gives snapshot reads of any epoch.
 
     ``metrics=True`` (default) additionally commits one snapshot record
     per epoch through plans.snapshots.SnapshotLog — input rows, wall
@@ -138,12 +143,27 @@ def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10, 
         ptr = Path(state_dir) / "_LATEST"
         return ptr.read_text().strip() if ptr.exists() else None
 
+    def _base_version(epoch_id: int) -> int | None:
+        """Largest committed state version STRICTLY below this epoch —
+        the fold base that stays correct when the epoch is a replay of a
+        crash that already advanced the pointer (see docstring)."""
+        ptr = _latest_version()
+        if ptr is not None and int(ptr) < epoch_id:
+            return int(ptr)
+        versions = sorted(
+            int(p.name[1:])
+            for p in Path(state_dir).glob("v*")
+            if p.name[1:].isdigit()
+        )
+        below = [v for v in versions if v < epoch_id]
+        return below[-1] if below else None
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         n_in = batch_df.count()
         mentions = extract.extract_mentions(batch_df)
         tiled = tiles.with_tile(extract.normalize_points(mentions), zoom)
-        prev_v = _latest_version()
+        prev_v = _base_version(int(epoch_id))
         prev = None if prev_v is None else batch_df.sparkSession.read.parquet(f"{state_dir}/v{prev_v}")
         out = tiles.tile_datasets(tiled) if prev is None else tiles.merge_tile_datasets(prev, tiled)
         out.write.mode("overwrite").parquet(f"{state_dir}/v{epoch_id}")
@@ -167,4 +187,8 @@ def foreach_batch_incremental(pages: DataFrame, state_dir: str, zoom: int = 10, 
                 },
             )
 
-    return pages.writeStream.option("checkpointLocation", f"{state_dir}/_chk").foreachBatch(handle)
+    writer = pages.writeStream.option("checkpointLocation", f"{state_dir}/_chk").foreachBatch(handle)
+    # test hook: lets the replay-idempotence tests invoke the epoch
+    # handler directly with a controlled (batch, epoch_id) pair
+    writer._convert_spark_handle = handle
+    return writer

@@ -87,3 +87,31 @@ class TestIncrementalStream:
         import pandas as pd
 
         pd.testing.assert_frame_equal(before, after)
+
+    def test_replay_after_pointer_write_is_idempotent(self, spark, tmp_path):
+        """ADVICE r7: a crash AFTER the _LATEST pointer write but before
+        Structured Streaming commits the epoch's offsets replays epoch E
+        with the pointer already at E. The handler must fold the replayed
+        batch into the state STRICTLY BELOW E (not vE itself — that would
+        double-count the batch and overwrite the directory being read)."""
+        import pandas as pd
+
+        landing = str(tmp_path / "landing")
+        state = str(tmp_path / "state")
+        pages = datagen.webpages(spark, 160)
+        pages.coalesce(1).write.parquet(landing)
+
+        stream = ingest.read_page_stream(spark, landing, max_files_per_trigger=1)
+        h = ingest.foreach_batch_incremental(stream, state, zoom=8)._convert_spark_handle
+        b0 = pages.filter(F.col("page_id") % 2 == 0)
+        b1 = pages.filter(F.col("page_id") % 2 == 1)
+        h(b0, 0)
+        h(b1, 1)
+        assert (Path(state) / "_LATEST").read_text().strip() == "1"
+        before = spark.read.parquet(f"{state}/v1").orderBy("cell_id").toPandas()
+
+        # crash-after-pointer simulation: the pointer is already at 1 and
+        # foreachBatch re-delivers the SAME batch + epoch id
+        h(b1, 1)
+        after = spark.read.parquet(f"{state}/v1").orderBy("cell_id").toPandas()
+        pd.testing.assert_frame_equal(before, after)

@@ -2694,7 +2694,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _neardup_corpus(spark, sf_dir)
     nd = neardup_lsh(corpus, threshold=NEARDUP_T)
-    pairs = nd.select("a_id", "b_id")
+    # materialize the pair set ONCE: the historical and increment filters
+    # each consume it, and the band join + dedup + rerank would otherwise
+    # run twice (round 8); the checkpoint is released with nd's CacheScope
+    # lifecycle (the tiny pair table itself stays until GC like any other
+    # localCheckpoint intermediate)
+    pairs = nd.select("a_id", "b_id").localCheckpoint(eager=True)
     is_new = F.pmod(F.xxhash64("a_id", "b_id", F.lit(3)), F.lit(3)) == 0
     old_pairs = pairs.filter(~is_new)
     new_pairs = pairs.filter(is_new)

@@ -3719,6 +3719,19 @@ def q_datasets_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- registry ---------------------------------------------------------------------
 
 QUERIES = {
+    # The 8 rows no driver CORRECTNESS snapshot has ever sampled lead
+    # the registry (VERDICT r7 item 3): if the driver takes a prefix of
+    # queries(), they finally land in the sample; the dict is name-keyed
+    # so ordering carries zero semantic risk. Side benefit: the session/
+    # codegen cold-start lands on cheap rows instead of q_to3857.
+    "q_warc_pages": q_warc_pages,
+    "q_warc_tiles": q_warc_tiles,
+    "q_warc_cdx": q_warc_cdx,
+    "q_datasets_json": q_datasets_json,
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_salted_join": q_salted_join,
+    "q_bucketed_join": q_bucketed_join,
+    "q_mesh_drape": q_mesh_drape,
     "q_to3857": q_to3857,
     "q_to4326": q_to4326,
     "q_extract": q_extract,

@@ -329,15 +329,29 @@ def main() -> None:
                 "n_draws": len(draws),
                 "pooled_walls": [d["wall_s"] for d in draws]}
 
-    ex_results = {k: _pool(ex_runs, k) for k in ex_runs[0]}
-    results = {c: _pool(th_runs, c) for c in th_runs[0]}
+    # pool over the UNION of levels across runs: a graded-only run
+    # prepended by a prior full-pass pool (or vice versa) must not drop
+    # the levels the first run happened not to carry
+    ex_results = {k: _pool(ex_runs, k) for k in sorted({k for r in ex_runs for k in r})}
+    results = {c: _pool(th_runs, c) for c in sorted({c for r in th_runs for c in r})}
 
-    def ex_eff(c: int, lo: int, hi: int) -> float:
+    def ex_eff(c: int, lo: int, hi: int) -> float | None:
+        # a graded-only pass on a fresh host (prior pool discarded by the
+        # host-fingerprint guard) carries only the graded levels — report
+        # what ran instead of KeyError-ing
+        if (c, lo) not in ex_results or (c, hi) not in ex_results:
+            return None
         return ex_results[(c, hi)]["rows_per_sec"] / ((hi // lo) * ex_results[(c, lo)]["rows_per_sec"])
 
-    e_exec = {f"{lo}v{hi}@{c}c": round(ex_eff(c, lo, hi), 3) for c, lo, hi in EXEC_CONFIGS}
+    e_exec = {
+        f"{lo}v{hi}@{c}c": round(v, 3)
+        for c, lo, hi in EXEC_CONFIGS
+        if (v := ex_eff(c, lo, hi)) is not None
+    }
 
-    def eff(lo: int, hi: int) -> float:
+    def eff(lo: int, hi: int) -> float | None:
+        if lo not in results or hi not in results:
+            return None
         ratio = hi // lo
         return results[hi]["rows_per_sec"] / (ratio * results[lo]["rows_per_sec"])
 
@@ -358,6 +372,9 @@ def main() -> None:
     e_primary = eff(*PRIMARY)
     e_mid = eff(*MID)
     e_secondary = eff(*SECONDARY)
+
+    def _rnd(v: float | None):
+        return None if v is None else round(v, 3)
     summary = {
         "metric": "tile_assignment_scaling",
         "n_pages": N_PAGES,
@@ -367,14 +384,14 @@ def main() -> None:
         "executor_levels": {f"{n}x{c}": ex_results[(c, n)] for (c, n) in ex_results},
         "scaling_efficiency_executors": e_exec,
         "levels": {str(c): results[c] for c in results},
-        "scaling_efficiency_threads_2v8": round(e_primary, 3),
-        "scaling_efficiency_threads_4v16": round(e_mid, 3),
-        "scaling_efficiency_threads_8v32": round(e_secondary, 3),
+        "scaling_efficiency_threads_2v8": _rnd(e_primary),
+        "scaling_efficiency_threads_4v16": _rnd(e_mid),
+        "scaling_efficiency_threads_8v32": _rnd(e_secondary),
         "target": 0.8,
         # graded criterion (BASELINE): the pinned N->4N proxy; executor
         # mode is reported as topology evidence with its measured Amdahl
         # term (see BENCH_SCALING.md analysis)
-        "pass": e_primary >= 0.8,
+        "pass": e_primary is not None and e_primary >= 0.8,
         # false when ANY level ran unpinned (host smaller than the lane
         # count) — the efficiency numbers then mix protocols
         "all_pinned": all(r.get("pinned") for r in results.values())
@@ -408,6 +425,7 @@ def main() -> None:
         f"**Executor pair {lo} -> {hi} ({c}-core executors, N -> 4N): efficiency = {ex_eff(c, lo, hi):.3f}** "
         f"(target >= 0.8: {'PASS' if ex_eff(c, lo, hi) >= 0.8 else 'FAIL'})"
         for c, lo, hi in EXEC_CONFIGS
+        if ex_eff(c, lo, hi) is not None
     )
     md = f"""# BENCH_SCALING — N vs 4N throughput (north_rule evidence)
 
@@ -434,7 +452,7 @@ criterion is evidenced two ways.
 **Primary (N=2 -> 4N=8, the per-executor core range of real deployments):
 efficiency = rate(8) / (4 x rate(2)) = {e_primary:.3f}** (target >= 0.8: {"PASS" if e_primary >= 0.8 else "FAIL"})
 
-Thread-mode beyond 8 lanes: 4->16 = {e_mid:.3f}, 8->32 = {e_secondary:.3f}.
+Thread-mode beyond 8 lanes: 4->16 = {(f'{e_mid:.3f}' if e_mid is not None else 'n/a')}, 8->32 = {(f'{e_secondary:.3f}' if e_secondary is not None else 'n/a')}.
 
 ## Per-pass draws ({runs}-pass pool, graded pairs re-drawn every pass)
 

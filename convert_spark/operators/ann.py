@@ -108,8 +108,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     splits, which pinned the Arrow matmul stages to one or two cores.
     No-op (no exchange) when the input already has enough partitions —
     the production case (round 8; same contract as queries._spread)."""
+    from ..session import num_partitions
+
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
+    if num_partitions(df) >= p:
         return df
     return df.repartition(p)
 

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from .functions import exprs, udfs
 from .operators import joins, tiles
+from .session import num_partitions
 
 # --- shared derivations -------------------------------------------------------
 
@@ -52,9 +53,25 @@ _RPTS_SQL = (
 )
 
 
+# lazy-reader memo: spark.read.parquet re-lists the directory and re-infers
+# the schema on EVERY call (~50-150 ms warm) — pure fixed overhead when the
+# same immutable sf_dir is queried dozens of times per session (the bench /
+# oracle-harness shape). The memo holds only the UNEXECUTED reader plan,
+# never rows, so every action still computes from the parquet files. Keyed
+# by id(spark): a memoized DataFrame strongly references its session, so
+# that id cannot be reused while the entry lives. View registration (cheap)
+# is repeated every call, preserving same-name-different-dir semantics.
+_READER_MEMO: dict = {}
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
-        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+        key = (id(spark), sf_dir, n)
+        df = _READER_MEMO.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            _READER_MEMO[key] = df
+        df.createOrReplaceTempView(n)
 
 
 def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -66,12 +83,13 @@ def _spread(df: DataFrame, *key_cols: str) -> DataFrame:
     (a 100 TB table arrives in thousands of splits).
 
     Test-scale cost (accepted, documented so bench readers don't chase
-    it): the partition-count probe materializes the plan via ``.rdd``
-    and, when it fires, adds one real exchange — at sf0.01/0.1 this can
-    visibly shift sub-second walls (e.g. q_fingerprint 0.34->0.66 s on
-    the round-5 VM). The production shape is unchanged; see bench.py."""
+    it): the partition-count probe materializes the plan (session.
+    num_partitions — the cheap JVM-side variant, round 8) and, when it
+    fires, adds one real exchange — at sf0.01/0.1 this can visibly
+    shift sub-second walls (e.g. q_fingerprint 0.34->0.66 s on the
+    round-5 VM). The production shape is unchanged; see bench.py."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
+    if num_partitions(df) >= p:
         return df
     return df.repartition(p, *key_cols) if key_cols else df.repartition(p)
 

@@ -12,6 +12,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def num_partitions(df) -> int:
+    """Partition count of a DataFrame's physical plan, via the JVM-side
+    internal RDD. ``df.rdd`` builds the same plan but ALSO wraps it in a
+    Python-deserializer RDD (~40% slower per probe, measured round 8);
+    both report the identical partition count — the deserializer is a
+    1:1 mapPartitions. Falls back to ``df.rdd`` if the internal handle
+    is unavailable."""
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
 def get_session(
     cores: int | None = None,
     app_name: str = "convert_spark",

@@ -845,6 +845,40 @@ class TestRealPixelDecode:
             multimodal._png_pixels(bad)
 
 
+class TestLoadReaderMemo:
+    """Round-8: _load memoizes the lazy parquet reader per (session,
+    sf_dir, table) — the per-call directory listing + schema inference was
+    fixed overhead across the whole query suite. The memo must hold only
+    the unexecuted plan and the per-call view registration must still
+    switch tables when the SAME view name points at a DIFFERENT sf_dir."""
+
+    def test_view_switches_between_sf_dirs(self, spark):
+        from convert_spark import queries as Q
+
+        Q._load(spark, "/root/testdata/sf0.001", "orders")
+        n_small = spark.table("orders").count()
+        Q._load(spark, "/root/testdata/sf0.01", "orders")
+        n_big = spark.table("orders").count()
+        Q._load(spark, "/root/testdata/sf0.001", "orders")
+        n_again = spark.table("orders").count()
+        assert n_big > n_small  # different dir really took effect
+        assert n_again == n_small  # and switching back restores the old one
+
+    def test_reader_is_memoized_not_results(self, spark):
+        from convert_spark import queries as Q
+
+        Q._load(spark, "/root/testdata/sf0.001", "customer")
+        key = (id(spark), "/root/testdata/sf0.001", "customer")
+        first = Q._READER_MEMO[key]
+        Q._load(spark, "/root/testdata/sf0.001", "customer")
+        assert Q._READER_MEMO[key] is first  # same lazy reader object
+        # the memoized object is a plan, not materialized rows: an action
+        # on it must still hit the parquet scan (storage stays empty)
+        assert spark.table("customer").count() > 0
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty()
+
+
 class TestCacheLifecycle:
     """Round-4: the bucketed similarity paths persist signature tables;
     CacheScope ties each cache's lifetime to the result DataFrame, so a

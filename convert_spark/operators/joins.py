@@ -199,8 +199,16 @@ def salted_tile_join(
         "salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in (salt_cols or points.columns)]), F.lit(n_salt)),
     )
-    salt_values = points.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("salt"))
-    salted_tiles = tiles.crossJoin(F.broadcast(salt_values))
+    # replicate via explode, NOT crossJoin(range(n_salt)): the cross join's
+    # size estimate MULTIPLIES the two sides' sizeInBytes, so Catalyst/AQE
+    # sees the tiny replicated dim as multi-GiB, declares it un-broadcastable,
+    # and (when the points side is pruned to slim join keys) broadcasts the
+    # POINTS side instead — a 720 MiB 6M-row broadcast build measured 4-5x
+    # the whole query at sf1.0. Explode keeps the dim estimate sane; the
+    # emitted rows are identical (each tile row with salt 0..n_salt-1).
+    salted_tiles = tiles.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
     return salted_points.join(salted_tiles, keys + ["salt"], "inner").drop("salt")
 
 

@@ -241,11 +241,20 @@ def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id:
 
     n = 1 << zoom
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
-    off = q.sparkSession.createDataFrame(offsets, "dx int, dy int")
+    # explode a literal offsets array, NOT crossJoin(broadcast(offsets)):
+    # the cross join MULTIPLIES the query side's size estimate by the
+    # offsets table's bytes (~2300x at ring 8), after which the planner
+    # broadcasts the REF side instead — a 128 MiB 1.5M-row build measured
+    # at 10x scale where the probe's query side is the genuinely small one.
+    # Explode keeps the estimate proportional to the real fan-out, so the
+    # planner picks the build side per phase (cf. salted_tile_join).
+    off_arr = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]
+    )
     qq = (
-        q.crossJoin(F.broadcast(off))
-        .withColumn("n_tx", F.pmod(F.col("q_tx") + F.col("dx"), F.lit(n)))
-        .withColumn("n_ty", F.col("q_ty") + F.col("dy"))
+        q.withColumn("_off", F.explode(off_arr))
+        .withColumn("n_tx", F.pmod(F.col("q_tx") + F.col("_off.dx"), F.lit(n)))
+        .withColumn("n_ty", F.col("q_ty") + F.col("_off.dy"))
         .filter((F.col("n_ty") >= 0) & (F.col("n_ty") < n))
         .withColumn("r_cell", exprs.morton_cell(F.col("n_tx"), F.col("n_ty"), zoom))
         .select(query_id, "q_lat", "q_lon", "r_cell")
@@ -255,9 +264,12 @@ def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id:
         .dropDuplicates([query_id, "r_cell"])
     )
     if n_salt > 0:
-        salts = q.sparkSession.range(n_salt).select(F.col("id").cast("int").alias("__salt"))
         qq = qq.withColumn("__salt", F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_salt)))
-        return qq.join(r.crossJoin(F.broadcast(salts)), ["r_cell", "__salt"], "inner").drop("__salt")
+        # explode, not crossJoin — same estimate-sanity rationale as above
+        salted_r = r.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        return qq.join(salted_r, ["r_cell", "__salt"], "inner").drop("__salt")
     return qq.join(r, "r_cell", "inner")
 
 

@@ -1277,8 +1277,12 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query radius selection (smallest schedule radius holding >= k
     candidates) in SQL."""
     _load(spark, sf_dir, "customer", "orders")
-    q = spark.sql(_QPTS_SQL)
-    r = spark.sql(_RPTS_SQL)
+    # _spread (round 8): customer/orders arrive in O(row-group) splits, which
+    # pinned the probe's query-side explode+morton stage to ONE task (1.7 s)
+    # and the ref-side trig+join+rank stage to the row-group count (9.4 s CPU
+    # at 5-way); no-op at production split counts
+    q = _spread(spark.sql(_QPTS_SQL))
+    r = _spread(spark.sql(_RPTS_SQL))
     out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_RING, max_ring=_KNN_MAX_RING)
     return out.select("query_id", "ref_id", "rank")
 
@@ -1322,8 +1326,8 @@ def q_knn_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the doubling schedule is measured against in bench.py (the
     doubling run must stay within ~1.5x of this on the same VM)."""
     _load(spark, sf_dir, "customer", "orders")
-    q = spark.sql(_QPTS_SQL)
-    r = spark.sql(_RPTS_SQL)
+    q = _spread(spark.sql(_QPTS_SQL))  # same _spread rationale as q_knn
+    r = _spread(spark.sql(_RPTS_SQL))
     out = joins.knn_join(q, r, k=_KNN_K, zoom=_KNN_ZOOM, ring=_KNN_MAX_RING, max_ring=_KNN_MAX_RING)
     return out.select("query_id", "ref_id", "rank")
 

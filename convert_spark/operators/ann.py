@@ -307,6 +307,11 @@ def with_lsh_keys(df: DataFrame, vec_col: str = "embedding", dim: int = 64, band
         ks = ks + (np.arange(bands, dtype=np.int64) << 32)[None, :]
         return pd.Series(list(ks))
 
+    # optimizer fence (guide §4.4): the posexplode below carries an implicit
+    # size>0/isnotnull filter that Catalyst otherwise pushes down WITH a
+    # duplicated ArrowEvalPython — every vector's signature matmul ran twice
+    keys = keys.asNondeterministic()
+
     return df.withColumn("lsh_keys", keys(F.col(vec_col))).select(
         "*", F.posexplode("lsh_keys").alias("band", "bucket")
     ).drop("lsh_keys")
@@ -673,6 +678,12 @@ def ivf_topk(
         sims = m @ c.T
         order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, c.shape[0])]
         return pd.Series(list(order.astype(np.int32)))
+
+    # optimizer fence (guide §4.4): the probes explode and the centroid
+    # join's isnotnull both push filters below these Projects with
+    # duplicated ArrowEvalPython nodes — each assignment matmul ran twice
+    nearest_centroid = nearest_centroid.asNondeterministic()
+    probe_centroids = probe_centroids.asNondeterministic()
 
     # SLIM candidate plan (round 5): the centroid equi-join carries only
     # (id, centroid); vectors re-join by id for the rerank (see

@@ -150,6 +150,12 @@ def pip_join(
             out[hit] = pieces
         return pd.Series(out)
 
+    # optimizer fence (guide §4.4): in inner mode the explode below has an
+    # implicit size>0/isnotnull filter that Catalyst pushes down WITH a
+    # duplicated ArrowEvalPython — every point paid the PIP probe twice
+    # (plan-confirmed; the UDF is pure, marking only stops the cloning)
+    containing_polys = containing_polys.asNondeterministic()
+
     # collision-proof temp name: a points column literally named "_polys"
     # would otherwise be silently overwritten and returned corrupted
     tmp = "_polys"

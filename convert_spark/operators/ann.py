@@ -454,6 +454,17 @@ def neardup_lsh(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # pin the rerank's parallelism (round 8): the deduped id-pair table is
+    # BYTE-light but each row costs a 64-dim fold downstream, and AQE
+    # coalesces the ENSURE exchange by bytes alone (measured: 16 s of CPU
+    # squeezed into 6 tasks at 10x bench scale). An explicit keyed
+    # repartition is exempt from AQE coalescing; the a_id join reuses the
+    # partitioning, so no extra exchange is added — and the configured
+    # shuffle width is the same ceiling ENSURE exchanges get, so this
+    # does not cap production parallelism.
+    cand = cand.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "a_id"
+    )
     cand = cand.join(
         vecs.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n")),
         "a_id",
@@ -493,22 +504,26 @@ def ann_lsh_topk(
     # SLIM candidate plan (round 5): ids only through the bucket join and
     # the pair dedup; vectors re-join by id for the rerank (see
     # neardup_lsh — shuffling pair ids, not the corpus)
-    q = with_lsh_keys(
-        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")),
-        "q_emb", dim, bands, bits_per_band,
-    ).select(F.col(id_q), "band", "bucket")
-    r = with_lsh_keys(
-        _ensure_parallelism(
-            refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
-        ),
-        "r_emb", dim, bands, bits_per_band,
-    ).select(F.col(id_r), "band", "bucket")
-    q_vecs = queries.select(
-        F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")
-    ).withColumn("q_n", _norm_expr(F.col("q_emb"), dim))  # norm once per vector
-    r_vecs = refs.select(
-        F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")
-    ).withColumn("r_n", _norm_expr(F.col("r_emb"), dim))
+    # ONE spread projection per side (round 8): the signature UDF, the
+    # norm fold (an interpreted higher-order function — the costliest
+    # per-row expression here) and the rerank vector branches all build on
+    # it, so none of them can run at raw-scan parallelism (the embeddings
+    # parquet arrives as 1-2 row groups: the ref-side norm+exchange stage
+    # measured 9.9 s CPU on TWO tasks at 10x bench scale)
+    qp = _ensure_parallelism(
+        queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
+    )
+    rp = _ensure_parallelism(
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
+    )
+    q = with_lsh_keys(qp, "q_emb", dim, bands, bits_per_band).select(
+        F.col(id_q), "band", "bucket"
+    )
+    r = with_lsh_keys(rp, "r_emb", dim, bands, bits_per_band).select(
+        F.col(id_r), "band", "bucket"
+    )
+    q_vecs = qp.withColumn("q_n", _norm_expr(F.col("q_emb"), dim))  # norm once per vector
+    r_vecs = rp.withColumn("r_n", _norm_expr(F.col("r_emb"), dim))
     join_keys = ["band", "bucket"]
     cached = []
     if bucket_cap:
@@ -688,24 +703,21 @@ def ivf_topk(
     # SLIM candidate plan (round 5): the centroid equi-join carries only
     # (id, centroid); vectors re-join by id for the rerank (see
     # neardup_lsh — shuffling pair ids, not the corpus)
-    r = (
-        _ensure_parallelism(
-            refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
-        )
-        .withColumn("centroid", nearest_centroid(F.col("r_emb")))
-        .select(id_r, "centroid")
+    # ONE spread projection per side (round 8, cf. ann_lsh_topk): the
+    # assignment UDFs, the interpreted norm folds and the rerank vector
+    # branches all build on it instead of re-reading the 1-2-row-group scan
+    rp = _ensure_parallelism(
+        refs.select(F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb"))
     )
-    r_vecs = refs.select(
-        F.col(id_r), F.col(vec_col).cast("array<double>").alias("r_emb")
-    ).withColumn("r_n", _norm_expr(F.col("r_emb")))  # norm once per vector
-    q = (
+    qp = _ensure_parallelism(
         queries.select(F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb"))
-        .withColumn("probes", probe_centroids(F.col("q_emb")))
-        .select(id_q, F.explode("probes").alias("centroid"))
     )
-    q_vecs = queries.select(
-        F.col(id_q), F.col(vec_col).cast("array<double>").alias("q_emb")
-    ).withColumn("q_n", _norm_expr(F.col("q_emb")))
+    r = rp.withColumn("centroid", nearest_centroid(F.col("r_emb"))).select(id_r, "centroid")
+    r_vecs = rp.withColumn("r_n", _norm_expr(F.col("r_emb")))  # norm once per vector
+    q = qp.withColumn("probes", probe_centroids(F.col("q_emb"))).select(
+        id_q, F.explode("probes").alias("centroid")
+    )
+    q_vecs = qp.withColumn("q_n", _norm_expr(F.col("q_emb")))
     join_keys = ["centroid"]
     cached = []
     if bucket_cap:

@@ -52,8 +52,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """For each node n over its neighborhood N(n) ∪ {n}: connect every
     STRICTLY larger neighbor to m = min(N(n) ∪ {n})."""
     nbrs = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    withself = nbrs.unionByName(nbrs.select("u", F.col("u").alias("v")).distinct())
-    m = withself.groupBy("u").agg(F.min("v").alias("m"))
+    # min(N(u) ∪ {u}) folds the self-term into the aggregate: least(min
+    # over neighbors, u) — the former explicit self-loop union branch
+    # cost one distinct Exchange per round for rows the aggregate can
+    # synthesize from its own grouping key (round 8, guide §2.4); the
+    # emitted m values are identical, u ranges over the same node set
+    # (every edge endpoint appears in nbrs.u by construction)
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     out = (
         nbrs.join(m, "u")
         .filter(F.col("v") > F.col("u"))  # larger neighbors only
@@ -70,11 +75,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     m = min of that set."""
     # orient edges toward the larger endpoint: rows (n, smaller neighbor)
     nbrs = edges.select(F.col("v").alias("n"), F.col("u").alias("s"))
-    withself = nbrs.unionByName(nbrs.select(F.col("n"), F.col("n").alias("s")).distinct())
-    m = withself.groupBy("n").agg(F.min("s").alias("m"))
+    # same self-term folding as _large_star: m = least(min over smaller
+    # neighbors, n). The former self-loop rows (n, n) contributed exactly
+    # the edges (m(n), n) — which is the m table itself — so the join
+    # runs over the bare neighbor rows and the self contribution unions
+    # in as m, saving the per-round self-distinct Exchange; the emitted
+    # edge SET is identical row-for-row after the final distinct
+    m = nbrs.groupBy("n").agg(F.least(F.min("s"), F.col("n")).alias("m"))
     out = (
-        withself.join(m, "n")
+        nbrs.join(m, "n")
         .select(F.col("m").alias("u"), F.col("s").alias("v"))
+        .unionByName(m.select(F.col("m").alias("u"), F.col("n").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()

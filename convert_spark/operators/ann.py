@@ -459,12 +459,21 @@ def neardup_lsh(
     # coalesces the ENSURE exchange by bytes alone (measured: 16 s of CPU
     # squeezed into 6 tasks at 10x bench scale). An explicit keyed
     # repartition is exempt from AQE coalescing; the a_id join reuses the
-    # partitioning, so no extra exchange is added — and the configured
-    # shuffle width is the same ceiling ENSURE exchanges get, so this
-    # does not cap production parallelism.
-    cand = cand.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism, "a_id"
-    )
+    # partitioning, so no extra exchange is added. Width = the session's
+    # configured shuffle partitions — by definition the same width the
+    # ENSURE exchange would have had before coalescing (defaultParallelism
+    # is only the fallback). Tradeoff, accepted deliberately: a pinned
+    # exchange also opts out of AQE's skew-split, so one hot a_id (the
+    # min-id of a large near-dup cluster) serializes in a single task —
+    # bounded, because a doc's candidate pairs come from <= bands buckets
+    # of <= bucket_cap rows each (64 x 4096 = ~262k pairs, ~ms of fold
+    # work), the constant-cost-per-row regime where skew-split has
+    # nothing to rescue.
+    try:
+        _width = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        _width = vectors.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(_width, "a_id")
     cand = cand.join(
         vecs.select(F.col(id_col).alias("a_id"), F.col("__v").alias("a_v"), F.col("__n").alias("a_n")),
         "a_id",

@@ -201,28 +201,41 @@ def salted_tile_join(
     # increasing_id is nondeterministic under partial stage recomputation
     # (executor loss re-salts rows differently than surviving shuffle
     # files -> silent row loss/duplication)
+    if "salt" in points.columns or "salt" in tiles.columns:
+        # fail loudly: withColumn would silently overwrite (and the final
+        # drop would destroy) a caller's payload column — cf. pip_join's
+        # collision guard for its temp column
+        raise ValueError("salted_tile_join: inputs must not carry a 'salt' column")
     salted_points = points.withColumn(
         "salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in (salt_cols or points.columns)]), F.lit(n_salt)),
     )
-    # replicate via explode, NOT crossJoin(range(n_salt)): the cross join's
-    # size estimate MULTIPLIES the two sides' sizeInBytes, so Catalyst/AQE
-    # sees the tiny replicated dim as multi-GiB, declares it un-broadcastable,
-    # and (when the points side is pruned to slim join keys) broadcasts the
-    # POINTS side instead — a 720 MiB 6M-row broadcast build measured 4-5x
-    # the whole query at sf1.0. Explode keeps the dim estimate sane; the
-    # emitted rows are identical (each tile row with salt 0..n_salt-1).
-    salted_tiles = tiles.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
+    salted_tiles = _salt_replicate(tiles, n_salt, "salt")
     return salted_points.join(salted_tiles, keys + ["salt"], "inner").drop("salt")
+
+
+def _salt_replicate(df: DataFrame, n_salt: int, salt_col: str) -> DataFrame:
+    """One row per (input row, salt value 0..n_salt-1) — the replicated
+    side of an explicit salted join.
+
+    Replicates via explode of a LITERAL array, NOT crossJoin(range(n_salt)):
+    a cross join's size estimate MULTIPLIES the two sides' sizeInBytes, so
+    Catalyst/AQE sees the tiny replicated dim as multi-GiB, declares it
+    un-broadcastable, and (when the other side is pruned to slim join keys)
+    broadcasts the BIG side instead — a 720 MiB 6M-row broadcast build
+    measured 4-5x the whole q_salted_join at sf1.0, and a 128 MiB ref-side
+    broadcast in the kNN probe. Explode keeps the estimate proportional to
+    the real fan-out; the emitted rows are identical."""
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    return df.withColumn(salt_col, F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
 
 
 def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id: str,
                      n_salt: int = 0) -> DataFrame:
     """Candidate pairs for one ring radius: queries explode into
-    (2*ring+1)^2 ring cells (a broadcast of a tiny offsets table, no UDF)
-    and equi-join refs on the ring cell — the cross product never
+    (2*ring+1)^2 ring cells (a literal offsets array exploded in-stage,
+    no UDF) and equi-join refs on the ring cell — the cross product never
     materializes, and the shuffle key is the cell id.
 
     ``n_salt`` > 0 salts the cell join key: queries take
@@ -271,11 +284,7 @@ def _ring_candidates(q: DataFrame, r: DataFrame, ring: int, zoom: int, query_id:
     )
     if n_salt > 0:
         qq = qq.withColumn("__salt", F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_salt)))
-        # explode, not crossJoin — same estimate-sanity rationale as above
-        salted_r = r.withColumn(
-            "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-        )
-        return qq.join(salted_r, ["r_cell", "__salt"], "inner").drop("__salt")
+        return qq.join(_salt_replicate(r, n_salt, "__salt"), ["r_cell", "__salt"], "inner").drop("__salt")
     return qq.join(r, "r_cell", "inner")
 
 
